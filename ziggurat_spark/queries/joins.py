@@ -1,0 +1,183 @@
+"""Join surface (Z10–Z15) — J1–J4 of the reference plus the standard
+relational superset (semi/anti/multi-way).
+
+The reference's only relational operators are windowed stream-stream
+equi-joins on the Kafka key (streams.clj:149-179): inner/left/outer
+within ±join-window-ms. Batch embodiments below; the streaming forms
+live in ziggurat_spark.operators.stream_joins.
+
+Scale notes (100 TB):
+- dimension joins (orders⋈customer, nation⋈supplier) are
+  broadcast-able — we hint ``F.broadcast`` where a side is a
+  dimension table so no shuffle of the fact side's data occurs;
+- the windowed self-join (Z11) is an equi-join on the key with a
+  time-band residual predicate: Catalyst plans it as a sort-merge
+  join on user_id, and the band filter prunes pairs — never a
+  cartesian;
+- AQE converts sort-merge→broadcast at runtime when the small side
+  is under the threshold, and splits skewed user_id partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+
+@register(
+    "z10_equi_inner_join",
+    oracle=(
+        "SELECT o.o_orderkey, c.c_name FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "ORDER BY o.o_orderkey LIMIT 1000"
+    ),
+    doc="J1 key equi-join, batch form; customer side broadcast.",
+    tags=("join",),
+)
+def z10(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "z11_windowed_self_join",
+    oracle=(
+        "SELECT a.event_id AS l, b.event_id AS r FROM events a JOIN events b "
+        "ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "AND a.event_id < b.event_id ORDER BY l, r LIMIT 5000"
+    ),
+    doc=(
+        "J1 windowed join (streams.clj:149-158): equal key within "
+        "±window. Equi-join on user_id + band residual — sort-merge "
+        "join keyed on user_id, not a cartesian."
+    ),
+    tags=("join", "window"),
+)
+def z11(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    return (
+        a.join(b, cond, "inner")
+        .select(F.col("a.event_id").alias("l"), F.col("b.event_id").alias("r"))
+        .orderBy("l", "r")
+        .limit(5000)
+    )
+
+
+@register(
+    "z12_left_join",
+    oracle=(
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n FROM customer c "
+        "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey ORDER BY c.c_custkey"
+    ),
+    doc="J2 left join (streams.clj:156): unmatched left survives as NULL right.",
+    tags=("join",),
+)
+def z12(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "z13_full_outer_join",
+    oracle=(
+        "SELECT coalesce(n.n_nationkey, -1) AS nk, coalesce(s.s_suppkey, -1) AS sk "
+        "FROM nation n FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+        "ORDER BY nk, sk"
+    ),
+    doc="J3 outer join (streams.clj:157): either side nullable.",
+    tags=("join",),
+)
+def z13(spark: SparkSession, sf: str) -> DataFrame:
+    n = load_table(spark, sf, "nation")
+    s = load_table(spark, sf, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "full_outer")
+        .select(
+            F.coalesce("n_nationkey", F.lit(-1)).alias("nk"),
+            F.coalesce("s_suppkey", F.lit(-1)).alias("sk"),
+        )
+        .orderBy("nk", "sk")
+    )
+
+
+@register(
+    "z14_semi_anti_join",
+    oracle=(
+        "SELECT c_custkey, has_orders FROM ("
+        "  SELECT c_custkey, TRUE AS has_orders FROM customer "
+        "  WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+        "  UNION ALL "
+        "  SELECT c_custkey, FALSE AS has_orders FROM customer "
+        "  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)"
+        ") t ORDER BY c_custkey"
+    ),
+    doc=(
+        "Semi + anti join (capability superset; the reference routes "
+        "matched/unmatched streams, this is the batch analogue). "
+        "left_semi/left_anti avoid materializing the right side's columns."
+    ),
+    tags=("join",),
+)
+def z14(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return semi.unionAll(anti).orderBy("c_custkey")
+
+
+@register(
+    "z15_multiway_join_chain",
+    oracle=(
+        "SELECT r.r_name, n.n_name, count(*) AS suppliers FROM region r "
+        "JOIN nation n ON n.n_regionkey = r.r_regionkey "
+        "JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name"
+    ),
+    doc=(
+        "J4 N-way join chain (streams.clj:163-179, reduce over "
+        ":input-topics). region/nation are tiny dims → broadcast both; "
+        "the supplier fact never shuffles."
+    ),
+    tags=("join",),
+)
+def z15(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    s = load_table(spark, sf, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("suppliers"))
+        .orderBy("r_name", "n_name")
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over ``embeddings`` (Z28 + IVF scale path).
+
+Brute-force cosine top-k is the correctness baseline; the IVF
+variant shows the 100 TB shape: assign every vector to its nearest
+centroid ONCE (one parallel pass against a broadcast centroid set),
+then answer queries by searching only the query's cell —
+O(n/cells) per query instead of O(n).
+
+Engine-parity float story: the dot product is a LEFT FOLD over the
+element products (Spark ``aggregate``; DuckDB ``list_reduce``), and
+float32→float64 conversion is exact, so both engines produce
+bit-identical doubles — scores hash-match with no tolerance games.
+
+In production the centroids come from k-means (Spark MLlib) and the
+assignment is written bucketed-by-cell so queries prune partitions;
+here centroids are a deterministic sample (vec_id % 97 == 0) so the
+oracle can replicate them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 5
+CENTROID_MOD = 97
+
+
+def _dot(a: str, b: str, engine: int) -> str:
+    """Left-fold dot product of two float arrays, as SQL (0=spark, 1=duck)."""
+    if engine == 0:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _cosine(a: str, b: str, engine: int) -> str:
+    return (
+        f"({_dot(a, b, engine)}) / "
+        f"(sqrt({_dot(a, a, engine)}) * sqrt({_dot(b, b, engine)}))"
+    )
+
+
+@register(
+    "z28_cosine_topk",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {N_QUERIES}), "
+        f"pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        f"{_cosine('qe', 'e.embedding', 1)} AS score "
+        f"FROM q, embeddings e WHERE e.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk "
+        f"FROM pairs) "
+        f"SELECT query_id, neighbor_id, rnk, score FROM ranked "
+        f"WHERE rnk <= {TOP_K} ORDER BY query_id, rnk"
+    ),
+    doc=(
+        "Brute-force cosine top-k: broadcast the (tiny) query set, one "
+        "parallel scan of the corpus, per-query heap via window rank."
+    ),
+    tags=("similarity",),
+)
+def z28(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_cosine("qe", "embedding", 0)).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "x_ivf_ann_topk",
+    oracle=(
+        f"WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0), "
+        f"assign0 AS (SELECT e.vec_id, e.embedding, c.cent_id, "
+        f"{_cosine('e.embedding', 'ce', 1)} AS cscore "
+        f"FROM embeddings e, cent c), "
+        f"assign AS (SELECT vec_id, embedding, cent_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY cscore DESC, cent_id) AS arnk FROM assign0) t WHERE arnk = 1), "
+        f"q AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell "
+        f"FROM assign WHERE vec_id < {N_QUERIES}), "
+        f"pairs AS (SELECT q.query_id, a.vec_id AS neighbor_id, "
+        f"{_cosine('qe', 'a.embedding', 1)} AS score "
+        f"FROM q JOIN assign a ON a.cent_id = q.qcell "
+        f"AND a.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk "
+        f"FROM pairs) "
+        f"SELECT query_id, neighbor_id, rnk, score FROM ranked "
+        f"WHERE rnk <= {TOP_K} ORDER BY query_id, rnk"
+    ),
+    doc=(
+        "IVF-style ANN: one-pass assignment to broadcast centroids, "
+        "then search restricted to the query's cell (equi-join on "
+        "cent_id — partition-prunable when the assignment table is "
+        "written bucketed by cell). Recall < 1 by design; the oracle "
+        "checks the algorithm, brute-force (z28) checks the baseline."
+    ),
+    tags=("similarity", "ann"),
+)
+def x_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    assign0 = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.expr(_cosine("embedding", "ce", 0)).alias("cscore"),
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cent_id")
+    assign = (
+        assign0.withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("qcell"),
+    )
+    pairs = (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cent_id") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_cosine("qe", "embedding", 0)).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "score")
+        .orderBy("query_id", "rnk")
+    )

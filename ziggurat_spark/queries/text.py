@@ -1,0 +1,236 @@
+"""Text-analysis surface over ``documents`` (Z26–Z27 + training-data
+pipeline extensions: language-ID, quality scoring, token counting,
+document fingerprinting, binary/multimodal plumbing).
+
+All operators are pure column expressions (JVM-side; zero Python in
+the hot path) — one parallel pass over the corpus, no shuffle except
+the final aggregations. That is the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.functions import texthash as TH
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+
+@register(
+    "z26_json_extract",
+    oracle=(
+        "SELECT event_id, json_extract_string(props, '$.k') AS k "
+        "FROM events ORDER BY event_id"
+    ),
+    doc=(
+        "JSON middleware (T6, middleware/json.clj:12-24): pull a field "
+        "out of a JSON payload column. Spark get_json_object ≡ DuckDB "
+        "json_extract_string."
+    ),
+    tags=("text", "json"),
+)
+def z26(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")
+
+
+@register(
+    "z27_text_stats",
+    oracle=(
+        "SELECT lang, count(*) AS n, "
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS ac "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    doc="Per-language corpus stats (exact integer sum → stable avg).",
+    tags=("text",),
+)
+def z27(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("ac"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: Marker words for the n-gram/stopword language-ID heuristic. The
+#: corpus is synthetic, so the *prediction* is arbitrary — what the
+#: oracle checks is that the scoring pipeline (tokenize → count
+#: markers → argmax with deterministic tie-break) is computed exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "y"),
+}
+
+
+@register(
+    "x_lang_id",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        f"  {TH.tokens('text')[1]} AS words FROM documents), "
+        "scored AS (SELECT doc_id, "
+        + ", ".join(
+            "len(list_filter(words, w -> w IN ("
+            + ", ".join(f"'{m}'" for m in ms)
+            + f"))) AS s_{lang}"
+            for lang, ms in LANG_MARKERS.items()
+        )
+        + " FROM tok) "
+        "SELECT doc_id, CASE "
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang, "
+        "s_de + s_en + s_es + s_fr AS marker_hits "
+        "FROM scored ORDER BY doc_id"
+    ),
+    doc=(
+        "Language-ID by stopword/marker frequency: tokenize once, "
+        "count per-language marker hits, argmax with alphabetical "
+        "tie-break. The heuristic shape of fastText-style lang-id, "
+        "minus the model."
+    ),
+    tags=("text", "langid"),
+)
+def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    d = d.withColumn("words", F.expr(TH.tokens("text")[0]))
+    for lang, ms in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in ms)
+        d = d.withColumn(
+            f"s_{lang}", F.expr(f"size(filter(words, w -> w IN ({in_list})))")
+        )
+    pred = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    hits = F.col("s_de") + F.col("s_en") + F.col("s_es") + F.col("s_fr")
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), hits.cast("long").alias("marker_hits")
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_quality_score",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, n_chars, "
+        f"  {TH.tokens('text')[1]} AS words FROM documents) "
+        "SELECT doc_id, len(words) AS n_words, "
+        "CAST(n_chars AS DOUBLE) / len(words) AS avg_word_len, "
+        "len(list_filter(words, w -> length(w) >= 6)) AS long_words, "
+        "CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to'))) "
+        "  AS DOUBLE) / len(words) AS stopword_ratio "
+        "FROM tok WHERE len(words) > 0 ORDER BY doc_id"
+    ),
+    doc=(
+        "Document quality signals (Gopher/C4-style): word count, mean "
+        "word length, long-word count, stopword ratio. Pure column "
+        "math; ratios are fixed IEEE expression trees over exact ints."
+    ),
+    tags=("text", "quality"),
+)
+def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    d = d.withColumn("words", F.expr(TH.tokens("text")[0])).filter(
+        F.expr("size(words) > 0")
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(words)").cast("long").alias("n_words"),
+        (F.col("n_chars").cast("double") / F.expr("size(words)")).alias(
+            "avg_word_len"
+        ),
+        F.expr("size(filter(words, w -> length(w) >= 6))")
+        .cast("long")
+        .alias("long_words"),
+        (
+            F.expr(
+                "size(filter(words, w -> w IN ('the','a','of','and','to')))"
+            ).cast("double")
+            / F.expr("size(words)")
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_token_count",
+    oracle=(
+        "SELECT doc_id, "
+        f"len({TH.tokens('text')[1]}) AS ws_tokens, "
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc=(
+        "Token counting: whitespace tokens + a BPE-ish segmentation "
+        "(letter runs / digit runs / other) via regexp_extract_all."
+    ),
+    tags=("text", "tokens"),
+)
+def x_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({TH.tokens('text')[0]})").cast("long").alias("ws_tokens"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_fingerprint",
+    oracle=(
+        f"SELECT doc_id, {TH.char_fingerprint('text')[1]} AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc=(
+        "Document fingerprint: polynomial rolling hash over the full "
+        "text (see functions/texthash.py for the engine-parity story)."
+    ),
+    tags=("text", "fingerprint"),
+)
+def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.expr(TH.char_fingerprint("text")[0]).alias("fp")
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_binary_plumbing",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS nbytes, "
+        "hex(encode(substr(text, 1, 8))) AS head_hex "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc=(
+        "Multimodal plumbing smoke: treat content as opaque bytes "
+        "(UTF-8 of text stands in for image/audio payloads), check "
+        "byte length + head bytes round-trip. The decode/feature "
+        "UDFs live in operators/multimodal.py."
+    ),
+    tags=("multimodal",),
+)
+def x_binary_plumbing(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("nbytes"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
+    ).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""Window-function surface (Z20–Z23): ranking, lag, running frames,
+top-k. The reference's kafka-delay metric (kafka_delay.clj:5-13) is a
+per-key consecutive-event gap — exactly ``lag`` over (key, time).
+
+Scale notes: window functions shuffle once on the partition key and
+sort within partitions; user_id has high cardinality so partitions
+stay balanced (AQE splits stragglers). Top-k uses orderBy+limit which
+Spark executes as TakeOrderedAndProject — no global sort
+materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+
+@register(
+    "z20_row_number",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc="Per-key sequence numbers (deterministic tie-break on event_id).",
+    tags=("window",),
+)
+def z20(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+        .orderBy("event_id")
+        .limit(5000)
+    )
+
+
+@register(
+    "z21_lag_gap",
+    oracle=(
+        "SELECT event_id, epoch_us(ts) - epoch_us(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Consecutive-event delay per key ≈ the kafka_delay metric "
+        "(kafka_delay.clj:5-13). Gap emitted as exact epoch-microsecond "
+        "difference so both engines hash identically."
+    ),
+    tags=("window",),
+)
+def z21(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return e.select("event_id", gap.alias("gap_us")).orderBy("event_id").limit(5000)
+
+
+@register(
+    "z22_running_sum",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS rv "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Explicit-frame running sum per key; summed in exact integer "
+        "cents (see aggs.py determinism note)."
+    ),
+    tags=("window",),
+)
+def z22(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rv = (
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("double") / 100
+    )
+    return e.select("event_id", rv.alias("rv")).orderBy("event_id").limit(5000)
+
+
+@register(
+    "z23_topk",
+    oracle=(
+        "SELECT event_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 100"
+    ),
+    doc=(
+        "Top-k (dead-set peek R7 ≈ bounded read, "
+        "messaging/consumer.clj:84-94). Executes as "
+        "TakeOrderedAndProject: per-partition heaps, no global sort."
+    ),
+    tags=("window", "limit"),
+)
+def z23(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.select("event_id", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+    )

@@ -1,0 +1,62 @@
+"""Test-table loading (driver-generated parquet; see TESTDATA.md)."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] (Spark reads them as
+    int64 under spark.sql.legacy.parquet.nanosAsLong)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — columnar, with predicate pushdown and column
+    pruning handled by Catalyst (filters/projections placed later in
+    the plan still reach this scan).
+
+    Nanosecond timestamp columns arrive as int64 nanos (see
+    session.py) and are converted to microsecond timestamps here —
+    integer floor-division, identical to DuckDB's ns→us truncation.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # Set on the *caller's* session too (the driver hands us its
+        # own SparkSession, which won't have session.py's config).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos_cols:
+        # integer `div`, NOT `/`: epoch-nanos exceed double precision
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
