@@ -71,26 +71,28 @@ def char_fingerprint(col: str) -> tuple[str, str]:
 def shingle_hashes(whash_col: str, k: int = 3) -> tuple[str, str]:
     """Hashes of word-level k-shingles from an array of word hashes.
 
-    ``sh[i] = (h[i]*C1 + h[i+1]*C2 + ... ) % P`` — here fixed k=3 for
-    a flat expression (h*C1 + h*C2 + h). Short docs (<k words) yield
-    an empty array on both engines.
+    ``sh[i] = (h[i]*C1^(k-1) + h[i+1]*C1^(k-2) + ... + h[i+k-1]) % P``
+    with per-term mod so every intermediate stays < k * P^2 < 2^63.
+    Short docs (< k words) yield an empty array on both engines.
     """
-    if k != 3:
-        raise ValueError("flat expression currently fixed at k=3")
+    # constant multipliers C1^(k-1-j) % P, j = 0..k-1
+    mults = [pow(C1, k - 1 - j, P) for j in range(k)]
+
+    def terms(idx: callable) -> str:
+        return " + ".join(
+            f"({idx(j)} * {mults[j]}) % {P}" for j in range(k)
+        )
+
     spark = (
-        f"CASE WHEN size({whash_col}) >= 3 THEN "
-        f"transform(sequence(1, size({whash_col}) - 2), "
-        f"i -> (element_at({whash_col}, i) * {C1} "
-        f"+ element_at({whash_col}, i + 1) * {C2} "
-        f"+ element_at({whash_col}, i + 2)) % {P}) "
+        f"CASE WHEN size({whash_col}) >= {k} THEN "
+        f"transform(sequence(1, size({whash_col}) - {k - 1}), "
+        f"i -> ({terms(lambda j: f'element_at({whash_col}, i + {j})')}) % {P}) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     duck = (
-        f"CASE WHEN len({whash_col}) >= 3 THEN "
-        f"list_transform(range(1, len({whash_col}) - 1), "
-        f"i -> ({whash_col}[i] * {C1} "
-        f"+ {whash_col}[i + 1] * {C2} "
-        f"+ {whash_col}[i + 2]) % {P}) "
+        f"CASE WHEN len({whash_col}) >= {k} THEN "
+        f"list_transform(range(1, len({whash_col}) - {k - 2}), "
+        f"i -> ({terms(lambda j: f'{whash_col}[i + {j}]')}) % {P}) "
         f"ELSE [] END"
     )
     return spark, duck

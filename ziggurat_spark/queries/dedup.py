@@ -3,18 +3,23 @@ training-data pipeline needs (exact dedup is z25 in setops.py).
 
 - MinHash signatures + LSH banding → candidate pairs
 - SimHash per document
-- word-3-gram Jaccard similarity pairs (exact set overlap)
+- word-5-gram Jaccard similarity pairs (exact set overlap)
 
-All engines-parity hashing comes from functions/texthash.py; the
+All engine-parity hashing comes from functions/texthash.py; the
 whole family is higher-order array expressions + one equi-join, no
 Python.
 
-Scale shape (100 TB corpus): signatures are one parallel pass;
-LSH candidate generation is a self-equi-join on (band, bucket) —
-i.e. a shuffle keyed by bucket whose fan-out is bounded by bucket
-size, NOT an O(n²) comparison. Jaccard verification runs only on
-candidates. This is exactly the MinHashLSH construction from
-Broder '97 / MMDS ch.3.
+Scale shape (100 TB corpus): signatures are ONE parallel pass — the
+signature array is built once per document and band rows are
+`explode`d from it (never re-derived per band or per join side;
+Spark's higher-order functions are interpreted, so accidental
+re-evaluation of the hash chain is the difference between one corpus
+pass and ten). LSH candidate generation is a self-equi-join on
+(band, bucket) — a shuffle keyed by bucket with fan-out bounded by
+bucket size, NOT an O(n²) comparison. Exact Jaccard uses an
+inverted-index join over 5-gram shingles (longer shingles keep the
+posting lists short — the standard near-dup configuration). This is
+the MinHashLSH construction from Broder '97 / MMDS ch.3.
 """
 
 from __future__ import annotations
@@ -29,38 +34,55 @@ from ziggurat_spark.tables import load_table
 N_HASHES = 8
 BANDS = 4  # → 2 rows per band
 ROWS_PER_BAND = N_HASHES // BANDS
+MINHASH_SHINGLE_K = 3
+JACCARD_SHINGLE_K = 5
+
+#: Spark literal array<struct<a,b>> of the minhash permutations.
+_PERMS_SQL = (
+    "array("
+    + ", ".join(
+        f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))"
+        for a, b in TH.MINHASH_PERMS
+    )
+    + ")"
+)
+
+#: Full signature as ONE array expression: the shingle column is
+#: referenced once, so the tokenize→hash chain is evaluated once per
+#: row no matter how many permutations.
+_MHS_SQL = (
+    f"transform({_PERMS_SQL}, "
+    f"p -> array_min(transform(sh, s -> (s * p.a + p.b) % {TH.P})))"
+)
 
 
-def _with_shingles(spark: SparkSession, sf: str) -> DataFrame:
+def _with_shingles(spark: SparkSession, sf: str, k: int) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return (
         d.withColumn("words", F.expr(TH.tokens("text")[0]))
-        .withColumn("whash", F.expr(TH.word_hashes("words")[1 - 1]))
-        .withColumn("sh", F.expr(TH.shingle_hashes("whash")[0]))
+        .withColumn("whash", F.expr(TH.word_hashes("words")[0]))
+        .withColumn("sh", F.expr(TH.shingle_hashes("whash", k)[0]))
     )
 
 
-def _duck_shingle_cte() -> str:
+def _duck_shingle_cte(k: int) -> str:
     return (
         "WITH tok AS (SELECT doc_id, "
         f"{TH.tokens('text')[1]} AS words FROM documents), "
         f"wh AS (SELECT doc_id, {TH.word_hashes('words')[1]} AS whash FROM tok), "
-        f"sh AS (SELECT doc_id, {TH.shingle_hashes('whash')[1]} AS sh FROM wh)"
-    )
-
-
-def _minhash_select(engine: int) -> str:
-    """Comma-joined minhash expressions mh0..mh7 (engine 0=spark, 1=duck)."""
-    return ", ".join(
-        f"{TH.minhash('sh', j)[engine]} AS mh{j}" for j in range(N_HASHES)
+        f"sh AS (SELECT doc_id, {TH.shingle_hashes('whash', k)[1]} AS sh FROM wh)"
     )
 
 
 @register(
     "x_minhash_signature",
     oracle=(
-        _duck_shingle_cte()
-        + f" SELECT doc_id, {_minhash_select(1)} FROM sh ORDER BY doc_id"
+        _duck_shingle_cte(MINHASH_SHINGLE_K)
+        + " SELECT doc_id, "
+        + ", ".join(
+            f"{TH.minhash('sh', j)[1]} AS mh{j}" for j in range(N_HASHES)
+        )
+        + " FROM sh ORDER BY doc_id"
     ),
     doc=(
         "8-permutation MinHash signature per document over word "
@@ -69,31 +91,28 @@ def _minhash_select(engine: int) -> str:
     tags=("dedup", "minhash"),
 )
 def x_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    d = _with_shingles(spark, sf)
-    cols = [F.expr(TH.minhash("sh", j)[0]).alias(f"mh{j}") for j in range(N_HASHES)]
+    d = _with_shingles(spark, sf, MINHASH_SHINGLE_K).withColumn(
+        "mhs", F.expr(_MHS_SQL)
+    )
+    cols = [F.element_at("mhs", j + 1).alias(f"mh{j}") for j in range(N_HASHES)]
     return d.select("doc_id", *cols).orderBy("doc_id")
 
 
-def _band_key_exprs(engine: int) -> list[str]:
-    """One bucket key per band: combine the band's minhash rows into a
-    single BIGINT (h0*C1 + h1) % P — portable and collision-cheap."""
-    out = []
-    for b in range(BANDS):
-        j0, j1 = b * ROWS_PER_BAND, b * ROWS_PER_BAND + 1
-        m0 = TH.minhash("sh", j0)[engine]
-        m1 = TH.minhash("sh", j1)[engine]
-        out.append(f"(({m0}) * {TH.C1} + ({m1})) % {TH.P}")
-    return out
+def _duck_band_key(b: int) -> str:
+    j0, j1 = b * ROWS_PER_BAND, b * ROWS_PER_BAND + 1
+    m0 = TH.minhash("sh", j0)[1]
+    m1 = TH.minhash("sh", j1)[1]
+    return f"(({m0}) * {TH.C1} + ({m1})) % {TH.P}"
 
 
 @register(
     "x_minhash_lsh_pairs",
     oracle=(
-        _duck_shingle_cte()
+        _duck_shingle_cte(MINHASH_SHINGLE_K)
         + ", bands AS ("
         + " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, ({key}) AS bucket FROM sh"
-            for b, key in enumerate(_band_key_exprs(1))
+            f"SELECT doc_id, {b} AS band, ({_duck_band_key(b)}) AS bucket FROM sh"
+            for b in range(BANDS)
         )
         + ") SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
@@ -101,26 +120,33 @@ def _band_key_exprs(engine: int) -> list[str]:
         "ORDER BY a, b"
     ),
     doc=(
-        "LSH candidate pairs: docs sharing any (band, bucket). "
-        "Self-equi-join on the bucket key — the scalable O(candidates) "
-        "path, never all-pairs."
+        "LSH candidate pairs: docs sharing any (band, bucket). Bands "
+        "are exploded from one signature array (single corpus pass), "
+        "then self-equi-joined on the bucket key — the scalable "
+        "O(candidates) path, never all-pairs."
     ),
     tags=("dedup", "minhash", "lsh"),
 )
 def x_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = _with_shingles(spark, sf)
-    bands = None
-    for b, key in enumerate(_band_key_exprs(0)):
-        part = d.select(
-            "doc_id", F.lit(b).alias("band"), F.expr(key).alias("bucket")
-        )
-        bands = part if bands is None else bands.unionAll(part)
-    bands = bands.filter(F.col("bucket").isNotNull())
+    d = _with_shingles(spark, sf, MINHASH_SHINGLE_K).withColumn(
+        "mhs", F.expr(_MHS_SQL)
+    )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', "
+        f"(element_at(mhs, {b * ROWS_PER_BAND + 1}) * {TH.C1} "
+        f"+ element_at(mhs, {b * ROWS_PER_BAND + 2})) % {TH.P})"
+        for b in range(BANDS)
+    )
+    bands = d.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).filter(F.col("bucket").isNotNull())
     a = bands.alias("a")
-    bb = bands.alias("b")
+    b = bands.alias("b")
     return (
         a.join(
-            bb,
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -162,7 +188,7 @@ JACCARD_THRESHOLD = 0.35
 @register(
     "x_ngram_jaccard_pairs",
     oracle=(
-        _duck_shingle_cte()
+        _duck_shingle_cte(JACCARD_SHINGLE_K)
         + ", ex AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh), "
         "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
@@ -176,16 +202,17 @@ JACCARD_THRESHOLD = 0.35
         "ORDER BY a, b"
     ),
     doc=(
-        "Exact word-3-gram Jaccard pairs above a threshold. "
+        "Exact word-5-gram Jaccard pairs above a threshold. "
         "Inverted-index style: explode distinct shingles, self-join on "
-        "shingle (shuffle keyed by shingle, bounded fan-out), count "
-        "intersections, ratio against exact set sizes. The verify "
-        "stage of a MinHash pipeline."
+        "shingle (shuffle keyed by shingle), count intersections, "
+        "ratio against exact set sizes. 5-gram shingles keep posting "
+        "lists short (bounded join fan-out) — the standard exact "
+        "verify stage of a near-dup pipeline."
     ),
     tags=("dedup", "jaccard"),
 )
 def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = _with_shingles(spark, sf)
+    d = _with_shingles(spark, sf, JACCARD_SHINGLE_K)
     ex = d.select("doc_id", F.explode("sh").alias("s")).distinct()
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ex.alias("a")

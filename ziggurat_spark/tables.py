@@ -21,6 +21,29 @@ TABLES = (
 )
 
 
+#: Optimizer rules that are actively harmful for this engine's plans:
+#: InferFiltersFromGenerate synthesizes `size(arr) > 0` filters from
+#: explode() and pushes them below the projection that defines `arr`,
+#: inlining the full (interpreted, higher-order-function) expression
+#: chain many times over — measured 30-70× slowdowns on the dedup
+#: operators. The generate node already skips empty arrays, so the
+#: rule buys nothing for computed arrays.
+_EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Engine-required session confs, set at runtime because callers
+    (the test driver included) hand us their own SparkSession."""
+    existing = ""
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:  # noqa: BLE001 — unset conf raises on some versions
+        existing = ""
+    if _EXCLUDED_RULES not in existing:
+        merged = f"{existing},{_EXCLUDED_RULES}" if existing else _EXCLUDED_RULES
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
+
+
 @lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet timestamp[ns] (Spark reads them as
@@ -43,6 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py) and are converted to microsecond timestamps here —
     integer floor-division, identical to DuckDB's ns→us truncation.
     """
+    ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
