@@ -1,0 +1,183 @@
+"""Route engine behavior — mirrors the reference's end-to-end stream
+tests (streams_test.clj: count handler invocations, staleness drop,
+outcome dispatch, retry progression to dead set)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ziggurat_spark.envelope import ENVELOPE_SCHEMA, events_as_envelope
+from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+from ziggurat_spark.streaming.retry_fabric import RetryConfig
+from ziggurat_spark.tables import load_table
+
+SF = os.environ.get("ZS_TEST_SF", "/root/testdata/sf0.001")
+NOW = datetime(2024, 2, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+def json_middleware(df):
+    """T6: parse the JSON value payload into a typed column."""
+    return df.withColumn(
+        "k", F.get_json_object(F.decode("value", "UTF-8"), "$.k").cast("int")
+    )
+
+
+def dispatch_handler(df):
+    """R1 demo dispatch on the parsed payload."""
+    k = F.col("k")
+    return df.withColumn(
+        "outcome",
+        F.when(k % 10 == 0, "retry")
+        .when(k % 10 == 1, "dead-letter")
+        .when(k % 10 == 2, "skip")
+        .when(k % 10 == 3, "channel:audit")
+        .otherwise("success"),
+    )
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return ZigguratEngine(spark, str(tmp_path / "work"))
+
+
+@pytest.fixture()
+def envelope_df(spark):
+    return events_as_envelope(load_table(spark, SF, "events"))
+
+
+def make_route(engine, seen=None, **kw):
+    channels = kw.pop("channels", {})
+    route = Route(
+        name=kw.pop("name", "events"),
+        source=lambda: None,
+        handler=dispatch_handler,
+        middleware=(json_middleware,),
+        channels=channels,
+        retry=kw.pop("retry", RetryConfig(max_attempts=2, timeout_ms=0)),
+        oldest_processed_s=kw.pop("oldest_processed_s", None),
+        **kw,
+    )
+    engine.register_route(route)
+    return route
+
+
+def test_outcome_split_and_tallies(spark, engine, envelope_df):
+    audits = []
+    route = make_route(
+        engine, channels={"audit": lambda df: audits.append(df.count()) or None}
+    )
+    stats = engine.process_batch(route, envelope_df, now=NOW)
+    assert stats.total == 1000
+    assert stats.stale_dropped == 0
+    assert (
+        stats.success + stats.skip + stats.retry + stats.dead_letter + stats.channel
+        == 1000
+    )
+    assert stats.channel == sum(audits) and stats.channel > 0
+    # retry rows landed with the countdown started
+    rt = engine.fabric.retry_table()
+    assert rt.count() == stats.retry
+    assert rt.select(F.min("attempt")).collect()[0][0] == 1  # 2 - 1
+    assert engine.fabric.dead_set_table().count() == stats.dead_letter
+
+
+def test_staleness_filter_drops_old_records(spark, engine, envelope_df):
+    route = make_route(engine, oldest_processed_s=7 * 86400)
+    late_now = datetime(2024, 3, 1, tzinfo=timezone.utc)  # all events are January
+    stats = engine.process_batch(route, envelope_df, now=late_now)
+    assert stats.total == 0
+    assert stats.stale_dropped == 1000
+
+
+def test_invalid_outcome_raises(spark, engine, envelope_df):
+    route = Route(
+        name="bad",
+        source=lambda: None,
+        handler=lambda df: df.withColumn("outcome", F.lit("explode")),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    with pytest.raises(TypeError, match="invalid outcomes"):
+        engine.process_batch(route, envelope_df.limit(5), now=NOW)
+
+
+def test_retry_progression_to_dead_set(spark, engine, envelope_df):
+    """R2 end-to-end: a message that always fails is retried
+    max_attempts times, then dies — the producer_test.clj retry
+    state-machine scenario."""
+    route = make_route(engine, retry=RetryConfig(max_attempts=2, timeout_ms=0))
+    batch = envelope_df.filter(
+        F.get_json_object(F.decode("value", "UTF-8"), "$.k") % 10 == 0
+    )
+    n_failing = batch.count()
+    assert n_failing > 0
+    engine.process_batch(route, batch, now=NOW)
+
+    hops = 0
+    t = NOW
+    while engine.fabric.retry_table() is not None and hops < 10:
+        t = t + timedelta(seconds=1)
+        engine.pump_retries("events", now=t)
+        hops += 1
+    # max_attempts=2 → two pump hops then everything is dead
+    assert hops == 2
+    assert engine.fabric.retry_table() is None
+    assert engine.fabric.dead_set_table().count() == n_failing
+
+
+def test_streaming_route_lifecycle(spark, engine, envelope_df, tmp_path):
+    """Structured Streaming execution of the same dataflow: file
+    source → availableNow trigger → foreachBatch → drained stop."""
+    src_dir = str(tmp_path / "stream_src")
+    envelope_df.limit(200).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    route = Route(
+        name="stream",
+        source=lambda: spark.readStream.schema(schema).parquet(src_dir),
+        handler=dispatch_handler,
+        middleware=(json_middleware,),
+        retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    q = engine.start_route("stream")
+    q.awaitTermination(120)  # availableNow terminates when caught up
+    engine.stop_route("stream")
+    assert engine.active_routes() == []
+    totals = [s for s in engine.stats if s.route == "stream"]
+    assert sum(s.total for s in totals) == 200
+    assert sum(s.retry for s in totals) > 0
+
+
+def test_streaming_checkpoint_no_reprocess(spark, engine, envelope_df, tmp_path):
+    """R6 parity: restarting the query against the same checkpoint
+    must not reprocess delivered offsets (at-least-once, no dupes on
+    clean restart)."""
+    src_dir = str(tmp_path / "cp_src")
+    envelope_df.limit(100).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    route = Route(
+        name="cp",
+        source=lambda: spark.readStream.schema(schema).parquet(src_dir),
+        handler=dispatch_handler,
+        middleware=(json_middleware,),
+        oldest_processed_s=None,
+        retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
+    )
+    engine.register_route(route)
+    q = engine.start_route("cp")
+    q.awaitTermination(120)
+    engine.stop_route("cp")
+    first = sum(s.total for s in engine.stats if s.route == "cp")
+    assert first == 100
+
+    q = engine.start_route("cp")
+    q.awaitTermination(120)
+    engine.stop_route("cp")
+    second = sum(s.total for s in engine.stats if s.route == "cp")
+    assert second == 100  # nothing new → no second delivery

@@ -1,0 +1,262 @@
+"""Route engine: registration, the per-batch dataflow, lifecycle.
+
+The reference's unit of deployment is a *route*: a topic source, a
+middleware chain, a handler, optional channels, and the retry fabric
+around it (init.clj:244-273 validates exactly this shape at
+:187-200). Here a route is:
+
+    source (streaming or batch DataFrame)
+      → staleness filter (T2, timestamp_transformer.clj:9-12)
+      → middleware chain (DataFrame → DataFrame fns)
+      → handler → `outcome` column (R1 contract, mapper.clj:55-65)
+      → one cached pass, split into success/skip/retry/dead/channel
+        (filtered writes; retry & dead go through RetryFabric)
+
+Streaming execution wraps the same batch function in
+``foreachBatch`` — identical semantics in both modes, which is how
+the reference's at-least-once ack-after-process maps onto Spark's
+checkpointed micro-batches (stronger: effectively-once bookkeeping).
+
+Scale: the handler output is persisted once per micro-batch and the
+outcome splits are metadata-only filters on top — the batch is never
+recomputed per sink (the reference similarly publishes from one
+in-memory record, mapper.clj:55-65). Parallelism is decoupled from
+source partitions with an optional repartition(n) — the Spark-native
+replacement for the channels scale-out pattern (doc/CONCEPTS.md:20-43).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.operators.routing import VALID_OUTCOMES
+from ziggurat_spark.streaming.retry_fabric import RetryConfig, RetryFabric
+
+#: T2 default: drop records older than 7 days (streams.clj:26).
+DEFAULT_OLDEST_PROCESSED_S = 604_800
+
+Middleware = Callable[[DataFrame], DataFrame]
+Handler = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Route:
+    """A registered stream route (schema parity: init.clj:187-200)."""
+
+    name: str
+    source: Callable[[], DataFrame]
+    handler: Handler
+    middleware: tuple[Middleware, ...] = ()
+    channels: dict[str, Handler] = field(default_factory=dict)
+    retry: RetryConfig = field(default_factory=RetryConfig)
+    oldest_processed_s: int | None = DEFAULT_OLDEST_PROCESSED_S
+    timestamp_col: str = "timestamp"
+    parallelism: int | None = None
+
+
+@dataclass
+class BatchStats:
+    """Per-batch tallies ≈ consumer_handler.clj:17-24, 59-65."""
+
+    route: str
+    batch_id: int
+    total: int = 0
+    success: int = 0
+    skip: int = 0
+    retry: int = 0
+    dead_letter: int = 0
+    channel: int = 0
+    stale_dropped: int = 0
+    processing_s: float = 0.0
+
+
+class ZigguratEngine:
+    """Route registry + executor (start/stop/drain ≈ R9/R10)."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.fabric = RetryFabric(spark, workdir)
+        self.routes: dict[str, Route] = {}
+        self.queries: dict[str, object] = {}
+        self.stats: list[BatchStats] = []
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- registration ---------------------------------------------------
+
+    def register_route(self, route: Route) -> None:
+        if route.name in self.routes:
+            raise ValueError(f"route already registered: {route.name}")
+        bad = [c for c in route.channels if not c.isidentifier()]
+        if bad:
+            raise ValueError(f"invalid channel names: {bad}")
+        self.routes[route.name] = route
+
+    # -- the per-batch dataflow ------------------------------------------
+
+    def process_batch(
+        self,
+        route: Route,
+        batch: DataFrame,
+        batch_id: int = -1,
+        now: datetime | None = None,
+    ) -> BatchStats:
+        """Run one (micro-)batch through the full route dataflow."""
+        t0 = time.perf_counter()
+        now = now or datetime.now(timezone.utc)
+        stats = BatchStats(route=route.name, batch_id=batch_id)
+
+        df = batch
+        total_in = df.count()
+        # T2 staleness filter, placed first (streams.clj:185-186);
+        # Catalyst pushes it into the scan anyway.
+        if route.oldest_processed_s is not None:
+            horizon = now - timedelta(seconds=route.oldest_processed_s)
+            df = df.filter(F.col(route.timestamp_col) >= F.lit(horizon))
+        if route.parallelism:
+            # channels-style scale-out (doc/CONCEPTS.md:20-43): decouple
+            # worker parallelism from source partition count.
+            df = df.repartition(route.parallelism)
+        for mw in route.middleware:
+            df = mw(df)
+
+        out = route.handler(df)
+        if "outcome" not in out.columns:
+            raise TypeError(
+                f"route {route.name}: handler must add an 'outcome' column"
+            )
+        out = out.persist()
+        try:
+            counts = {
+                r["outcome"]: r["n"]
+                for r in out.groupBy("outcome").agg(F.count("*").alias("n")).collect()
+            }
+            unknown = [
+                o
+                for o in counts
+                if o not in VALID_OUTCOMES and not str(o).startswith("channel:")
+            ]
+            if unknown:
+                # InvalidReturnTypeException parity
+                # (consumer_handler.clj:36-44, mapper.clj:62-64)
+                raise TypeError(
+                    f"route {route.name}: invalid outcomes {unknown}"
+                )
+            stats.total = sum(counts.values())
+            stats.stale_dropped = total_in - stats.total
+            stats.success = counts.get("success", 0)
+            stats.skip = counts.get("skip", 0)
+            stats.retry = counts.get("retry", 0)
+            stats.dead_letter = counts.get("dead-letter", 0)
+
+            oc = F.col("outcome")
+            if stats.retry:
+                self.fabric.enqueue_retry(
+                    out.filter(oc == "retry"), route.name, route.retry, now=now
+                )
+            if stats.dead_letter:
+                self.fabric.enqueue_dead(
+                    out.filter(oc == "dead-letter"), route.name, now=now
+                )
+            for ch in route.channels:
+                ch_rows = out.filter(oc == f"channel:{ch}")
+                n_ch = ch_rows.count()
+                if n_ch:
+                    stats.channel += n_ch
+                    self._deliver_channel(route, ch, ch_rows, now)
+        finally:
+            out.unpersist()
+        stats.processing_s = time.perf_counter() - t0
+        self.stats.append(stats)
+        return stats
+
+    def _deliver_channel(
+        self, route: Route, channel: str, rows: DataFrame, now: datetime
+    ) -> None:
+        """Channel delivery (R8): run the channel handler immediately
+        (Spark already decouples parallelism); failures take the
+        channel retry path (mapper.clj:71-111)."""
+        handler = route.channels[channel]
+        try:
+            result = handler(rows.drop("outcome"))
+            if result is not None and "outcome" in result.columns:
+                retries = result.filter(F.col("outcome") == "retry")
+                if retries.isEmpty() is False:
+                    self.fabric.enqueue_retry(
+                        retries, route.name, route.retry, channel=channel, now=now
+                    )
+        except Exception:
+            self.fabric.enqueue_retry(
+                rows, route.name, route.retry, channel=channel, now=now
+            )
+
+    # -- retry pump -------------------------------------------------------
+
+    def pump_retries(self, route_name: str, now: datetime | None = None) -> int:
+        """One pump cycle: re-deliver due retry rows through the route
+        handler (the instant-queue worker, messaging/consumer.clj:122-148)."""
+        route = self.routes[route_name]
+
+        def _process(env: DataFrame) -> None:
+            self.process_batch(route, env, batch_id=-2, now=now)
+
+        return self.fabric.pump(route_name, _process, now=now)
+
+    # -- streaming lifecycle (R9/R10) --------------------------------------
+
+    def start_route(
+        self,
+        route_name: str,
+        trigger_available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Start the route as a Structured Streaming query with the
+        batch dataflow inside foreachBatch + checkpointing (R6: the
+        manual-commit analogue, stronger per-micro-batch bookkeeping)."""
+        route = self.routes[route_name]
+        src = route.source()
+        if not src.isStreaming:
+            raise ValueError(f"route {route_name}: source is not streaming")
+
+        def _for_each(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(route, batch_df, batch_id=batch_id)
+
+        writer = src.writeStream.foreachBatch(_for_each).option(
+            "checkpointLocation",
+            os.path.join(self.workdir, "checkpoints", route_name),
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        q = writer.start()
+        self.queries[route_name] = q
+        return q
+
+    def stop_route(self, route_name: str, drain: bool = True) -> None:
+        """Stop a single route (R10, streams.clj:100-123). ``drain``
+        waits for the in-flight micro-batch like the reference's
+        drain-timeout shutdown (R9, messaging/consumer.clj:210-228)."""
+        q = self.queries.pop(route_name, None)
+        if q is None:
+            return
+        if drain:
+            try:
+                q.processAllAvailable()
+            except Exception:
+                pass
+        q.stop()
+
+    def active_routes(self) -> list[str]:
+        return [name for name, q in self.queries.items() if q.isActive]
+
+    def stop_all(self, drain: bool = True) -> None:
+        for name in list(self.queries):
+            self.stop_route(name, drain=drain)
