@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ziggurat_spark.functions import texthash as TH
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.queries.similarity import _cosine
 from ziggurat_spark.tables import load_table
 
 N_HASHES = 8
@@ -230,5 +231,115 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("b"))
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates: SRP-LSH buckets + exact verify
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+SRP_P = 2_147_483_647  # 2^31 - 1; i * A_j stays far below 2^63
+SRP_BITS = 16
+SRP_BANDS = 4
+BITS_PER_BAND = SRP_BITS // SRP_BANDS
+#: Deterministic per-hyperplane multipliers (replicable in the oracle).
+SRP_A = [(j * 2_654_435_761 + 40_503) % SRP_P for j in range(1, SRP_BITS + 1)]
+COSINE_NEARDUP_THRESHOLD = 0.4
+
+
+def _srp_bit(col: str, j: int, engine: int) -> str:
+    """Sign bit of dot(embedding, hyperplane_j) where hyperplane_j is
+    the deterministic ±1 vector h[i] = sign((i * A_j) mod P - P/2).
+    Strict left fold in index order → bit-identical doubles on both
+    engines (same parity story as similarity._dot)."""
+    a = SRP_A[j]
+    sign = (
+        f"(CASE WHEN (CAST(i AS BIGINT) * {a}) % {SRP_P} < {SRP_P // 2} "
+        f"THEN -1.0 ELSE 1.0 END)"
+    )
+    if engine == 0:
+        return (
+            f"(aggregate(sequence(1, {EMB_DIM}), CAST(0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST(element_at({col}, i) AS DOUBLE) * {sign}) "
+            f">= CAST(0 AS DOUBLE))"
+        )
+    return (
+        f"(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CAST({col}[i] AS DOUBLE) * {sign})), "
+        f"(acc, v) -> acc + v) >= CAST(0 AS DOUBLE))"
+    )
+
+
+def _srp_bucket(col: str, band: int, engine: int) -> str:
+    """4 sign bits of one band packed into an INT bucket key."""
+    terms = [
+        f"(CASE WHEN {_srp_bit(col, band * BITS_PER_BAND + t, engine)} "
+        f"THEN {1 << (BITS_PER_BAND - 1 - t)} ELSE 0 END)"
+        for t in range(BITS_PER_BAND)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "x_embedding_neardup",
+    oracle=(
+        "WITH bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, "
+            f"{_srp_bucket('embedding', b, 1)} AS bucket FROM embeddings"
+            for b in range(SRP_BANDS)
+        )
+        + "), cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+        "FROM bands x JOIN bands y ON x.band = y.band "
+        "AND x.bucket = y.bucket AND x.vec_id < y.vec_id) "
+        "SELECT cand.a, cand.b, "
+        f"{_cosine('ea.embedding', 'eb.embedding', 1)} AS score "
+        "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a "
+        "JOIN embeddings eb ON eb.vec_id = cand.b "
+        f"WHERE {_cosine('ea.embedding', 'eb.embedding', 1)} "
+        f">= {COSINE_NEARDUP_THRESHOLD} ORDER BY a, b"
+    ),
+    doc=(
+        "Embedding near-dup pairs: random-hyperplane (SRP) LSH — 16 "
+        "deterministic sign bits, 4 bands of 4 — bucket join for "
+        "candidates, then exact cosine >= threshold (Charikar '02). "
+        "One pass to compute bits, a bucket-keyed shuffle for "
+        "candidates (never all-pairs), exact verify only on "
+        "candidates. Recall < 1 by construction; the oracle replicates "
+        "the identical banding so results hash-match."
+    ),
+    tags=("dedup", "similarity", "lsh"),
+)
+def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_srp_bucket('embedding', b, 0)})"
+        for b in range(SRP_BANDS)
+    )
+    bands = e.select(
+        "vec_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("score", F.expr(_cosine("e_a", "e_b", 0)))
+        .filter(F.col("score") >= COSINE_NEARDUP_THRESHOLD)
+        .select("a", "b", "score")
         .orderBy("a", "b")
     )
