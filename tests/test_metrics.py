@@ -1,0 +1,157 @@
+"""Observability parity — dual-namespace counters (metrics.clj:113-
+115), outcome counters (mapper.clj:56-65), read counter (streams.clj
+:45-54), delay histogram (kafka_delay.clj:5-13), failure path
+(mapper.clj:66-69), and the streaming listener."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ziggurat_spark.envelope import events_as_envelope
+from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+from ziggurat_spark.streaming.metrics import (
+    MetricsRegistry,
+    ZigguratQueryListener,
+)
+from ziggurat_spark.streaming.retry_fabric import RetryConfig
+from ziggurat_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+NOW = datetime(2024, 2, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+def handler(df):
+    k = F.col("k")
+    return df.withColumn(
+        "outcome",
+        F.when(k % 10 == 0, "retry")
+        .when(k % 10 == 1, "dead-letter")
+        .when(k % 10 == 2, "skip")
+        .otherwise("success"),
+    )
+
+
+def json_mw(df):
+    return df.withColumn(
+        "k", F.get_json_object(F.decode("value", "UTF-8"), "$.k").cast("int")
+    )
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return ZigguratEngine(spark, str(tmp_path / "work"), app_name="myapp")
+
+
+@pytest.fixture()
+def envelope_df(spark):
+    return events_as_envelope(load_table(spark, SF, "events"))
+
+
+def test_outcome_and_read_counters_dual_namespace(engine, envelope_df):
+    stats = engine.process_batch(
+        engine.routes.setdefault(
+            "events",
+            Route(
+                name="events",
+                source=lambda: None,
+                handler=handler,
+                middleware=(json_mw,),
+                retry=RetryConfig(max_attempts=2, timeout_ms=0),
+                oldest_processed_s=None,
+            ),
+        ),
+        envelope_df,
+        now=NOW,
+    )
+    m = engine.metrics
+    # fully-qualified AND bare namespaces, reference naming
+    assert m.counter("myapp.events.message.read") == stats.total == 1000
+    assert m.counter("message.read") == 1000
+    assert m.counter("myapp.events.message-processing.success") == stats.success
+    assert m.counter("message-processing.retry") == stats.retry
+    assert m.counter("myapp.events.message-processing.dead-letter") == (
+        stats.dead_letter
+    )
+    # delay histogram saw every routed record
+    h = m.histograms["myapp.events.message-received-delay-histogram"]
+    assert h.count == 1000
+    assert h.mean > 0  # NOW is after every 2024-01 event timestamp
+
+
+def test_failure_path_counts_and_requeues(engine, envelope_df):
+    def exploding(df):
+        return df.withColumn(
+            "outcome", F.when(F.col("value").isNotNull(), "success")
+        ).withColumn("boom", F.assert_true(F.length("topic") > 9000))
+
+    route = Route(
+        name="events",
+        source=lambda: None,
+        handler=exploding,
+        retry=RetryConfig(max_attempts=2, timeout_ms=0),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    with pytest.raises(Exception):
+        engine.process_batch(route, envelope_df.limit(10), now=NOW)
+    assert engine.metrics.counter("myapp.events.message-processing.failure") == 10
+    rt = engine.fabric.retry_table()
+    assert rt is not None and rt.count() == 10  # whole delivery re-enqueued
+
+
+def test_streaming_listener_records_progress(spark, engine, envelope_df, tmp_path):
+    src_dir = str(tmp_path / "src")
+    envelope_df.limit(100).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    route = Route(
+        name="listen",
+        source=lambda: spark.readStream.schema(schema).parquet(src_dir),
+        handler=handler,
+        middleware=(json_mw,),
+        retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    listener = ZigguratQueryListener(engine.metrics).attach(spark)
+    try:
+        q = engine.start_route("listen")
+        q.awaitTermination(120)
+        engine.stop_route("listen")
+        # listener events are delivered asynchronously
+        import time
+
+        deadline = time.time() + 30
+        while (
+            engine.metrics.counter("myapp.listen.streaming-query.input-rows") < 100
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        listener.detach()
+    assert engine.metrics.counter("myapp.listen.streaming-query.input-rows") == 100
+    assert engine.metrics.counter("myapp.listen.streaming-query.batches") >= 1
+
+
+def test_channel_metrics(engine, envelope_df):
+    route = Route(
+        name="events",
+        source=lambda: None,
+        handler=lambda df: df.withColumn(
+            "outcome",
+            F.when(F.col("k") % 10 == 3, "channel:audit").otherwise("success"),
+        ),
+        middleware=(json_mw,),
+        channels={"audit": lambda df: None},
+        retry=RetryConfig(max_attempts=2, timeout_ms=0),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    stats = engine.process_batch(route, envelope_df, now=NOW)
+    assert stats.channel > 0
+    assert (
+        engine.metrics.counter("myapp.events.audit.message-processing.success")
+        == stats.channel
+    )

@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.operators.routing import VALID_OUTCOMES
+from ziggurat_spark.streaming.metrics import (
+    DELAY_NS,
+    MESSAGE_PROCESSING,
+    MESSAGE_READ_NS,
+    MetricsRegistry,
+)
 from ziggurat_spark.streaming.retry_fabric import RetryConfig, RetryFabric
 
 #: T2 default: drop records older than 7 days (streams.clj:26).
@@ -80,13 +86,20 @@ class BatchStats:
 class ZigguratEngine:
     """Route registry + executor (start/stop/drain ≈ R9/R10)."""
 
-    def __init__(self, spark: SparkSession, workdir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        app_name: str = "ziggurat-spark",
+        metrics: MetricsRegistry | None = None,
+    ):
         self.spark = spark
         self.workdir = workdir
         self.fabric = RetryFabric(spark, workdir)
         self.routes: dict[str, Route] = {}
         self.queries: dict[str, object] = {}
         self.stats: list[BatchStats] = []
+        self.metrics = metrics or MetricsRegistry(service_name=app_name)
         os.makedirs(workdir, exist_ok=True)
 
     # -- registration ---------------------------------------------------
@@ -113,6 +126,10 @@ class ZigguratEngine:
         now = now or datetime.now(timezone.utc)
         stats = BatchStats(route=route.name, batch_id=batch_id)
 
+        # Persist the raw batch: total_in and the outcome pass would
+        # otherwise EACH rescan the source (2x read amplification per
+        # micro-batch — observed via numInputRows doubling).
+        batch = batch.persist()
         df = batch
         total_in = df.count()
         # T2 staleness filter, placed first (streams.clj:185-186);
@@ -124,6 +141,7 @@ class ZigguratEngine:
             # channels-style scale-out (doc/CONCEPTS.md:20-43): decouple
             # worker parallelism from source partition count.
             df = df.repartition(route.parallelism)
+        pre_middleware = df
         for mw in route.middleware:
             df = mw(df)
 
@@ -134,10 +152,33 @@ class ZigguratEngine:
             )
         out = out.persist()
         try:
-            counts = {
-                r["outcome"]: r["n"]
-                for r in out.groupBy("outcome").agg(F.count("*").alias("n")).collect()
-            }
+            # One pass tallies outcomes AND the consume-delay mean —
+            # the read counter (T10), delay histogram (kafka_delay.clj
+            # :5-13) and processing counters (mapper.clj:56-65) all
+            # come from this single aggregation, no per-record taps.
+            aggs = [F.count("*").alias("n")]
+            has_ts = route.timestamp_col in out.columns
+            if has_ts:
+                aggs.append(
+                    F.avg(
+                        F.lit(int(now.timestamp() * 1000))
+                        - F.unix_millis(F.col(route.timestamp_col))
+                    ).alias("delay_ms")
+                )
+            try:
+                rows = out.groupBy("outcome").agg(*aggs).collect()
+            except Exception:
+                # R1 catch-Throwable parity (mapper.clj:66-69): failure
+                # metric + the whole delivery goes back through retry.
+                self.metrics.inc(
+                    route.name, MESSAGE_PROCESSING, "failure", total_in
+                )
+                if route.retry.enabled:
+                    self.fabric.enqueue_retry(
+                        pre_middleware, route.name, route.retry, now=now
+                    )
+                raise
+            counts = {r["outcome"]: r["n"] for r in rows}
             unknown = [
                 o
                 for o in counts
@@ -155,6 +196,20 @@ class ZigguratEngine:
             stats.skip = counts.get("skip", 0)
             stats.retry = counts.get("retry", 0)
             stats.dead_letter = counts.get("dead-letter", 0)
+            self.metrics.inc(route.name, MESSAGE_READ_NS, "read", stats.total)
+            for metric in ("success", "skip", "retry", "dead-letter"):
+                self.metrics.inc(
+                    route.name,
+                    MESSAGE_PROCESSING,
+                    metric,
+                    counts.get(metric, 0),
+                )
+            if has_ts:
+                for r in rows:
+                    if r["delay_ms"] is not None:
+                        self.metrics.report_histogram(
+                            route.name, DELAY_NS, float(r["delay_ms"]), n=r["n"]
+                        )
 
             oc = F.col("outcome")
             if stats.retry:
@@ -173,6 +228,7 @@ class ZigguratEngine:
                     self._deliver_channel(route, ch, ch_rows, now)
         finally:
             out.unpersist()
+            batch.unpersist()
         stats.processing_s = time.perf_counter() - t0
         self.stats.append(stats)
         return stats
@@ -184,15 +240,21 @@ class ZigguratEngine:
         (Spark already decouples parallelism); failures take the
         channel retry path (mapper.clj:71-111)."""
         handler = route.channels[channel]
+        ns = f"{channel}.{MESSAGE_PROCESSING}"  # mapper.clj:76-86 naming
         try:
             result = handler(rows.drop("outcome"))
+            n_retry = 0
             if result is not None and "outcome" in result.columns:
                 retries = result.filter(F.col("outcome") == "retry")
-                if retries.isEmpty() is False:
+                n_retry = retries.count()
+                if n_retry:
                     self.fabric.enqueue_retry(
                         retries, route.name, route.retry, channel=channel, now=now
                     )
+            self.metrics.inc(route.name, ns, "retry", n_retry)
+            self.metrics.inc(route.name, ns, "success", rows.count() - n_retry)
         except Exception:
+            self.metrics.inc(route.name, ns, "failure", rows.count())
             self.fabric.enqueue_retry(
                 rows, route.name, route.retry, channel=channel, now=now
             )
@@ -228,9 +290,13 @@ class ZigguratEngine:
         def _for_each(batch_df: DataFrame, batch_id: int) -> None:
             self.process_batch(route, batch_df, batch_id=batch_id)
 
-        writer = src.writeStream.foreachBatch(_for_each).option(
-            "checkpointLocation",
-            os.path.join(self.workdir, "checkpoints", route_name),
+        writer = (
+            src.writeStream.queryName(route_name)
+            .foreachBatch(_for_each)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.workdir, "checkpoints", route_name),
+            )
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)

@@ -1,0 +1,153 @@
+"""Observability: ziggurat-parity metric namespaces + streaming listener.
+
+The reference reports every metric under TWO namespaces — the fully
+qualified `<service>.<topic-entity>.<ns>` and the bare `<ns>`
+(multi-ns-increment-count, metrics.clj:113-115, dot-joined by
+intercalate-dot metrics.clj:52-72). Names in play:
+
+- `message.read` counter per consumed record (streams.clj:45-54)
+- `message-processing.{success,retry,skip,dead-letter,failure}`
+  outcome counters (mapper.clj:28-69)
+- `message-received-delay-histogram` — consume lag in ms
+  (streams.clj:85-88 + kafka_delay.clj:5-13)
+- `stream-joins-message.read` / `stream-joins-...-delay-histogram`
+  for join sources (streams.clj:56-65, 90-93)
+
+Spark-first: batch-path tallies come free from the one
+`groupBy("outcome")` pass the engine already does (no per-record
+instrumentation — counters increment by N per micro-batch);
+streaming-path input/progress numbers come from a
+StreamingQueryListener. Histograms keep a bounded summary
+(count/sum/min/max), not raw samples — driver memory stays O(1) per
+metric name at any scale.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+MESSAGE_PROCESSING = "message-processing"
+MESSAGE_READ_NS = "message"
+DELAY_NS = "message-received-delay-histogram"
+
+
+@dataclass
+class HistogramSummary:
+    count: int = 0
+    total: float = 0.0
+    min: float = float("inf")
+    max: float = float("-inf")
+
+    def add(self, value: float, n: int = 1) -> None:
+        self.count += n
+        self.total += value * n
+        self.min = min(self.min, value)
+        self.max = max(self.max, value)
+
+    @property
+    def mean(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+
+@dataclass
+class MetricsRegistry:
+    """In-process metric store with the reference's dual-namespace
+    reporting convention. Thread-safe: foreachBatch callbacks and the
+    listener run on different threads."""
+
+    service_name: str = "ziggurat-spark"
+    counters: dict[str, int] = field(default_factory=dict)
+    histograms: dict[str, HistogramSummary] = field(default_factory=dict)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def _names(self, topic_entity: str, ns: str, metric: str | None) -> list[str]:
+        suffix = f".{metric}" if metric else ""
+        return [
+            f"{self.service_name}.{topic_entity}.{ns}{suffix}",
+            f"{ns}{suffix}",
+        ]
+
+    def inc(self, topic_entity: str, ns: str, metric: str, n: int = 1) -> None:
+        """multi-ns-increment-count (metrics.clj:113-115)."""
+        if n == 0:
+            return
+        with self._lock:
+            for name in self._names(topic_entity, ns, metric):
+                self.counters[name] = self.counters.get(name, 0) + n
+
+    def report_histogram(
+        self, topic_entity: str, ns: str, value: float, n: int = 1
+    ) -> None:
+        """multi-ns-report-histogram (kafka_delay.clj:5-13)."""
+        if n == 0:
+            return
+        with self._lock:
+            for name in self._names(topic_entity, ns, None):
+                self.histograms.setdefault(name, HistogramSummary()).add(value, n)
+
+    def counter(self, name: str) -> int:
+        return self.counters.get(name, 0)
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            out: dict[str, float] = dict(self.counters)
+            for name, h in self.histograms.items():
+                out[f"{name}.count"] = h.count
+                out[f"{name}.mean"] = h.mean
+            return out
+
+
+class ZigguratQueryListener(StreamingQueryListener):
+    """Streaming-side taps: per-query input rows, processing rate and
+    batch duration — the Spark spelling of the reference's reporter
+    state (metrics.clj:40-50). Attach with `attach()`; one listener
+    serves every route on the session."""
+
+    def __init__(self, registry: MetricsRegistry):
+        self.registry = registry
+        self._spark: SparkSession | None = None
+        self._seen: set[tuple[str, int]] = set()
+
+    def attach(self, spark: SparkSession) -> "ZigguratQueryListener":
+        spark.streams.addListener(self)
+        self._spark = spark
+        return self
+
+    def detach(self) -> None:
+        if self._spark is not None:
+            self._spark.streams.removeListener(self)
+            self._spark = None
+
+    # -- StreamingQueryListener interface ---------------------------------
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        # Spark re-emits the last batch's progress (e.g. on idle/stop);
+        # count each (query, batch) once.
+        key = (str(p.id), int(p.batchId))
+        if key in self._seen:
+            return
+        self._seen.add(key)
+        route = p.name or p.id
+        self.registry.inc(route, "streaming-query", "batches", 1)
+        self.registry.inc(
+            route, "streaming-query", "input-rows", int(p.numInputRows or 0)
+        )
+        duration = (p.durationMs or {}).get("triggerExecution")
+        if duration is not None:
+            self.registry.report_histogram(
+                route, "streaming-query.trigger-duration-ms", float(duration)
+            )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
