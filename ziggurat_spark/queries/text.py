@@ -206,9 +206,11 @@ def x_token_count(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "fingerprint"),
 )
 def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions.texthash_udfs import fingerprint_udf
+
     d = load_table(spark, sf, "documents")
     return d.select(
-        "doc_id", F.expr(TH.char_fingerprint("text")[0]).alias("fp")
+        "doc_id", fingerprint_udf()("text").alias("fp")
     ).orderBy("doc_id")
 
 
