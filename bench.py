@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
@@ -28,8 +30,16 @@ def main() -> None:
     spark = get_session(app_name="ziggurat_spark_bench")
     specs = all_queries()
 
-    # Warm the JVM/session so query 1 doesn't pay session startup.
+    # Warm the JVM/session AND the Python/Arrow worker pool so query 1
+    # doesn't pay session or UDF-worker startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(32).repartition(32).select(_warm("id")).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

@@ -96,3 +96,67 @@ def lsh_buckets_udf(k: int, bands: int, rows_per_band: int):
         return pd.Series(out)
 
     return buckets
+
+
+def dot64_udf(dim: int = 64):
+    """Exact-order dot product of two float arrays: sequential numpy
+    accumulation in index order == the oracle's left fold
+    (similarity._dot) — bit-identical doubles, vectorized per batch."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+        acc = np.zeros(A.shape[0])
+        for i in range(dim):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return dot
+
+
+def marker_counts_udf(marker_sets: tuple[tuple[str, ...], ...]):
+    """One tokenization pass counting hits per marker set (the SQL
+    spelling re-evaluates the tokenize chain once per language when
+    Catalyst collapses the projections)."""
+
+    @F.pandas_udf("array<int>")
+    def counts(text: pd.Series) -> pd.Series:
+        sets = [frozenset(m) for m in marker_sets]
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            ws = [w for w in t.lower().split(" ") if w]
+            out.append([sum(w in s for w in ws) for s in sets])
+        return pd.Series(out)
+
+    return counts
+
+
+def quality_counts_udf(long_min: int, stopwords: tuple[str, ...]):
+    """One tokenize pass emitting [n_words, long_words, stop_hits]
+    (the three independent size(filter(...)) spellings each re-run
+    tokenization and pay their own codegen compile)."""
+
+    @F.pandas_udf("array<bigint>")
+    def counts(text: pd.Series) -> pd.Series:
+        stops = frozenset(stopwords)
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            ws = [w for w in t.lower().split(" ") if w]
+            out.append(
+                [
+                    len(ws),
+                    sum(len(w) >= long_min for w in ws),
+                    sum(w in stops for w in ws),
+                ]
+            )
+        return pd.Series(out)
+
+    return counts

@@ -368,19 +368,14 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             buckets[:, b] = w
         return pd.Series(list(buckets))
 
-    @F.pandas_udf("double")
-    def dot64(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
-        B = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
-        acc = np.zeros(A.shape[0])
-        for i in range(EMB_DIM):  # index order = the oracle's fold order
-            acc = acc + A[:, i] * B[:, i]
-        return pd.Series(acc)
-
+    dot64 = THU.dot64_udf(EMB_DIM)
     e = load_table(spark, sf, "embeddings")
+    # Materialize the (tiny: n_vectors x 2 ints) bucket table once —
+    # the self-join would otherwise run the projection UDF on BOTH
+    # branches, and the norm projection again on both verify joins.
     bands = e.select(
         "vec_id", F.posexplode(srp_buckets("embedding")).alias("band", "bucket")
-    )
+    ).localCheckpoint(eager=False)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -396,7 +391,7 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "embedding",
         F.sqrt(dot64("embedding", "embedding")).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
     ea = n.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("e_a"),

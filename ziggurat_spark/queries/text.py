@@ -100,13 +100,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     tags=("text", "langid"),
 )
 def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    d = d.withColumn("words", F.expr(TH.tokens("text")[0]))
-    for lang, ms in LANG_MARKERS.items():
-        in_list = ", ".join(f"'{m}'" for m in ms)
-        d = d.withColumn(
-            f"s_{lang}", F.expr(f"size(filter(words, w -> w IN ({in_list})))")
-        )
+    from ziggurat_spark.functions.texthash_udfs import marker_counts_udf
+
+    # One vectorized tokenize+count pass; the SQL spelling re-runs the
+    # tokenize chain per language once Catalyst collapses projections.
+    mc = marker_counts_udf(tuple(tuple(ms) for ms in LANG_MARKERS.values()))
+    d = load_table(spark, sf, "documents").withColumn("mcounts", mc("text"))
+    for i, lang in enumerate(LANG_MARKERS):
+        d = d.withColumn(f"s_{lang}", F.element_at("mcounts", i + 1))
     pred = (
         F.when(
             (F.col("s_de") >= F.col("s_en"))
@@ -144,25 +145,21 @@ def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    d = d.withColumn("words", F.expr(TH.tokens("text")[0])).filter(
-        F.expr("size(words) > 0")
+    from ziggurat_spark.functions.texthash_udfs import quality_counts_udf
+
+    qc = quality_counts_udf(6, ("the", "a", "of", "and", "to"))
+    d = (
+        load_table(spark, sf, "documents")
+        .withColumn("qc", qc("text"))
+        .filter(F.element_at("qc", 1) > 0)
     )
+    n_words = F.element_at("qc", 1)
     return d.select(
         "doc_id",
-        F.expr("size(words)").cast("long").alias("n_words"),
-        (F.col("n_chars").cast("double") / F.expr("size(words)")).alias(
-            "avg_word_len"
-        ),
-        F.expr("size(filter(words, w -> length(w) >= 6))")
-        .cast("long")
-        .alias("long_words"),
-        (
-            F.expr(
-                "size(filter(words, w -> w IN ('the','a','of','and','to')))"
-            ).cast("double")
-            / F.expr("size(words)")
-        ).alias("stopword_ratio"),
+        n_words.alias("n_words"),
+        (F.col("n_chars").cast("double") / n_words).alias("avg_word_len"),
+        F.element_at("qc", 2).alias("long_words"),
+        (F.element_at("qc", 3).cast("double") / n_words).alias("stopword_ratio"),
     ).orderBy("doc_id")
 
 
