@@ -81,3 +81,19 @@ def test_pair_middleware_applies_per_side(spark):
     row = mw(joined).collect()[0]
     assert row.left.payload.k == 10
     assert row.right.payload.k == 20
+
+
+def test_protobuf_middleware_gated(spark):
+    """T4/T7: the proto middleware builds (pyspark.sql.protobuf ships
+    with pyspark) but THIS environment has no spark-protobuf jar, no
+    protoc, and no python protobuf — execution must fail with a clear
+    error, never silently wrong data. On a real cluster the same
+    middleware runs unchanged with the jar + a descriptor file."""
+    import pytest as _pytest
+
+    from ziggurat_spark.functions.middleware import protobuf_value
+
+    mw = protobuf_value("Person", "/tmp/person.desc")
+    df = spark.createDataFrame([(b"\x08\x01",)], "value binary")
+    with _pytest.raises(Exception):
+        mw(df).collect()

@@ -1,0 +1,75 @@
+"""Plan-quality pins for the headline queries: the properties that
+decide 100 TB viability, asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from ziggurat_spark.plans import (
+    broadcast_join_count,
+    has_cartesian_product,
+    pushed_filters,
+    scan_read_schemas,
+)
+from ziggurat_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+def q(specs, name, spark):
+    return specs[name].spark(spark, SF)
+
+
+def test_projection_prunes_scan(spark, specs):
+    """Z01: a 3-column projection must read 3 columns, not 6."""
+    schemas = scan_read_schemas(q(specs, "z01_scan_project", spark))
+    assert len(schemas) == 1
+    assert schemas[0].count(":") == 3  # event_id, event_type, value
+    assert "props" not in schemas[0]
+
+
+def test_filters_push_to_scan(spark, specs):
+    """Z03: both conjuncts reach the parquet reader."""
+    pf = pushed_filters(q(specs, "z03_predicate_combo", spark))
+    assert any("event_type" in f and "EqualTo" in f for f in pf)
+    assert any("value" in f and "GreaterThan" in f for f in pf)
+
+
+def test_staleness_filter_pushes(spark, specs):
+    """Z02 (T2): the staleness horizon is a scan-level predicate —
+    at 100 TB this is the difference between reading 7 days and
+    reading everything."""
+    pf = pushed_filters(q(specs, "z02_staleness_filter", spark))
+    assert any("ts" in f for f in pf)
+
+
+def test_dim_join_broadcasts(spark, specs):
+    """Z10: customer is the small side — broadcast, not shuffle."""
+    df = q(specs, "z10_equi_inner_join", spark)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_multiway_join_broadcasts_dims(spark, specs):
+    """Z15: region/nation are tiny — the chain must broadcast them."""
+    df = q(specs, "z15_multiway_join_chain", spark)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_no_cartesian_in_lsh_joins(spark, specs):
+    """The dedup candidate joins are equi-joins on (band, bucket) —
+    never an all-pairs cartesian."""
+    for name in ("x_minhash_lsh_pairs", "x_embedding_neardup"):
+        assert not has_cartesian_product(q(specs, name, spark)), name
+
+
+def test_windowed_self_join_is_equi(spark, specs):
+    """Z11 (J1): the band predicate must ride an equi-join on
+    user_id, not a nested-loop over all pairs."""
+    df = q(specs, "z11_windowed_self_join", spark)
+    assert not has_cartesian_product(df)
