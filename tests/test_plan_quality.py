@@ -73,3 +73,25 @@ def test_windowed_self_join_is_equi(spark, specs):
     user_id, not a nested-loop over all pairs."""
     df = q(specs, "z11_windowed_self_join", spark)
     assert not has_cartesian_product(df)
+
+
+def test_pricing_summary_scan_shape(spark, specs):
+    """x_pricing_summary: the shipdate predicate reaches the scan and
+    only the 7 needed columns are read (of 11)."""
+    df = q(specs, "x_pricing_summary", spark)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1 and schemas[0].count(":") == 7
+
+
+def test_shipping_priority_broadcasts_dim(spark, specs):
+    """x_shipping_priority: the filtered customer dim broadcasts; both
+    date filters push to their scans; no cartesian."""
+    df = q(specs, "x_shipping_priority", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+    pf = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pf)
+    assert any("l_shipdate" in f for f in pf)
+    assert any("c_mktsegment" in f for f in pf)

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         envelope,
         joins,
+        pricing,
         routing,
         setops,
         similarity,
