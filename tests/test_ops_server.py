@@ -1,0 +1,128 @@
+"""HTTP ops surface — endpoint parity with server/routes.clj:18-23
+and the dead-set resource validation (resource/dead_set.clj:40-94),
+driven over real HTTP against a live engine."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from ziggurat_spark.envelope import events_as_envelope
+from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+from ziggurat_spark.streaming.ops_server import OpsServer
+from ziggurat_spark.streaming.retry_fabric import RetryConfig
+from ziggurat_spark.tables import load_table
+
+NOW = datetime(2024, 2, 1, tzinfo=timezone.utc)
+
+
+def call(port: int, method: str, path: str):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    engine = ZigguratEngine(spark, str(tmp_path / "work"))
+    route = Route(
+        name="events",
+        source=lambda: None,
+        handler=lambda df: df.withColumn(
+            "outcome",
+            F.when(F.col("k") % 2 == 0, "dead-letter").otherwise("success"),
+        ),
+        middleware=(
+            lambda df: df.withColumn(
+                "k",
+                F.get_json_object(F.decode("value", "UTF-8"), "$.k").cast("int"),
+            ),
+        ),
+        retry=RetryConfig(max_attempts=2, timeout_ms=0),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    env = events_as_envelope(load_table(spark, "/root/testdata/sf0.001", "events"))
+    engine.process_batch(route, env.limit(40), now=NOW)
+    assert engine.fabric.dead_set_table() is not None
+    server = OpsServer(engine).start()
+    yield engine, server
+    server.stop()
+
+
+def test_ping(served):
+    _, server = served
+    assert call(server.port, "GET", "/ping") == (200, "pong")
+
+
+def test_dead_set_view(served):
+    engine, server = served
+    dead = engine.fabric.dead_set_table().count()
+    status, body = call(
+        server.port, "GET", f"/v1/dead_set?count=5&topic-entity=events"
+    )
+    assert status == 200
+    msgs = json.loads(body)["messages"]
+    assert len(msgs) == min(5, dead)
+    assert all(m["route"] == "events" for m in msgs)
+
+
+def test_dead_set_validation(served):
+    _, server = served
+    assert call(server.port, "GET", "/v1/dead_set?count=0&topic-entity=events")[0] == 400
+    assert call(server.port, "GET", "/v1/dead_set?count=x&topic-entity=events")[0] == 400
+    assert call(server.port, "GET", "/v1/dead_set?count=3&topic-entity=nope")[0] == 400
+    assert call(server.port, "GET", "/v1/nothing")[0] == 404
+
+
+def test_dead_set_delete_async(served):
+    engine, server = served
+    before = engine.fabric.dead_set_table().count()
+    status, body = call(
+        server.port, "DELETE", f"/v1/dead_set?count=2&topic-entity=events"
+    )
+    assert status == 200 and "triggered" in json.loads(body)["message"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        t = engine.fabric.dead_set_table()
+        if t is not None and t.count() == before - 2:
+            break
+        time.sleep(0.5)
+    assert engine.fabric.dead_set_table().count() == before - 2
+
+
+def test_dead_set_replay_async(served):
+    """Replayed messages go back through the handler; this handler
+    dead-letters them again, so the count returns to its start —
+    what matters is the pipeline ran (attempt reset + redispatch)."""
+    engine, server = served
+    before = engine.fabric.dead_set_table().count()
+    stats_before = len(engine.stats)
+    status, _ = call(
+        server.port, "POST", f"/v1/dead_set/replay?count=3&topic-entity=events"
+    )
+    assert status == 200
+    # the directory is swapped by the background replay; tolerate
+    # transient read failures while polling
+    deadline = time.time() + 60
+    final = -1
+    while time.time() < deadline:
+        try:
+            if len(engine.stats) > stats_before:
+                t = engine.fabric.dead_set_table()
+                final = 0 if t is None else t.count()
+                if final == before:
+                    break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    assert len(engine.stats) > stats_before  # replay batch processed
+    assert final == before

@@ -1,0 +1,193 @@
+"""HTTP ops server — ping + dead-set view/replay/delete.
+
+Endpoint parity with the reference's Jetty server (server.clj:28-48;
+routes server/routes.clj:18-23; handlers resource/dead_set.clj:40-94):
+
+    GET    /ping                    → 200 "pong"
+    GET    /v1/dead_set?count=N&topic-entity=R[&channel=C]  → messages
+    POST   /v1/dead_set/replay?...  → triggers replay (async, like the
+                                      reference's `future`)
+    DELETE /v1/dead_set?...         → triggers delete (async)
+
+Validation parity: count must be a positive integer (parse-count /
+validate-count, dead_set.clj:17-30), the topic-entity must name a
+registered route, and a disabled retry fabric answers 404
+(retry-allowed? → not-found-for-retry).
+
+Implementation: stdlib ThreadingHTTPServer — the ops plane is a
+driver-side convenience, never on the data path, so no web framework
+is warranted. Replay/delete run on a worker thread (parity with the
+reference's `future`) and serialize through a lock because they
+rewrite the dead-set directory.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ziggurat_spark.streaming.engine import ZigguratEngine
+
+
+class OpsServer:
+    """Lifecycle wrapper: serve_forever on a daemon thread."""
+
+    def __init__(self, engine: ZigguratEngine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._ds_lock = threading.Lock()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "OpsServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="zs-ops-server"
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # -- dead-set operations (run under the lock) -----------------------
+
+    def view(self, route: str, n: int) -> list[dict]:
+        rows = self.engine.fabric.dead_set_view(route, n).collect()
+        return [
+            {k: _jsonable(v) for k, v in r.asDict().items()} for r in rows
+        ]
+
+    def replay(self, route: str, n: int) -> None:
+        with self._ds_lock:
+            self.engine.fabric.dead_set_replay(
+                route,
+                n,
+                lambda env: self.engine.process_batch(
+                    self.engine.routes[route],
+                    env,
+                    batch_id=-3,
+                    now=datetime.now(timezone.utc),
+                ),
+            )
+
+    def delete(self, route: str, n: int) -> None:
+        with self._ds_lock:
+            self.engine.fabric.dead_set_delete(route, n)
+
+
+def _jsonable(v):
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _make_handler(ops: OpsServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *_a) -> None:  # quiet
+            pass
+
+        def _send(self, status: int, body, content_type="application/json"):
+            data = (
+                body.encode()
+                if isinstance(body, str)
+                else json.dumps(body).encode()
+            )
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _dead_set_params(self):
+            """Shared validation (dead_set.clj:17-38): positive count,
+            registered route, retry enabled."""
+            q = parse_qs(urlparse(self.path).query)
+            route = (q.get("topic-entity") or [None])[0]
+            raw = (q.get("count") or [""])[0]
+            try:
+                n = int(raw)
+                if n <= 0:
+                    raise ValueError
+            except ValueError:
+                self._send(400, {"error": "Count should be positive integer"})
+                return None
+            if route is None or route not in ops.engine.routes:
+                self._send(
+                    400,
+                    {
+                        "error": (
+                            "Topic entity/channel should be provided and "
+                            "must be present in stream routes"
+                        )
+                    },
+                )
+                return None
+            if not ops.engine.routes[route].retry.enabled:
+                self._send(404, {"error": "Retry is not enabled"})
+                return None
+            return route, n
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            path = urlparse(self.path).path
+            if path == "/ping":
+                self._send(200, "pong", content_type="text/plain")
+                return
+            if path == "/v1/dead_set":
+                params = self._dead_set_params()
+                if params:
+                    route, n = params
+                    self._send(200, {"messages": ops.view(route, n)})
+                return
+            self._send(404, "")
+
+        def do_POST(self) -> None:  # noqa: N802
+            if urlparse(self.path).path == "/v1/dead_set/replay":
+                params = self._dead_set_params()
+                if params:
+                    route, n = params
+                    threading.Thread(
+                        target=ops.replay, args=(route, n), daemon=True
+                    ).start()
+                    self._send(
+                        200,
+                        {
+                            "message": (
+                                "Replay has been triggered. "
+                                "Please check after some time"
+                            )
+                        },
+                    )
+                return
+            self._send(404, "")
+
+        def do_DELETE(self) -> None:  # noqa: N802
+            if urlparse(self.path).path == "/v1/dead_set":
+                params = self._dead_set_params()
+                if params:
+                    route, n = params
+                    threading.Thread(
+                        target=ops.delete, args=(route, n), daemon=True
+                    ).start()
+                    self._send(
+                        200,
+                        {
+                            "message": (
+                                "Delete has been triggered. "
+                                "Please check after some time"
+                            )
+                        },
+                    )
+                return
+            self._send(404, "")
+
+    return Handler

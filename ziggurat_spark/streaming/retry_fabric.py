@@ -289,14 +289,20 @@ class RetryFabric:
         )
         remainder = t.exceptAll(chosen).persist()
         remainder.count()
+        replay_env = replay_env.persist()
+        replay_env.count()
         try:
-            process(replay_env)
+            # Swap FIRST, deliver after (same ordering as pump()): the
+            # handler may dead-letter replayed rows straight back into
+            # this directory, and a later swap would wipe them.
             self._replace(
                 remainder if remainder.isEmpty() is False else None, self.dead_dir
             )
+            process(replay_env)
         finally:
             chosen.unpersist()
             remainder.unpersist()
+            replay_env.unpersist()
         return k
 
     def dead_set_delete(self, route: str, n: int) -> int:
