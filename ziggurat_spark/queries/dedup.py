@@ -137,11 +137,19 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Arrow-vectorized bucket keys; a NULL signature yields a NULL
     # array which posexplode skips — same rows as the oracle's
     # `bucket IS NOT NULL` filter.
-    bands = load_table(spark, sf, "documents").select(
-        "doc_id",
-        F.posexplode(
-            THU.lsh_buckets_udf(MINHASH_SHINGLE_K, BANDS, ROWS_PER_BAND)("text")
-        ).alias("band", "bucket"),
+    bands = (
+        load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                THU.lsh_buckets_udf(MINHASH_SHINGLE_K, BANDS, ROWS_PER_BAND)(
+                    "text"
+                )
+            ).alias("band", "bucket"),
+        )
+        # materialize once: the self-join would run the signature UDF
+        # (tokenize + hash the whole corpus) on BOTH branches
+        .localCheckpoint(eager=False)
     )
     a = bands.alias("a")
     b = bands.alias("b")
