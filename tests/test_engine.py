@@ -181,3 +181,45 @@ def test_streaming_checkpoint_no_reprocess(spark, engine, envelope_df, tmp_path)
     engine.stop_route("cp")
     second = sum(s.total for s in engine.stats if s.route == "cp")
     assert second == 100  # nothing new → no second delivery
+
+
+def test_kill_midstream_and_restart_no_loss(spark, engine, envelope_df, tmp_path):
+    """SURVEY §5.2.4 at-least-once: stop the query partway through the
+    backlog (maxFilesPerTrigger=1 over many files), restart from the
+    same checkpoint, and verify every record is delivered exactly once
+    across the two runs (checkpointed offsets: no loss AND no dupes on
+    clean stop)."""
+    src_dir = str(tmp_path / "kill_src")
+    envelope_df.limit(300).repartition(6).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    route = Route(
+        name="kill",
+        source=lambda: spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir),
+        handler=dispatch_handler,
+        middleware=(json_middleware,),
+        retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    q = engine.start_route("kill", trigger_available_now=False,
+                           processing_time="0 seconds")
+    # let it chew part of the backlog, then stop mid-stream
+    deadline = __import__("time").time() + 120
+    while (
+        sum(s.total for s in engine.stats if s.route == "kill") == 0
+        and __import__("time").time() < deadline
+    ):
+        __import__("time").sleep(0.2)
+    engine.stop_route("kill", drain=True)
+    first = sum(s.total for s in engine.stats if s.route == "kill")
+    assert first > 0
+
+    # restart against the same checkpoint; availableNow drains the rest
+    q = engine.start_route("kill")
+    q.awaitTermination(120)
+    engine.stop_route("kill")
+    total = sum(s.total for s in engine.stats if s.route == "kill")
+    assert total == 300
