@@ -1,0 +1,69 @@
+"""As-of (backward) join — a relational operator Spark lacks natively.
+
+No reference counterpart (its only joins are the windowed stream
+joins J1-J4, streams.clj:134-179); this is the capability-superset
+operator every event-time pipeline eventually needs: for each left
+row, the latest right row with the same key whose timestamp is at or
+before the left timestamp.
+
+Spark-first implementation (SURVEY §7.2 tier (a): composition of
+built-ins): tag and union both sides, then one window pass per key
+ordered by (ts, tag) taking the last non-null right payload — rights
+sort before lefts at equal timestamps, so the match is inclusive.
+
+Scale shape: ONE shuffle on the key and ONE sort — state and output
+are O(input), with no join fan-out. The naive spelling (theta-join
+on ts <= ts, then max per left row) explodes to O(lefts x rights)
+within each key group; this one never materializes pairs.
+
+Determinism: if the right side can hold multiple rows per
+(key, timestamp), pre-dedupe it (the operator takes the last one in
+(timestamp) order within the window pass, which is not a total
+order) — the oracle-checked query dedupes explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the matched right
+    columns (NULL when the key has no right row at or before the
+    left timestamp). ``right_cols`` defaults to right's non-key,
+    non-timestamp columns."""
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    r_part = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
+        ).alias("_r"),
+    )
+    l_part = left.select(
+        *left.columns, F.col(left_ts).alias("_ats"), F.lit(1).alias("_tag")
+    )
+    u = l_part.unionByName(r_part, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_ats", "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    return matched.filter(F.col("_tag") == 1).select(
+        *left.columns,
+        *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
+        *[F.col(f"_m.{c}").alias(c) for c in rcols],
+    )

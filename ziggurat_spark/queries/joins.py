@@ -181,3 +181,42 @@ def z15(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("suppliers"))
         .orderBy("r_name", "n_name")
     )
+
+
+@register(
+    "x_asof_join",
+    oracle=(
+        "WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS "
+        "o_orderkey FROM orders GROUP BY 1, 2) "
+        "SELECT e.event_id, od.o_orderdate AS asof_o_orderdate, od.o_orderkey "
+        "FROM events e ASOF LEFT JOIN od "
+        "ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate "
+        "ORDER BY e.event_id LIMIT 5000"
+    ),
+    doc=(
+        "Backward as-of join (operators/asof.py): each event matched "
+        "to the user's latest order at or before the event time — "
+        "one shuffle + one sort, no join fan-out (the naive theta-"
+        "join explodes O(lefts x rights) per key). Right side deduped "
+        "per (key, ts) for determinism; DuckDB's native ASOF JOIN is "
+        "the oracle."
+    ),
+    tags=("join", "asof"),
+)
+def x_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    od = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_backward(
+        e, od, on=["user_id"], left_ts="ts", right_ts="o_orderdate"
+    )
+    return (
+        out.select("event_id", "asof_o_orderdate", "o_orderkey")
+        .orderBy("event_id")
+        .limit(5000)
+    )
