@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # stays cheap and circular imports are impossible.
     from ziggurat_spark.queries import (  # noqa: F401
         aggs,
+        analytics,
         dedup,
         envelope,
         joins,
