@@ -218,6 +218,11 @@ JACCARD_THRESHOLD = 0.35
     tags=("dedup", "jaccard"),
 )
 def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf).orderBy("a", "b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered (a, b, jaccard) pairs above JACCARD_THRESHOLD."""
     d = load_table(spark, sf, "documents").select(
         "doc_id", THU.shingles_udf(JACCARD_SHINGLE_K)("text").alias("sh")
     )
@@ -238,7 +243,6 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("b"))
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("a", "b")
     )
 
 
@@ -419,3 +423,94 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         .select("a", "b", "score")
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+#: Near-dup graphs have tiny diameters (clusters are quasi-cliques);
+#: propagation converges in a handful of rounds. The loop breaks on
+#: convergence — this cap only bounds a pathological chain graph.
+CC_MAX_ITERS = 15
+
+
+@register(
+    "x_dedup_components",
+    oracle=(
+        _duck_shingle_cte(JACCARD_SHINGLE_K).replace(
+            "WITH ", "WITH RECURSIVE ", 1
+        )
+        + ", ex AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+        "  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id), "
+        "pairs AS (SELECT inter.a, inter.b "
+        "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
+        "  JOIN sizes sb ON sb.doc_id = inter.b "
+        f"  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
+        "edges AS (SELECT a AS s, b AS t FROM pairs "
+        "  UNION ALL SELECT b AS s, a AS t FROM pairs), "
+        "reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents "
+        "  UNION "
+        "  SELECT e.t AS id, r.comp FROM reach r JOIN edges e ON e.s = r.id) "
+        "SELECT id AS doc_id, min(comp) AS component, "
+        "min(comp) = id AS is_keeper "
+        "FROM reach GROUP BY id ORDER BY doc_id"
+    ),
+    doc=(
+        "Duplicate clustering: connected components over the exact "
+        "word-5-gram Jaccard pair graph (the step that turns pairwise "
+        "near-dup matches into keep/drop groups). Spark side is "
+        "iterative min-label propagation — per round one join keyed "
+        "on the node id plus one min-aggregate, both distributed, "
+        "lineage cut with an eager localCheckpoint so the plan stays "
+        "O(1) deep. Rounds = graph diameter, tiny for near-dup "
+        "quasi-cliques; at 100 TB swap the propagation loop for "
+        "alternating large-star/small-star (Kiveris '14 MapReduce CC) "
+        "— same per-round shape, O(log n) rounds. component = min "
+        "doc_id of the cluster; is_keeper marks the row dedup keeps. "
+        "Oracle is a DuckDB recursive CTE over the same pair graph."
+    ),
+    tags=("dedup", "jaccard", "clustering", "iterative"),
+)
+def x_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _jaccard_pairs(spark, sf).select("a", "b")
+    # Materialize the edge list once: every propagation round reuses
+    # it, and without the checkpoint each round would re-run the
+    # whole shingle/join pipeline (and double the lineage depth).
+    edges = (
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .union(pairs.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        load_table(spark, sf, "documents")
+        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        msgs = edges.join(comp, edges.s == comp.id).select(
+            F.col("t").alias("id"), F.col("comp")
+        )
+        new = (
+            comp.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("c"), F.col("n.id") == F.col("c.id"))
+            .filter(F.col("n.comp") != F.col("c.comp"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("id")).alias("is_keeper"),
+    ).orderBy("doc_id")

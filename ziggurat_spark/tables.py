@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,40 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     if _EXCLUDED_RULES not in existing:
         merged = f"{existing},{_EXCLUDED_RULES}" if existing else _EXCLUDED_RULES
         spark.conf.set("spark.sql.optimizer.excludedRules", merged)
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``ziggurat_spark`` importable in executor Python workers.
+
+    Cloudpickled UDFs reference this package by name; workers don't
+    inherit the driver's sys.path, so a caller running from any cwd
+    other than the repo root would hit ModuleNotFoundError in the
+    worker. addPyFile ships a zip of the package to every worker —
+    the same mechanism that ships app code to a real cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ziggurat_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import ziggurat_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ziggurat_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ziggurat_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._ziggurat_spark_shipped = True
 
 
 @lru_cache(maxsize=256)
