@@ -131,3 +131,41 @@ def z19(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "x_grouping_sets",
+    oracle=(
+        "SELECT coalesce(event_type, '<all>') AS event_type, "
+        "coalesce(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), "
+        "'<all>') AS d, count(*) AS n, CAST(sum(CAST(round(value * 100) AS "
+        "BIGINT)) AS BIGINT) AS sv100 FROM events "
+        "GROUP BY GROUPING SETS ((event_type), "
+        "(CAST(date_trunc('day', ts) AS DATE)), ()) "
+        "ORDER BY 1, 2, 3"
+    ),
+    doc=(
+        "Arbitrary GROUPING SETS (per-type, per-day, grand total — "
+        "NOT a rollup hierarchy). Spark plans one Expand node feeding "
+        "one partial-agg shuffle: each input row is replicated once "
+        "per grouping set map-side, so the shuffle carries "
+        "sets × groups rows, not sets × input. value summed in exact "
+        "integer hundredths."
+    ),
+    tags=("agg",),
+)
+def x_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d0"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    e.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        "SELECT coalesce(event_type, '<all>') AS event_type, "
+        "coalesce(CAST(d0 AS STRING), '<all>') AS d, "
+        "count(*) AS n, sum(v100) AS sv100 "
+        "FROM _gs_events "
+        "GROUP BY GROUPING SETS ((event_type), (d0), ()) "
+        "ORDER BY 1, 2, 3"
+    )

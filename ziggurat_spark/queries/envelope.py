@@ -92,16 +92,24 @@ def z04(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "z05_date_fns",
     oracle=(
-        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n "
-        "FROM events GROUP BY 1 ORDER BY 1"
+        "SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS d, "
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
     ),
-    doc="Event-time bucketing by day (the batch analogue of a tumbling window).",
+    doc=(
+        "Event-time bucketing by day (the batch analogue of a tumbling "
+        "window). The day key is emitted as its ISO string so both "
+        "engines hand pandas the identical dtype (pandas has no date "
+        "dtype — DuckDB DATE round-trips as datetime64, Spark DATE as "
+        "object — which would hash differently driver-side)."
+    ),
     tags=("envelope", "time"),
 )
 def z05(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
     return (
-        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").cast("string").alias("d")
+        )
         .agg(F.count("*").alias("n"))
         .orderBy("d")
     )

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         setops,
         similarity,
         text,
+        tpch_more,
         windows,
     )
 

@@ -233,3 +233,30 @@ def x_binary_plumbing(spark: SparkSession, sf: str) -> DataFrame:
         F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("nbytes"),
         F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x_word_count",
+    oracle=(
+        "SELECT w AS word, count(*) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w ORDER BY n DESC, word"
+    ),
+    doc=(
+        "Tokenize → explode → count: the canonical corpus-frequency "
+        "pass (the UDTF-shaped operation — one row in, N out). "
+        "split/explode are JVM-side generators inside codegen; the "
+        "agg is map-side combined so the shuffle carries one row per "
+        "(partition × distinct word), independent of corpus size."
+    ),
+    tags=("text", "udtf"),
+)
+def x_word_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+    )

@@ -108,3 +108,40 @@ def z23(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("value").desc(), "event_id")
         .limit(100)
     )
+
+
+@register(
+    "x_window_analytics",
+    oracle=(
+        "SELECT event_id, "
+        "ntile(4) OVER w AS quartile, "
+        "percent_rank() OVER w AS pr, "
+        "dense_rank() OVER w AS dr, "
+        "first_value(event_id) OVER w AS first_id "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Analytic-function pack: ntile/percent_rank/dense_rank/"
+        "first_value share ONE window spec, so Catalyst plans a "
+        "single exchange + sort for all four. percent_rank's "
+        "(rank-1)/(n-1) is a fixed IEEE expression — identical "
+        "across engines. Same single-shuffle scale shape as Z20."
+    ),
+    tags=("window",),
+)
+def x_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.dense_rank().over(w).alias("dr"),
+            F.first("event_id").over(w).alias("first_id"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
