@@ -95,3 +95,92 @@ def test_shipping_priority_broadcasts_dim(spark, specs):
     assert any("o_orderdate" in f for f in pf)
     assert any("l_shipdate" in f for f in pf)
     assert any("c_mktsegment" in f for f in pf)
+
+
+def test_revenue_forecast_scan_shape(spark, specs):
+    """x_revenue_forecast (Q6): every predicate reaches the parquet
+    reader and only the 4 needed lineitem columns are read of 11 —
+    at 100 TB this plan reads row-group-pruned slices of 4 columns."""
+    df = q(specs, "x_revenue_forecast", spark)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf)
+    assert any("l_quantity" in f for f in pf)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1 and schemas[0].count(":") == 4
+
+
+def test_promo_effect_broadcasts_part(spark, specs):
+    """x_promo_effect (Q14): part is a broadcast dim; the month
+    filter pushes to the lineitem scan — the fact side never
+    shuffles."""
+    df = q(specs, "x_promo_effect", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_top_supplier_no_global_window(spark, specs):
+    """x_top_supplier (Q15): the max-revenue equality must be a
+    broadcast 1-row aggregate, not a single-partition global window
+    (which would serialize all suppliers through one task)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_top_supplier", spark)
+    assert broadcast_join_count(df) >= 2
+    assert "Window" not in formatted_plan(df)
+
+
+def test_volume_shipping_broadcasts_dims(spark, specs):
+    """x_volume_shipping (Q7): customer/supplier/nation sides all
+    broadcast; the only big shuffle is the lineitem ⋈ orders join."""
+    df = q(specs, "x_volume_shipping", spark)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_large_volume_customer_broadcasts(spark, specs):
+    """x_large_volume_customer (Q18): the qualifying-order set and
+    the customer dim broadcast into the fact join."""
+    df = q(specs, "x_large_volume_customer", spark)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_disjunctive_join_broadcasts(spark, specs):
+    """x_disjunctive_join (Q19): the OR-of-ANDs evaluates stream-side
+    over a broadcast part — zero fact-table shuffle before the agg."""
+    df = q(specs, "x_disjunctive_join", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_word_count_prunes_to_text(spark, specs):
+    """x_word_count: the documents scan reads ONLY the text column."""
+    schemas = scan_read_schemas(q(specs, "x_word_count", spark))
+    assert len(schemas) == 1 and schemas[0].count(":") == 1
+    assert "text" in schemas[0]
+
+
+def test_window_analytics_single_window(spark, specs):
+    """x_window_analytics: ntile/percent_rank/dense_rank/first_value
+    share one window spec → exactly one Window node (one exchange,
+    one sort) in the physical plan."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_window_analytics", spark))
+    assert plan.count("(1) Window") + plan.count(" Window\n") >= 1
+    import re
+
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1
+
+
+def test_grouping_sets_single_expand(spark, specs):
+    """x_grouping_sets: one Expand node feeding one partial agg —
+    NOT a union of three separate groupBys (3 scans, 3 shuffles)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(q(specs, "x_grouping_sets", spark))
+    assert len(re.findall(r"\n\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1
