@@ -46,3 +46,24 @@ def test_left_rows_always_preserved(spark, sides):
     out = asof_join_backward(left, right, ["k"], "t", "t")
     assert out.count() == left.count()
     assert set(out.columns) == {"k", "t", "lv", "asof_t", "rv"}
+
+
+def test_forward_asof_semantics(spark, sides):
+    from ziggurat_spark.operators.asof import asof_join_forward
+
+    left, right = sides
+    out = asof_join_forward(left, right, ["k"], "t", "t")
+    got = {r.lv: (r.rv, r.asof_t.second if r.asof_t else None) for r in out.collect()}
+    assert got["L1"] == ("R10", 10)  # inclusive: equal ts matches
+    assert got["L2"] == (None, None)  # nothing at-or-after 20 for key a
+    assert got["L3"] == ("R99", 39)  # earliest following (99s = 1m39s)
+    assert got["L4"] == (None, None)  # key absent from right
+
+
+def test_forward_left_rows_always_preserved(spark, sides):
+    from ziggurat_spark.operators.asof import asof_join_forward
+
+    left, right = sides
+    out = asof_join_forward(left, right, ["k"], "t", "t")
+    assert out.count() == left.count()
+    assert set(out.columns) == {"k", "t", "lv", "asof_t", "rv"}

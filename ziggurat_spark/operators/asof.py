@@ -67,3 +67,51 @@ def asof_join_backward(
         *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
         *[F.col(f"_m.{c}").alias(c) for c in rcols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forward as-of join: every left row, plus the EARLIEST right
+    row with the same key at or after the left timestamp (NULL when
+    none). Mirror image of :func:`asof_join_backward` — same
+    union+window plan, with the frame looking forward.
+
+    Tag order makes the match inclusive: lefts sort BEFORE rights at
+    equal timestamps, so a right row at exactly ``left_ts`` is inside
+    the current-row→following frame. Same scale shape: one shuffle on
+    the key, one sort, zero pair fan-out.
+    """
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    r_part = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(1).alias("_tag"),
+        F.struct(
+            F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
+        ).alias("_r"),
+    )
+    l_part = left.select(
+        *left.columns, F.col(left_ts).alias("_ats"), F.lit(0).alias("_tag")
+    )
+    u = l_part.unionByName(r_part, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_ats", "_tag")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    matched = u.withColumn(
+        "_m", F.first("_r", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("_tag") == 0).select(
+        *left.columns,
+        *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
+        *[F.col(f"_m.{c}").alias(c) for c in rcols],
+    )

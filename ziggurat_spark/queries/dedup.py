@@ -514,3 +514,34 @@ def x_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         F.col("comp").alias("component"),
         (F.col("comp") == F.col("id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x_content_hash_dedup",
+    oracle=(
+        "SELECT md5(lower(trim(text))) AS h, count(*) AS n, "
+        "min(doc_id) AS keeper FROM documents GROUP BY 1 ORDER BY keeper"
+    ),
+    doc=(
+        "Exact content-hash dedup — the standard FIRST pass of every "
+        "training-data dedup stack (cheapest, catches byte-identical "
+        "copies before MinHash/SimHash spend anything). Normalize "
+        "(lower+trim) → md5 → group: one map-side-combined shuffle "
+        "keyed by digest, perfectly uniform by construction (hash "
+        "keys can't skew). 100 TB note: grouping by the 16-byte "
+        "digest instead of the document text shrinks shuffle rows to "
+        "digest+counters."
+    ),
+    tags=("dedup", "hash"),
+)
+def x_content_hash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("h"),
+            "doc_id",
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
+        .orderBy("keeper")
+    )

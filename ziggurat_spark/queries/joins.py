@@ -220,3 +220,54 @@ def x_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_asof_forward",
+    oracle=(
+        "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "views AS (SELECT user_id, ts, max(event_id) AS view_id "
+        "FROM events WHERE event_type = 'view' GROUP BY 1, 2) "
+        "SELECT c.event_id, v.ts AS asof_ts, v.view_id "
+        "FROM clicks c ASOF LEFT JOIN views v "
+        "ON c.user_id = v.user_id AND c.ts <= v.ts "
+        "ORDER BY c.event_id LIMIT 5000"
+    ),
+    doc=(
+        "Forward as-of join (operators/asof.py::asof_join_forward): "
+        "each click matched to the user's EARLIEST view at or after "
+        "the click time — the click-to-conversion primitive. Same "
+        "union+window plan as the backward variant (one shuffle, one "
+        "sort, zero pair fan-out); DuckDB's native forward ASOF JOIN "
+        "is the oracle. Right side deduped per (key, ts) for "
+        "determinism."
+    ),
+    tags=("join", "asof"),
+)
+def x_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.asof import asof_join_forward
+
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join_forward(
+        clicks,
+        views.withColumnRenamed("ts", "vts"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="vts",
+    )
+    return (
+        out.select(
+            "event_id", F.col("asof_vts").alias("asof_ts"), "view_id"
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )

@@ -260,3 +260,75 @@ def x_word_count(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "word")
     )
+
+
+@register(
+    "x_hash_split",
+    oracle=(
+        "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' "
+        "ELSE 'test' END AS split, count(*) AS n, "
+        "min(doc_id) AS min_id, max(doc_id) AS max_id FROM ("
+        "SELECT doc_id, ((doc_id % 1048576) * 2654435761) % 100 AS b "
+        "FROM documents) GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Deterministic train/valid/test split (80/10/10) via Knuth "
+        "multiplicative hashing on the document id — the reproducible "
+        "alternative to rand()-based sampling (same document lands in "
+        "the same split on every run, every engine, any cluster "
+        "size). Pure column math in exact BIGINT (id folded to 2^20 "
+        "first so the product can't overflow at any id scale); one "
+        "tiny agg shuffle."
+    ),
+    tags=("text", "sampling"),
+)
+def x_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    b = (F.col("doc_id") % 1048576) * F.lit(2654435761) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "x_doc_frequency",
+    oracle=(
+        "WITH tf AS (SELECT doc_id, w AS word, count(*) AS tf FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) WHERE w <> '' GROUP BY doc_id, w) "
+        "SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf "
+        "FROM tf GROUP BY word ORDER BY word"
+    ),
+    doc=(
+        "Term/document frequency — the integer-exact core of TF-IDF "
+        "(the idf log is a presentation-layer detail; keeping the "
+        "oracle check on the exact counts avoids cross-engine libm "
+        "drift). Two-level agg: explode → (doc, word) partial-agg "
+        "shuffle → word shuffle; both shuffles carry group rows, not "
+        "token rows, thanks to map-side combine."
+    ),
+    tags=("text", "udtf"),
+)
+def x_doc_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy("word")
+    )
