@@ -145,3 +145,39 @@ def x_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_sliding_window",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR "
+        "AS VARCHAR) AS win_start, count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100 "
+        "FROM events, (SELECT unnest([0, 1]) AS o) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Sliding-window aggregate (2h window, 1h slide) via Spark's "
+        "native window() — the batch spelling of the Structured "
+        "Streaming windowed agg (SURVEY §2 streaming checklist). "
+        "Spark plans window() as an Expand (each row replicated "
+        "window/slide = 2×) into ONE partial-agg shuffle; the DuckDB "
+        "oracle spells the same expansion as an unnest cross join. "
+        "Epoch-aligned starts make both engines agree exactly; start "
+        "emitted as ISO string for dtype-identical hashing."
+    ),
+    tags=("window", "time"),
+)
+def x_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sv100"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), "n", "sv100"
+        )
+        .orderBy("win_start")
+    )
