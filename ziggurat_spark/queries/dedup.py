@@ -61,7 +61,7 @@ _MHS_SQL = (
 
 
 def _with_shingles(spark: SparkSession, sf: str, k: int) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=True)
     return (
         d.withColumn("words", F.expr(TH.tokens("text")[0]))
         .withColumn("whash", F.expr(TH.word_hashes("words")[0]))
@@ -97,7 +97,7 @@ def _duck_shingle_cte(k: int) -> str:
 def x_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     # Arrow-vectorized signature (texthash_udfs): identical integer
     # math to the oracle's fold spelling, ~6x faster on the Spark side.
-    d = load_table(spark, sf, "documents").select(
+    d = load_table(spark, sf, "documents", fan_out=True).select(
         "doc_id", THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text").alias("mhs")
     )
     cols = [F.element_at("mhs", j + 1).alias(f"mh{j}") for j in range(N_HASHES)]
@@ -138,7 +138,7 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # array which posexplode skips — same rows as the oracle's
     # `bucket IS NOT NULL` filter.
     bands = (
-        load_table(spark, sf, "documents")
+        load_table(spark, sf, "documents", fan_out=True)
         .select(
             "doc_id",
             F.posexplode(
@@ -182,7 +182,7 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def x_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=True)
     return d.select(
         "doc_id", THU.simhash_udf()("text").alias("simhash")
     ).orderBy("doc_id")
@@ -223,7 +223,7 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Unordered (a, b, jaccard) pairs above JACCARD_THRESHOLD."""
-    d = load_table(spark, sf, "documents").select(
+    d = load_table(spark, sf, "documents", fan_out=True).select(
         "doc_id", THU.shingles_udf(JACCARD_SHINGLE_K)("text").alias("sh")
     )
     ex = d.select("doc_id", F.explode("sh").alias("s")).distinct()
@@ -381,7 +381,7 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         return pd.Series(list(buckets))
 
     dot64 = THU.dot64_udf(EMB_DIM)
-    e = load_table(spark, sf, "embeddings")
+    e = load_table(spark, sf, "embeddings", fan_out=True)
     # Materialize the (tiny: n_vectors x 2 ints) bucket table once —
     # the self-join would otherwise run the projection UDF on BOTH
     # branches, and the norm projection again on both verify joins.

@@ -76,7 +76,7 @@ def _cosine(a: str, b: str, engine: int) -> str:
 def z28(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = load_table(spark, sf, "embeddings")
+    e = load_table(spark, sf, "embeddings", fan_out=True)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -133,7 +133,7 @@ def z28(spark: SparkSession, sf: str) -> DataFrame:
 def x_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = load_table(spark, sf, "embeddings")
+    e = load_table(spark, sf, "embeddings", fan_out=True)
     cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )

@@ -105,7 +105,9 @@ def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     # One vectorized tokenize+count pass; the SQL spelling re-runs the
     # tokenize chain per language once Catalyst collapses projections.
     mc = marker_counts_udf(tuple(tuple(ms) for ms in LANG_MARKERS.values()))
-    d = load_table(spark, sf, "documents").withColumn("mcounts", mc("text"))
+    d = load_table(spark, sf, "documents", fan_out=True).withColumn(
+        "mcounts", mc("text")
+    )
     for i, lang in enumerate(LANG_MARKERS):
         d = d.withColumn(f"s_{lang}", F.element_at("mcounts", i + 1))
     pred = (
@@ -149,7 +151,7 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
     qc = quality_counts_udf(6, ("the", "a", "of", "and", "to"))
     d = (
-        load_table(spark, sf, "documents")
+        load_table(spark, sf, "documents", fan_out=True)
         .withColumn("qc", qc("text"))
         .filter(F.element_at("qc", 1) > 0)
     )
@@ -178,7 +180,7 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "tokens"),
 )
 def x_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=True)
     return d.select(
         "doc_id",
         F.expr(f"size({TH.tokens('text')[0]})").cast("long").alias("ws_tokens"),
@@ -205,7 +207,7 @@ def x_token_count(spark: SparkSession, sf: str) -> DataFrame:
 def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.functions.texthash_udfs import fingerprint_udf
 
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=True)
     return d.select(
         "doc_id", fingerprint_udf()("text").alias("fp")
     ).orderBy("doc_id")
@@ -252,7 +254,7 @@ def x_binary_plumbing(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "udtf"),
 )
 def x_word_count(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=True)
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -320,7 +322,7 @@ def x_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "udtf"),
 )
 def x_doc_frequency(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents", fan_out=True)
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")

@@ -92,7 +92,9 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Parquet scan — columnar, with predicate pushdown and column
     pruning handled by Catalyst (filters/projections placed later in
     the plan still reach this scan).
@@ -100,6 +102,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Nanosecond timestamp columns arrive as int64 nanos (see
     session.py) and are converted to microsecond timestamps here —
     integer floor-division, identical to DuckDB's ns→us truncation.
+
+    ``fan_out=True`` round-robin-repartitions to the cluster's
+    parallelism — but ONLY when the file has fewer row groups than
+    cores. Parquet splits at row-group granularity, so a small file
+    written as one row group scans as ONE task, and every CPU-heavy
+    per-row operator downstream (shingling, MinHash, SRP
+    projections) serializes on a single core until the first
+    shuffle; the local test files are exactly this shape. At 100 TB
+    the condition is naturally false (inputs arrive in thousands of
+    row groups and the scan already saturates the cluster), so the
+    corpus-wide shuffle is skipped. The check reads cached parquet
+    footer metadata — never a Spark plan. Request it only where
+    per-row CPU dwarfs one row's shuffle cost.
     """
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
@@ -112,7 +127,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in nanos_cols:
         # integer `div`, NOT `/`: epoch-nanos exceed double precision
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if fan_out:
+        n = spark.sparkContext.defaultParallelism
+        if _row_group_count(path) < n:
+            df = df.repartition(n)
     return df
+
+
+@lru_cache(maxsize=256)
+def _row_group_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_row_groups
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
