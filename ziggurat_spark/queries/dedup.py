@@ -398,6 +398,12 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
+        # Spread the verify stage: AQE coalesces the (tiny-bytes)
+        # candidate table to one partition, which would serialize the
+        # exact-cosine UDF on one core. Round-robin of 16-byte pair
+        # rows is ~free at any scale; the norms side broadcasts (AQE
+        # locally, explicit partitioned join at corpus scale).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     n = e.select(
         "vec_id",

@@ -58,17 +58,35 @@ def z10(spark: SparkSession, sf: str) -> DataFrame:
     ),
     doc=(
         "J1 windowed join (streams.clj:149-158): equal key within "
-        "±window. Equi-join on user_id + band residual — sort-merge "
-        "join keyed on user_id, not a cartesian."
+        "±window, as a BUCKETED band join: both sides keyed on "
+        "(user_id, hour_bucket) with the left side exploded to its "
+        "bucket ± 1, then the exact ±1h residual applied post-match. "
+        "A key-only equi-join pairs every event of a user with every "
+        "other (O(k²) per user — a hot user explodes); adding the "
+        "time bucket to the join key bounds fan-out to window-"
+        "adjacent events regardless of per-user volume. Each "
+        "qualifying pair matches in exactly one bucket (the right "
+        "row's own), so no dedup is needed. Same plan Structured "
+        "Streaming uses internally for time-interval joins; here "
+        "spelled explicitly for the batch oracle."
     ),
     tags=("join", "window"),
 )
 def z11(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
-    a = e.alias("a")
-    b = e.alias("b")
+    hb = F.expr("unix_timestamp(ts) div 3600")
+    a = e.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.explode(F.array(hb - 1, hb, hb + 1)).alias("bkt"),
+    ).alias("a")
+    b = e.select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"), hb.alias("bkt")
+    ).alias("b")
     cond = (
         (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
         & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
         & (F.col("a.event_id") < F.col("b.event_id"))
