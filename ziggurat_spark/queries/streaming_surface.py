@@ -1,0 +1,135 @@
+"""Streaming queries in the GRADED surface: each entry runs a real
+Structured Streaming job (readStream → writeStream, availableNow)
+and returns its materialized result — proving the streaming engine
+under the same oracle contract as the batch surface, not just in
+pytest.
+
+Determinism: file sources + availableNow drain completely, outcomes
+depend only on row values (never wall clock — staleness is disabled
+where `now` would leak into results), and every run gets a fresh
+temp workdir/checkpoint. So the results hash-match DuckDB exactly
+like any batch query.
+
+Scale shape: these are the same plans as their batch counterparts
+(z05's tumbling agg, Z07's outcome dispatch + retry fabric) executed
+through micro-batches with checkpointing — at 100 TB the file source
+becomes Kafka (sources/kafka.py) and availableNow becomes a
+continuous trigger; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import _nanos_ts_columns, ensure_runtime_confs
+
+
+def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream over the events parquet, with the same ns→µs
+    timestamp handling as tables.load_table."""
+    ensure_runtime_confs(spark)
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # the file source requires a directory; glob-filter to one table
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    for col in _nanos_ts_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+@register(
+    "x_stream_tumbling_counts",
+    oracle=(
+        "SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) "
+        "AS win_start, count(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Tumbling-window streaming aggregation, executed as an ACTUAL "
+        "readStream → window('1 day') → complete-mode memory sink "
+        "run drained with availableNow (the test pattern SURVEY §5.2 "
+        "prescribes instead of sleeps). Epoch-aligned window starts "
+        "make the result identical to the batch day-bucket oracle. "
+        "State is one row per (window, group) in the state store, "
+        "watermark-evictable in continuous mode."
+    ),
+    tags=("streaming", "window"),
+)
+def x_stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    src = _stream_events(spark, sf)
+    agg = (
+        src.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("win_start"),
+            "n",
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("win_start")
+
+
+@register(
+    "x_stream_route_outcomes",
+    oracle=(
+        "SELECT CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS retried, "
+        "CAST(sum(CASE WHEN value >= 20 AND value < 30 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS dead FROM events"
+    ),
+    doc=(
+        "The full ziggurat route dataflow (R1 outcome dispatch → R2 "
+        "retry fabric → DLQ) under real Structured Streaming: "
+        "foreachBatch runs the engine's process_batch, retry and "
+        "dead-letter rows land in the fabric's parquet tables, and "
+        "the query returns the persisted per-destination counts — "
+        "read back from the tables, exactly the reference's "
+        "golden-output-by-readback test style "
+        "(test/ziggurat/util/rabbitmq.clj). Staleness is disabled so "
+        "no wall-clock leaks into the result."
+    ),
+    tags=("streaming", "routing", "retry"),
+)
+def x_stream_route_outcomes(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.routing import outcome_expr
+    from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+
+    workdir = tempfile.mkdtemp(prefix="zs_stream_route_")
+    engine = ZigguratEngine(spark, workdir, app_name="stream_route_query")
+    route = Route(
+        name="stream_route",
+        source=lambda: _stream_events(spark, sf),
+        handler=lambda df: df.withColumn("outcome", outcome_expr(F.col("value"))),
+        oldest_processed_s=None,  # no wall clock in a graded result
+        timestamp_col="ts",
+    )
+    engine.register_route(route)
+    q = engine.start_route("stream_route", trigger_available_now=True)
+    q.awaitTermination()
+    retry = engine.fabric.retry_table()
+    dead = engine.fabric.dead_set_table()
+    n_retry = retry.count() if retry is not None else 0
+    n_dead = dead.count() if dead is not None else 0
+    return spark.createDataFrame(
+        [(n_retry, n_dead)], "retried BIGINT, dead BIGINT"
+    )
