@@ -90,14 +90,27 @@ class RetryFabric:
         df.write.mode("append").parquet(path)
 
     def _replace(self, df: DataFrame | None, path: str) -> None:
-        """Atomically replace a queue directory's contents."""
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        """Replace a queue directory's contents via double-rename.
+
+        Swapping directories can't be fully atomic on a plain
+        filesystem; renaming the old dir aside and the new one in
+        shrinks the no-directory window to two renames (µs) instead
+        of a recursive delete. A concurrent reader can still observe
+        "no table" (returns None) or, rarely, lose listed files
+        mid-action — plain parquet dirs have no snapshot isolation;
+        the production-scale answer is a transactional table format
+        (Delta/Iceberg — see SCALE.md §12)."""
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{path}.tmp-{token}"
         if df is not None:
             df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}.old-{token}"
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         if df is not None:
             os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     # -- the state machine --------------------------------------------
 
