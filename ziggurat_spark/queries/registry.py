@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         routing,
         setops,
         similarity,
+        skew_surface,
         streaming_surface,
         text,
         tpch_more,
