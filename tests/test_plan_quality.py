@@ -184,3 +184,22 @@ def test_grouping_sets_single_expand(spark, specs):
     plan = formatted_plan(q(specs, "x_grouping_sets", spark))
     assert len(re.findall(r"\n\(\d+\) Expand", plan)) == 1
     assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_fan_out_gates_on_row_groups(spark):
+    """fan_out must be a no-op when the file already has >= cores row
+    groups (at real scale the corpus-wide shuffle would be pure
+    waste) and must widen single-row-group scans locally."""
+    from ziggurat_spark.tables import _row_group_count, load_table
+
+    path = f"{SF}/documents.parquet"
+    rgs = _row_group_count(path)
+    cores = spark.sparkContext.defaultParallelism
+    df = load_table(spark, SF, "documents", fan_out=True)
+    plain = load_table(spark, SF, "documents")
+    if rgs < cores:
+        assert df.rdd.getNumPartitions() == cores  # widened
+        assert plain.rdd.getNumPartitions() < cores  # and only by request
+    else:
+        # many-row-group input: fan_out must not add a shuffle
+        assert df.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
