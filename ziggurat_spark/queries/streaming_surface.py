@@ -130,6 +130,62 @@ def x_stream_route_outcomes(spark: SparkSession, sf: str) -> DataFrame:
     dead = engine.fabric.dead_set_table()
     n_retry = retry.count() if retry is not None else 0
     n_dead = dead.count() if dead is not None else 0
+    # coalesce: createDataFrame slices even a 1-row list into
+    # defaultParallelism partitions (32 near-empty scheduled tasks)
     return spark.createDataFrame(
         [(n_retry, n_dead)], "retried BIGINT, dead BIGINT"
+    ).coalesce(1)
+
+
+@register(
+    "x_stream_windowed_join",
+    oracle=(
+        "SELECT a.event_id AS l, b.event_id AS r FROM "
+        "(SELECT * FROM events WHERE event_type = 'click') a JOIN "
+        "(SELECT * FROM events WHERE event_type = 'view') b "
+        "ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "ORDER BY l, r LIMIT 5000"
+    ),
+    doc=(
+        "J1 — THE reference's flagship relational operator "
+        "(streams.clj:149-158) — as a real stream-stream join: two "
+        "readStream sources (clicks, views), withWatermark on both "
+        "sides, equal-key ±1h band join via "
+        "operators/stream_joins.windowed_join, drained with "
+        "availableNow into a memory sink and hash-checked against "
+        "the batch SQL oracle. State is bounded by watermark × rate; "
+        "the join shuffles on the key with the band applied within "
+        "key groups."
+    ),
+    tags=("streaming", "join", "window"),
+)
+def x_stream_windowed_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.stream_joins import windowed_join
+
+    clicks = _stream_events(spark, sf).filter(F.col("event_type") == "click")
+    views = _stream_events(spark, sf).filter(F.col("event_type") == "view")
+    joined = windowed_join(
+        clicks,
+        views,
+        join_window_ms=3_600_000,
+        join_type="inner",
+        key_col="user_id",
+        ts_col="ts",
+        left_name="click",
+        right_name="view",
+    ).select(
+        F.col("click.event_id").alias("l"), F.col("view.event_id").alias("r")
     )
+    name = f"stream_join_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("l", "r").limit(5000)
