@@ -189,3 +189,56 @@ def x_stream_windowed_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).orderBy("l", "r").limit(5000)
+
+
+@register(
+    "x_stream_session_window",
+    oracle=(
+        "WITH g AS (SELECT user_id, ts, CASE WHEN "
+        "lag(ts) OVER w IS NULL OR "
+        "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, sum(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) "
+        "SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start, "
+        "count(*) AS n FROM s GROUP BY user_id, sid "
+        "ORDER BY user_id, session_start"
+    ),
+    doc=(
+        "Session-window streaming aggregation (session_window, 30 min "
+        "gap) — dynamic, data-driven windows merged in the state "
+        "store, drained with availableNow. The batch oracle derives "
+        "identical sessions via lag → break-flag → running-sum (a "
+        "session breaks when the gap is >= 30 min, matching Spark's "
+        "exclusive session end = last event + gap). Scale: state is "
+        "one open session per active key, evicted at the watermark in "
+        "continuous mode."
+    ),
+    tags=("streaming", "window", "session"),
+)
+def x_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    src = _stream_events(spark, sf)
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
