@@ -130,11 +130,13 @@ def x_stream_route_outcomes(spark: SparkSession, sf: str) -> DataFrame:
     dead = engine.fabric.dead_set_table()
     n_retry = retry.count() if retry is not None else 0
     n_dead = dead.count() if dead is not None else 0
-    # coalesce: createDataFrame slices even a 1-row list into
-    # defaultParallelism partitions (32 near-empty scheduled tasks)
-    return spark.createDataFrame(
-        [(n_retry, n_dead)], "retried BIGINT, dead BIGINT"
-    ).coalesce(1)
+    # JVM-side literal row — createDataFrame would build a Python-RDD
+    # plan, and the first Python task after a streaming run pays a
+    # multi-second worker-pool respawn (measured 5s for a 1-row write)
+    return spark.range(1).select(
+        F.lit(n_retry).cast("bigint").alias("retried"),
+        F.lit(n_dead).cast("bigint").alias("dead"),
+    )
 
 
 @register(
