@@ -551,3 +551,46 @@ def x_content_hash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"))
         .orderBy("keeper")
     )
+
+
+@register(
+    "x_edit_distance_pairs",
+    oracle=(
+        _duck_shingle_cte(JACCARD_SHINGLE_K)
+        + ", ex AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+        "  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id), "
+        "cand AS (SELECT inter.a, inter.b "
+        "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
+        "JOIN sizes sb ON sb.doc_id = inter.b "
+        f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}) "
+        "SELECT cand.a, cand.b, "
+        "levenshtein(da.text, db.text) AS edit_dist "
+        "FROM cand JOIN documents da ON da.doc_id = cand.a "
+        "JOIN documents db ON db.doc_id = cand.b ORDER BY a, b"
+    ),
+    doc=(
+        "Fuzzy-match verification: exact Levenshtein distance over "
+        "the Jaccard candidate pairs — the character-level confirm "
+        "step of a near-dup pipeline (token-level LSH proposes, "
+        "edit distance verifies). The O(len²) DP runs ONLY on "
+        "candidates, never all pairs, and text payloads join in by "
+        "doc_id after candidate generation so the shingle shuffle "
+        "carries ids, not documents. Spark levenshtein() ≡ DuckDB "
+        "levenshtein() (unit-cost edit distance)."
+    ),
+    tags=("dedup", "fuzzy"),
+)
+def x_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    cand = _jaccard_pairs(spark, sf).select("a", "b")
+    d = load_table(spark, sf, "documents")
+    da = d.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select("a", "b", F.levenshtein("ta", "tb").alias("edit_dist"))
+        .orderBy("a", "b")
+    )
