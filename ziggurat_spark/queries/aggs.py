@@ -169,3 +169,48 @@ def x_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         "GROUP BY GROUPING SETS ((event_type), (d0), ()) "
         "ORDER BY 1, 2, 3"
     )
+
+
+@register(
+    "x_variance_exact",
+    oracle=(
+        "WITH s AS (SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0)) "
+        "AS s1, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT) * "
+        "CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS s2 "
+        "FROM events GROUP BY event_type) "
+        "SELECT event_type, n, "
+        "CAST(n * s2 - s1 * s1 AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0) AS variance "
+        "FROM s ORDER BY event_type"
+    ),
+    doc=(
+        "Population variance computed EXACTLY: n·Σx² − (Σx)² over "
+        "scaled-integer sums (DECIMAL(38,0) — overflow-safe at any "
+        "corpus size), with ONE float division at the end. The "
+        "built-in var_pop is a float fold whose result depends on "
+        "partition order — unusable for cross-engine hash checks and "
+        "drift-prone at 100 TB; this spelling is associative, "
+        "commutative, and bit-stable under any partitioning."
+    ),
+    tags=("agg", "stats"),
+)
+def x_variance_exact(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    v = F.expr("CAST(round(value * 100) AS BIGINT)")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("decimal(38,0)").alias("s1"),
+        F.sum(v * v).cast("decimal(38,0)").alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("n").cast("double") * 10000.0)
+        ).alias("variance"),
+    ).orderBy("event_type")

@@ -87,3 +87,62 @@ def z09(spark: SparkSession, sf: str) -> DataFrame:
             F.col("g"), retry_count=5, timeout_ms=5000, exponential=True
         ).alias("backoff_ms"),
     ).orderBy("message_retry_count")
+
+
+@register(
+    "x_route_pipeline",
+    oracle=(
+        "WITH routed AS (SELECT "
+        "CASE WHEN value < 10 THEN 'retry' WHEN value < 20 THEN 'skip' "
+        "WHEN value < 30 THEN 'dead-letter' ELSE 'success' END AS outcome, "
+        "CAST(json_extract(props, '$.k') AS INT) AS k, "
+        "CASE WHEN event_id % 7 = 0 THEN 5 ELSE event_id % 7 - 1 END "
+        "AS next_attempt "
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00') "
+        "SELECT outcome, count(*) AS n, "
+        "CAST(sum(k) AS BIGINT) AS sum_k, "
+        "min((power(2, greatest(1, least(25, 5) - next_attempt)) - 1) * 5000) "
+        "AS min_backoff_ms, "
+        "max((power(2, greatest(1, least(25, 5) - next_attempt)) - 1) * 5000) "
+        "AS max_backoff_ms "
+        "FROM routed GROUP BY outcome ORDER BY outcome"
+    ),
+    doc=(
+        "The FLAGSHIP route pipeline (what entry() runs) as a graded "
+        "query: staleness filter (T2) → JSON middleware (T6) → "
+        "outcome dispatch (R1) → retry state machine (R2, "
+        "producer.clj:288-293) → exponential backoff (R3, the exact "
+        "((2^n)-1)*t formula from producer.clj:204) → per-outcome "
+        "tallies (the metrics surface). Every stage is a column "
+        "expression inside one codegen span; the only shuffle is the "
+        "4-group aggregate."
+    ),
+    tags=("routing", "pipeline"),
+)
+def x_route_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions.backoff import backoff_ms_expr
+    from ziggurat_spark.operators.routing import outcome_expr, retry_step_exprs
+
+    e = load_table(spark, sf, "events")
+    fresh = e.filter(
+        F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    parsed = fresh.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    routed = parsed.withColumn("outcome", outcome_expr(F.col("value")))
+    attempt = (F.col("event_id") % 7).cast("int")
+    next_attempt, _to_dead = retry_step_exprs(attempt, max_retries=5)
+    routed = routed.withColumn("next_attempt", next_attempt).withColumn(
+        "backoff_ms", backoff_ms_expr(F.col("next_attempt"), exponential=True)
+    )
+    return (
+        routed.groupBy("outcome")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("backoff_ms").alias("min_backoff_ms"),
+            F.max("backoff_ms").alias("max_backoff_ms"),
+        )
+        .orderBy("outcome")
+    )
