@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_surface,
         text,
         tpch_more,
+        tpch_sub,
         windows,
     )
 
