@@ -108,3 +108,164 @@ def x_null_functions(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_string_functions",
+    oracle=(
+        "SELECT event_id, lpad(event_type, 8, '_') AS padded, "
+        "reverse(event_type) AS rev, "
+        "translate(event_type, 'aeiou', 'AEIOU') AS tr, "
+        "repeat(substr(event_type, 1, 2), 2) AS rep, "
+        "instr(event_type, 'i') AS pos, "
+        "concat_ws('-', event_type, CAST(event_id % 10 AS VARCHAR)) AS joined, "
+        "trim(concat(' ', event_type, ' ')) AS trimmed "
+        "FROM events ORDER BY event_id"
+    ),
+    doc=(
+        "String pack: pad/reverse/translate/repeat/locate/concat_ws/"
+        "trim — all JVM codegen expressions (T1 mapValues transforms "
+        "that never need Python, SURVEY §4.2). Single scan, "
+        "deterministic orderBy."
+    ),
+    tags=("functions", "string"),
+)
+def x_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    t = F.col("event_type")
+    return e.select(
+        "event_id",
+        F.lpad(t, 8, "_").alias("padded"),
+        F.reverse(t).alias("rev"),
+        F.translate(t, "aeiou", "AEIOU").alias("tr"),
+        F.repeat(F.substring(t, 1, 2), 2).alias("rep"),
+        F.instr(t, "i").cast("bigint").alias("pos"),
+        F.concat_ws("-", t, (F.col("event_id") % 10).cast("string")).alias(
+            "joined"
+        ),
+        F.trim(F.concat(F.lit(" "), t, F.lit(" "))).alias("trimmed"),
+    ).orderBy("event_id")
+
+
+@register(
+    "x_datetime_functions",
+    oracle=(
+        "SELECT event_id, CAST(year(ts) AS INT) AS y, "
+        "CAST(quarter(ts) AS INT) AS q, CAST(month(ts) AS INT) AS mo, "
+        "CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h, "
+        "CAST(dayofyear(ts) AS INT) AS doy, "
+        "CAST(last_day(ts) AS VARCHAR) AS eom, "
+        "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) "
+        "AS days_since "
+        "FROM events ORDER BY event_id"
+    ),
+    doc=(
+        "Datetime pack: calendar extraction (year/quarter/month/day/"
+        "hour/dayofyear), month-end, and day arithmetic against a "
+        "literal epoch — the pieces of the staleness filter (T2) and "
+        "delay metrics (kafka_delay.clj:5-13) spelled as codegen "
+        "expressions. Date outputs emitted as ISO strings so both "
+        "engines hash identically (FIXTURES §3)."
+    ),
+    tags=("functions", "datetime"),
+)
+def x_datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.year(ts).cast("int").alias("y"),
+        F.quarter(ts).cast("int").alias("q"),
+        F.month(ts).cast("int").alias("mo"),
+        F.dayofmonth(ts).cast("int").alias("d"),
+        F.hour(ts).cast("int").alias("h"),
+        F.dayofyear(ts).cast("int").alias("doy"),
+        F.last_day(ts).cast("string").alias("eom"),
+        F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+    ).orderBy("event_id")
+
+
+@register(
+    "x_math_functions",
+    oracle=(
+        "SELECT event_id, abs(event_id % 7 - 3) AS a, "
+        "CAST(ceil(value) AS BIGINT) AS c, "
+        "CAST(floor(value) AS BIGINT) AS f, "
+        "CAST(round(value * 100) AS BIGINT) AS r2, "
+        "event_id % 7 AS md, "
+        "CAST(sign(value - 100) AS INT) AS sg, "
+        "CAST(power(event_id % 5, 3) AS BIGINT) AS pw, "
+        "CAST(sqrt(CAST((event_id % 10) * (event_id % 10) AS DOUBLE)) "
+        "AS BIGINT) AS sq, "
+        "greatest(event_id % 7, event_id % 5) AS gr, "
+        "least(event_id % 7, event_id % 5) AS ls, "
+        "((event_id % 16) & 5) AS band, ((event_id % 16) | 5) AS bor, "
+        "xor(event_id % 16, 5) AS bxor, ((event_id % 16) << 2) AS bshl "
+        "FROM events ORDER BY event_id"
+    ),
+    doc=(
+        "Math + bitwise pack: abs/ceil/floor/round/mod/sign/power/"
+        "sqrt/greatest/least and &,|,xor,<< — integer-exact "
+        "spellings throughout (round via the hundredths contract, "
+        "sqrt over perfect squares, power over small ints) so both "
+        "engines agree bit-for-bit. All codegen, single scan."
+    ),
+    tags=("functions", "math"),
+)
+def x_math_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    eid = F.col("event_id")
+    v = F.col("value")
+    m16 = eid % 16
+    return e.select(
+        "event_id",
+        F.abs(eid % 7 - 3).alias("a"),
+        F.ceil(v).cast("bigint").alias("c"),
+        F.floor(v).cast("bigint").alias("f"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("r2"),
+        (eid % 7).alias("md"),
+        F.signum(v - 100).cast("int").alias("sg"),
+        F.pow(eid % 5, 3).cast("bigint").alias("pw"),
+        F.sqrt(((eid % 10) * (eid % 10)).cast("double"))
+        .cast("bigint")
+        .alias("sq"),
+        F.greatest(eid % 7, eid % 5).alias("gr"),
+        F.least(eid % 7, eid % 5).alias("ls"),
+        m16.bitwiseAND(F.lit(5)).alias("band"),
+        m16.bitwiseOR(F.lit(5)).alias("bor"),
+        m16.bitwiseXOR(F.lit(5)).alias("bxor"),
+        F.shiftleft(m16, 2).alias("bshl"),
+    ).orderBy("event_id")
+
+
+@register(
+    "x_regexp_functions",
+    oracle=(
+        "SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word, "
+        "regexp_replace(text, '[aeiou]', '*', 'g') AS starred, "
+        "regexp_matches(text, '[0-9]') AS has_digit, "
+        "len(regexp_split_to_array(text, '\\s+')) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc=(
+        "Regexp pack: extract/replace-all/match/split — the "
+        "schema-imposing middleware primitives (T4/T6) for text "
+        "routes, and the tokenizer core of the text-analysis family. "
+        "DuckDB needs the 'g' flag to match Spark's replace-all "
+        "semantics; patterns stay in the RE2∩Java-regex common "
+        "subset. Single scan, codegen."
+    ),
+    tags=("functions", "regexp", "text"),
+)
+def x_regexp_functions(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(t, "[aeiou]", "*").alias("starred"),
+        t.rlike("[0-9]").alias("has_digit"),
+        F.size(F.split(t, r"\s+")).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
