@@ -244,3 +244,83 @@ def x_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "x_stream_left_join",
+    oracle=(
+        "SELECT a.event_id AS l, coalesce(b.event_id, -1) AS r FROM "
+        "(SELECT * FROM events WHERE event_type = 'click' "
+        "AND ts < TIMESTAMP '2024-01-25 00:00:00') a LEFT JOIN "
+        "(SELECT * FROM events WHERE event_type = 'view') b "
+        "ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "ORDER BY l, r LIMIT 5000"
+    ),
+    doc=(
+        "J2 — the reference's windowed LEFT join (streams.clj:156) — "
+        "as a real stream-stream outer join under watermarks: "
+        "unmatched clicks emit a null view once the watermark passes "
+        "click.ts + window, exactly the deferred-emission semantics "
+        "Kafka Streams gets from window retention. The left side is "
+        "cut at a literal (Jan 25 < data max Jan 30 − window − "
+        "delay) so every kept row's null is guaranteed to flush "
+        "before the availableNow drain terminates — but the cut "
+        "cannot be a source filter (it would cap that side's "
+        "watermark at the cutoff; the global watermark is the min "
+        "over inputs) nor a post-join ts projection (a second "
+        "event-time column in a stream-stream join is rejected). "
+        "Instead tail rows keep flowing with their real ts — driving "
+        "the watermark to data max — but are remapped to a sentinel "
+        "key/-1 id that can never match, and dropped batch-side. "
+        "Nulls are spelled -1 on both sides; state is bounded by "
+        "watermark × rate as in J1."
+    ),
+    tags=("streaming", "join", "window"),
+)
+def x_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.stream_joins import windowed_join
+
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    keep = F.col("ts") < cutoff
+    clicks = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        # sentinel remap: tail rows still advance the watermark but
+        # can never match (user_id >= 0 in the data) and are dropped
+        # batch-side via l = -1
+        .withColumn("user_id", F.when(keep, F.col("user_id")).otherwise(F.lit(-1)))
+        .withColumn("event_id", F.when(keep, F.col("event_id")).otherwise(F.lit(-1)))
+    )
+    views = _stream_events(spark, sf).filter(F.col("event_type") == "view")
+    joined = windowed_join(
+        clicks,
+        views,
+        join_window_ms=3_600_000,
+        join_type="left",
+        key_col="user_id",
+        ts_col="ts",
+        left_name="click",
+        right_name="view",
+    ).select(
+        F.col("click.event_id").alias("l"),
+        F.coalesce(F.col("view.event_id"), F.lit(-1)).alias("r"),
+    )
+    name = f"stream_ljoin_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("l") >= 0)
+        .select("l", "r")
+        .orderBy("l", "r")
+        .limit(5000)
+    )
