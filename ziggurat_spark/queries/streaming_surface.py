@@ -324,3 +324,165 @@ def x_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("l", "r")
         .limit(5000)
     )
+
+
+@register(
+    "x_stream_full_outer_join",
+    oracle=(
+        "SELECT coalesce(a.event_id, -1) AS l, coalesce(b.event_id, -1) AS r "
+        "FROM (SELECT * FROM events WHERE event_type = 'click' "
+        "AND ts < TIMESTAMP '2024-01-25 00:00:00') a FULL OUTER JOIN "
+        "(SELECT * FROM events WHERE event_type = 'view' "
+        "AND ts < TIMESTAMP '2024-01-25 00:00:00') b "
+        "ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "ORDER BY l, r LIMIT 5000"
+    ),
+    doc=(
+        "J3 — the reference's windowed FULL OUTER join "
+        "(streams.clj:157) — as a real stream-stream outer join "
+        "under watermarks: unmatched rows on EITHER side emit with a "
+        "null partner once the watermark passes their ts + window. "
+        "Both sides are cut at the Jan 25 literal via the sentinel "
+        "remap of x_stream_left_join (tail rows keep their real ts "
+        "to drive the watermark but get unmatchable keys — distinct "
+        "sentinels -1/-2 per side so sentinels can't match EACH "
+        "OTHER); sentinel emissions surface as (-1,-1) rows and are "
+        "dropped batch-side, real unmatched rows keep one -1 side."
+    ),
+    tags=("streaming", "join", "window"),
+)
+def x_stream_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.stream_joins import windowed_join
+
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    keep = F.col("ts") < cutoff
+
+    def _cut(df: DataFrame, sentinel: int) -> DataFrame:
+        return df.withColumn(
+            "user_id", F.when(keep, F.col("user_id")).otherwise(F.lit(sentinel))
+        ).withColumn(
+            "event_id", F.when(keep, F.col("event_id")).otherwise(F.lit(-1))
+        )
+
+    clicks = _cut(
+        _stream_events(spark, sf).filter(F.col("event_type") == "click"), -1
+    )
+    views = _cut(
+        _stream_events(spark, sf).filter(F.col("event_type") == "view"), -2
+    )
+    joined = windowed_join(
+        clicks,
+        views,
+        join_window_ms=3_600_000,
+        join_type="outer",
+        key_col="user_id",
+        ts_col="ts",
+        left_name="click",
+        right_name="view",
+    ).select(
+        F.coalesce(F.col("click.event_id"), F.lit(-1)).alias("l"),
+        F.coalesce(F.col("view.event_id"), F.lit(-1)).alias("r"),
+    )
+    name = f"stream_fjoin_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(~((F.col("l") == -1) & (F.col("r") == -1)))
+        .orderBy("l", "r")
+        .limit(5000)
+    )
+
+
+@register(
+    "x_stream_dedup",
+    oracle=(
+        "SELECT count(*) AS n FROM "
+        "(SELECT DISTINCT user_id, event_type FROM events) t"
+    ),
+    doc=(
+        "Watermarked streaming deduplication (dropDuplicates on "
+        "(user_id, event_type)) — the stateful exactly-one-survivor "
+        "operator, drained with availableNow and counted batch-side "
+        "so the graded value is order-independent (which physical "
+        "row survives per key varies with partition order; the key "
+        "set does not). State is one entry per distinct key, evicted "
+        "at the watermark in continuous mode — the idiomatic-Spark "
+        "upgrade of the reference's at-least-once redelivery "
+        "(SURVEY §2.1 R6: handlers must tolerate duplicates; here "
+        "the engine removes them)."
+    ),
+    tags=("streaming", "dedup", "stateful"),
+)
+def x_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    src = _stream_events(spark, sf).withWatermark("ts", "1 hour")
+    deduped = src.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).agg(F.count("*").alias("n"))
+
+
+@register(
+    "x_stream_sliding_counts",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR "
+        "AS VARCHAR) AS win_start, count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100 "
+        "FROM events, (SELECT unnest([0, 1]) AS o) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Sliding-window aggregation (2h window, 1h slide) as a REAL "
+        "streaming job: window('2 hours', '1 hour') in complete "
+        "mode, drained with availableNow — the streaming counterpart "
+        "of batch x_sliding_window, same Expand(2×) → partial-agg "
+        "plan per micro-batch with window state merged in the store. "
+        "Epoch-aligned starts keep the result identical to the "
+        "batch-unnest oracle; exact hundredths sum."
+    ),
+    tags=("streaming", "window"),
+)
+def x_stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    src = _stream_events(spark, sf)
+    agg = (
+        src.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sv100"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), "n", "sv100"
+        )
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("win_start")
