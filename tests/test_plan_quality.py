@@ -203,3 +203,114 @@ def test_fan_out_gates_on_row_groups(spark):
     else:
         # many-row-group input: fan_out must not add a shuffle
         assert df.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+
+
+def test_min_cost_supplier_no_window(spark, specs):
+    """x_min_cost_supplier (Q2): the correlated min decorrelates to a
+    grouped aggregate joined back — never a per-partkey Window (which
+    would add a second full sort of the ps table); dims broadcast."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_min_cost_supplier", spark)
+    assert "Window" not in formatted_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_market_share_broadcasts_all_dims(spark, specs):
+    """x_market_share (Q8): part/customer-region/supplier-nation all
+    broadcast; the orderdate filter pushes; the only big shuffle is
+    lineitem ⋈ orders."""
+    df = q(specs, "x_market_share", spark)
+    assert broadcast_join_count(df) >= 3
+    assert not has_cartesian_product(df)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_product_profit_broadcasts(spark, specs):
+    """x_product_profit (Q9): name-filtered part and supplier→nation
+    broadcast; p_name LIKE pushes to the part scan."""
+    df = q(specs, "x_product_profit", spark)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+    assert any("p_name" in f for f in pushed_filters(df))
+
+
+def test_important_values_broadcast_threshold(spark, specs):
+    """x_important_values (Q11): the Σval threshold joins as a
+    broadcast 1-row aggregate (nested-loop on the > condition), never
+    a global sort/window."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_important_values", spark)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_supplier_part_count_anti_join(spark, specs):
+    """x_supplier_part_count (Q16): the blacklist is a broadcast
+    anti-join on the scan side; part broadcasts; distinct count is
+    the two-phase partial-distinct plan (no raw-row shuffle)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_supplier_part_count", spark)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_promotion_candidates_semi_joins(spark, specs):
+    """x_promotion_candidates (Q20): nested INs become broadcast
+    semi-joins; the shipdate window pushes to the fact scan."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_promotion_candidates", spark)
+    assert "LeftSemi" in formatted_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_waiting_orders_semi_anti_legs(spark, specs):
+    """x_waiting_orders (Q21): EXISTS/NOT EXISTS run as semi/anti
+    joins equi on l_orderkey (with the suppkey≠ residual), never a
+    cartesian; the returnflag filter pushes to both R-legs."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_waiting_orders", spark)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert not has_cartesian_product(df)
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+
+
+def test_inactive_customers_pruned_scans(spark, specs):
+    """x_inactive_customers (Q22): nationkey and orderdate predicates
+    push to their scans; the stats threshold is a broadcast 1-row
+    join; NOT EXISTS is an anti-join."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_inactive_customers", spark)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    pf = pushed_filters(df)
+    assert any("c_nationkey" in f for f in pf)
+    assert any("o_orderdate" in f for f in pf)
+
+
+def test_function_packs_single_pruned_scan(spark, specs):
+    """Each function pack reads exactly its 2 needed columns in ONE
+    scan — the expression surface must not widen the I/O."""
+    for name in (
+        "x_string_functions",
+        "x_datetime_functions",
+        "x_math_functions",
+        "x_regexp_functions",
+    ):
+        schemas = scan_read_schemas(q(specs, name, spark))
+        assert len(schemas) == 1 and schemas[0].count(":") == 2, (
+            name,
+            schemas,
+        )
