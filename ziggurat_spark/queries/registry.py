@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pricing,
         routing,
         setops,
+        sources_surface,
         similarity,
         skew_surface,
         streaming_surface,

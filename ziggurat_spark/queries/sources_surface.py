@@ -1,0 +1,106 @@
+"""Source/sink format round-trips in the GRADED surface: each query
+writes a slice of `events` to a non-parquet format in a fresh temp
+dir, reads it back with an explicit schema, and aggregates — proving
+the engine's CSV and JSON read/write paths under the oracle contract
+(the reference's serde surface is byte[]/String/proto per route,
+streams.clj:31-32; a Spark engine's equivalent breadth is its file
+formats).
+
+The aggregate is computed from the re-read copy, the oracle from the
+original table — they match only if the round-trip is lossless for
+the projected columns. Timestamps are carried as ISO strings (CSV
+has no type system; JSON round-trips them as strings by schema), and
+doubles as exact integer hundredths.
+
+Scale shape: writes repartition to a handful of files locally but
+the path is the standard distributed writer — at 100 TB the same
+plan writes one file per task with no driver involvement.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+_AGG_ORACLE = (
+    "SELECT event_type, count(*) AS n, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100, "
+    "min(event_id) AS min_id, max(event_id) AS max_id "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _projected(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        F.col("ts").cast("string").alias("ts_iso"),
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v100").alias("sv100"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RT_SCHEMA = "event_id BIGINT, event_type STRING, v100 BIGINT, ts_iso STRING"
+
+
+@register(
+    "x_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc=(
+        "CSV sink → source round-trip: write the projected events "
+        "slice as headered CSV, read it back with an explicit "
+        "schema (never inferSchema — a second full scan at 100 TB), "
+        "aggregate the copy. Matching the oracle (which reads the "
+        "original parquet) proves the format path is lossless for "
+        "typed integer/string columns."
+    ),
+    tags=("sources", "csv"),
+)
+def x_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # the temp dir outlives the call — the returned plan reads from it
+    # lazily (no collect/createDataFrame: the result stays JVM-side)
+    out = tempfile.mkdtemp(prefix="zs_csv_rt_")
+    path = os.path.join(out, "events_csv")
+    _projected(spark, sf).write.mode("overwrite").option("header", "true").csv(
+        path
+    )
+    back = spark.read.schema(_RT_SCHEMA).option("header", "true").csv(path)
+    return _agg(back)
+
+
+@register(
+    "x_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc=(
+        "JSON-lines sink → source round-trip with an explicit read "
+        "schema — the same path the JSON middleware (T6, "
+        "middleware/json.clj) rides in streaming routes, proven "
+        "lossless under the oracle contract. Schema-on-read keeps "
+        "the parse single-pass and columnar."
+    ),
+    tags=("sources", "json"),
+)
+def x_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_json_rt_")
+    path = os.path.join(out, "events_json")
+    _projected(spark, sf).write.mode("overwrite").json(path)
+    back = spark.read.schema(_RT_SCHEMA).json(path)
+    return _agg(back)

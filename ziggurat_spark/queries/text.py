@@ -334,3 +334,90 @@ def x_doc_frequency(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
         .orderBy("word")
     )
+
+
+@register(
+    "x_stratified_sample",
+    oracle=(
+        "SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum "
+        "FROM (SELECT lang, doc_id, "
+        "((doc_id % 1048576) * 2654435761) % 100 AS b FROM documents) "
+        "WHERE b < (CASE WHEN lang = 'en' THEN 30 ELSE 80 END) "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    doc=(
+        "Stratified deterministic sampling: per-language rates "
+        "(downsample the dominant 'en' to 30%, keep 80% of the "
+        "rest — the rebalancing step of a training-data mix) via the "
+        "same Knuth multiplicative hash as x_hash_split, so the "
+        "sample is reproducible across runs/engines/cluster sizes, "
+        "unlike rand(). id_sum is the checksum that proves the SAME "
+        "rows were chosen, not just the same count. Pure column "
+        "math, one tiny agg shuffle, no sort of the fact table."
+    ),
+    tags=("text", "sampling"),
+)
+def x_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    b = (F.col("doc_id") % 1048576) * F.lit(2654435761) % 100
+    rate = F.when(F.col("lang") == "en", 30).otherwise(80)
+    return (
+        d.select("lang", "doc_id", b.alias("b"), rate.alias("rate"))
+        .filter(F.col("b") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x_tfidf_topterms",
+    oracle=(
+        "WITH tf AS (SELECT doc_id, w AS word, count(*) AS tf FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents) WHERE w <> '' GROUP BY doc_id, w), "
+        "dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "scored AS (SELECT t.doc_id, t.word, "
+        "(t.tf * 1000000) // d.df AS score "
+        "FROM tf t JOIN dfreq d ON d.word = t.word) "
+        "SELECT doc_id, word, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, word) AS rn FROM scored) t "
+        "WHERE rn <= 3 ORDER BY doc_id, word"
+    ),
+    doc=(
+        "TF-IDF top-3 terms per document — the keyword-extraction "
+        "step over x_doc_frequency's exact integer core. The idf is "
+        "the integer surrogate tf·10⁶ div df (floor division agrees "
+        "across engines for positive ints; a float log would drift "
+        "with libm). Plan: explode → (doc,word) agg → word-keyed df "
+        "join → doc-partitioned row_number. At 100 TB the df side is "
+        "vocabulary-sized — it shuffles on word (Zipf skew handled "
+        "by AQE) while the top-k window partitions by doc, never a "
+        "global sort."
+    ),
+    tags=("text", "window", "topk"),
+)
+def x_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "word").select(
+        "doc_id",
+        "word",
+        F.expr("tf * 1000000 div df").alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "score")
+        .orderBy("doc_id", "word")
+    )

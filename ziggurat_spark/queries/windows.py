@@ -181,3 +181,54 @@ def x_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+@register(
+    "x_window_frames",
+    oracle=(
+        "SELECT event_id, lead(event_id) OVER w AS next_id, "
+        "nth_value(event_id, 2) OVER w AS second_id, "
+        "cume_dist() OVER w AS cd, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS hour_sum "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Frame-spec pack: lead / nth_value (default running frame) / "
+        "cume_dist plus a RANGE frame over epoch seconds (trailing "
+        "1-hour sum — the kafka_delay-style trailing metric as a "
+        "window). The RANGE ordering key is a BIGINT epoch on both "
+        "engines (interval-typed range frames differ in spelling); "
+        "the trailing sum is exact hundredths. lead/nth_value/"
+        "cume_dist share one window spec → one exchange + sort; the "
+        "RANGE frame adds a second sort on the same partitioning, no "
+        "extra shuffle."
+    ),
+    tags=("window", "frames"),
+)
+def x_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.lead("event_id").over(w).alias("next_id"),
+            F.nth_value("event_id", 2).over(w).alias("second_id"),
+            F.cume_dist().over(w).alias("cd"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .over(wr)
+            .cast("bigint")
+            .alias("hour_sum"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
