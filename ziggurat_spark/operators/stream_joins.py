@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 JOIN_TYPES = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}
 
 
+def _carries_watermark(df: DataFrame, ts_col: str) -> bool:
+    """True if ``ts_col`` is already an event-time column (its
+    watermark survives projection as column metadata). Re-applying
+    withWatermark to such a column is a redefinition error in a
+    chained stream-stream join (J4's hop 2+, where the band timestamp
+    is extracted from the accumulated struct)."""
+    try:
+        meta = df.schema[ts_col].metadata
+    except KeyError:
+        return False
+    return bool(meta) and "spark.watermarkDelayMs" in meta
+
+
+
+
 def windowed_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,6 +55,7 @@ def windowed_join(
     left_name: str = "left",
     right_name: str = "right",
     watermark: str | None = None,
+    keep_band: bool = False,
 ) -> DataFrame:
     """J1/J2/J3: one windowed pair join.
 
@@ -48,6 +64,16 @@ def windowed_join(
     map. ``watermark`` (e.g. "10 seconds") defaults to the join
     window; outer joins REQUIRE it (Spark enforces this, matching the
     semantics the reference gets implicitly from window retention).
+
+    The emitted structs carry metadata-FREE fields (the event-time
+    tag must not leak through struct extraction — a downstream
+    stateful operator would see two event-time columns); the band
+    key/timestamp live as separate top-level columns, and
+    ``keep_band=True`` keeps them in the output as ``_band_key`` /
+    ``_band_ts`` with the left side's watermark tag intact. That
+    tagged column is how a J4 chain hop hands its watermark to the
+    next hop — re-applying withWatermark downstream of a join is a
+    redefinition error, so propagation is the only route.
     """
     if join_type not in JOIN_TYPES:
         raise ValueError(
@@ -55,29 +81,38 @@ def windowed_join(
             "(:join-cfg :join-type)"
         )
     wm = watermark or f"{max(join_window_ms, 1000) // 1000} seconds"
-    lcols = [c for c in left.columns]
-    rcols = [c for c in right.columns]
     l = left
     r = right
-    if l.isStreaming:
+    if l.isStreaming and not _carries_watermark(l, ts_col):
         l = l.withWatermark(ts_col, wm)
-    if r.isStreaming:
+    if r.isStreaming and not _carries_watermark(r, ts_col):
         r = r.withWatermark(ts_col, wm)
-    l = l.select(F.struct(*lcols).alias("_l")).select(
-        F.col("_l").alias(left_name),
-        F.col(f"{left_name}.{key_col}").alias("_lk"),
-        F.col(f"{left_name}.{ts_col}").alias("_lt"),
+    l = l.select(
+        F.struct(
+            *[F.col(c).alias(c, metadata={}) for c in l.columns]
+        ).alias(left_name),
+        F.col(key_col).alias("_lk"),
+        F.col(ts_col).alias("_lt"),
     )
-    r = r.select(F.struct(*rcols).alias("_r")).select(
-        F.col("_r").alias(right_name),
-        F.col(f"{right_name}.{key_col}").alias("_rk"),
-        F.col(f"{right_name}.{ts_col}").alias("_rt"),
+    r = r.select(
+        F.struct(
+            *[F.col(c).alias(c, metadata={}) for c in r.columns]
+        ).alias(right_name),
+        F.col(key_col).alias("_rk"),
+        F.col(ts_col).alias("_rt"),
     )
     band = F.expr(
         f"_rt BETWEEN _lt - INTERVAL {join_window_ms} MILLISECONDS "
         f"AND _lt + INTERVAL {join_window_ms} MILLISECONDS"
     )
     joined = l.join(r, (F.col("_lk") == F.col("_rk")) & band, JOIN_TYPES[join_type])
+    if keep_band:
+        return joined.select(
+            left_name,
+            right_name,
+            F.col("_lk").alias("_band_key"),
+            F.col("_lt").alias("_band_ts"),
+        )
     return joined.select(left_name, right_name)
 
 
@@ -101,28 +136,29 @@ def windowed_join_chain(
 
     # Accumulator: flat DataFrame with (key, ts) carried from the
     # FIRST stream (cfg taken from the left element, streams.clj:175)
-    # plus one struct column per already-joined stream.
+    # plus one struct column per already-joined stream. The carried
+    # (key, ts) are the join's _band_* outputs — direct aliases of
+    # stream 1's watermarked attribute, so each hop's tagged event
+    # time PROPAGATES to the next (withWatermark cannot be re-applied
+    # downstream of a stateful operator).
     (name0, df0), (name1, df1) = streams[0], streams[1]
     acc = windowed_join(
         df0, df1, join_window_ms, join_type,
         key_col=key_col, ts_col=ts_col, left_name=name0, right_name=name1,
-    ).select(
-        F.col(name0),
-        F.col(name1),
-        F.col(f"{name0}.{key_col}").alias(key_col),
-        F.col(f"{name0}.{ts_col}").alias(ts_col),
-    )
+        keep_band=True,
+    ).withColumnsRenamed({"_band_key": key_col, "_band_ts": ts_col})
     joined_names = [name0, name1]
     for rname, rdf in streams[2:]:
         step = windowed_join(
             acc, rdf, join_window_ms, join_type,
             key_col=key_col, ts_col=ts_col, left_name="_acc", right_name=rname,
+            keep_band=True,
         )
         acc = step.select(
             *[F.col(f"_acc.{n}").alias(n) for n in joined_names],
             F.col(rname),
-            F.col(f"_acc.{key_col}").alias(key_col),
-            F.col(f"_acc.{ts_col}").alias(ts_col),
+            F.col("_band_key").alias(key_col),
+            F.col("_band_ts").alias(ts_col),
         )
         joined_names.append(rname)
     return acc.select(*joined_names)

@@ -486,3 +486,67 @@ def x_stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).orderBy("win_start")
+
+
+@register(
+    "x_stream_join_chain",
+    oracle=(
+        "SELECT a.event_id AS click_id, b.event_id AS view_id, "
+        "c.event_id AS purchase_id FROM "
+        "(SELECT * FROM events WHERE event_type = 'click') a "
+        "JOIN (SELECT * FROM events WHERE event_type = 'view') b "
+        "ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') c "
+        "ON a.user_id = c.user_id "
+        "AND c.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "ORDER BY click_id, view_id, purchase_id LIMIT 5000"
+    ),
+    doc=(
+        "J4 — the reference's N-way join chain (streams.clj:163-179, "
+        "gated alpha feature) — as a REAL chained stream-stream "
+        "join: three readStream sources reduced pairwise by "
+        "windowed_join_chain, join key and band timestamp carried "
+        "from the FIRST stream exactly as the reference takes "
+        "join-cfg from the left element (reduce at streams.clj:175). "
+        "Each hop is an independent stateful join shuffling on the "
+        "key; inner semantics emit eagerly so no watermark-flush "
+        "cutoff is needed. The batch oracle spells both bands "
+        "against stream 1's timestamp."
+    ),
+    tags=("streaming", "join", "window"),
+)
+def x_stream_join_chain(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.stream_joins import windowed_join_chain
+
+    def typed(t: str) -> DataFrame:
+        return _stream_events(spark, sf).filter(F.col("event_type") == t)
+
+    chained = windowed_join_chain(
+        [("click", typed("click")), ("view", typed("view")),
+         ("purchase", typed("purchase"))],
+        join_window_ms=3_600_000,
+        join_type="inner",
+        key_col="user_id",
+        ts_col="ts",
+    ).select(
+        F.col("click.event_id").alias("click_id"),
+        F.col("view.event_id").alias("view_id"),
+        F.col("purchase.event_id").alias("purchase_id"),
+    )
+    name = f"stream_chain_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            chained.writeStream.queryName(name)
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .orderBy("click_id", "view_id", "purchase_id")
+        .limit(5000)
+    )
