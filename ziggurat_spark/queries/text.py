@@ -421,3 +421,54 @@ def x_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "word", "score")
         .orderBy("doc_id", "word")
     )
+
+
+@register(
+    "x_multimodal_decode",
+    oracle=(
+        "SELECT count(*) AS n_ok, "
+        "CAST(sum(CAST(('0x' || substr(h, 1, 2)) AS INT)) AS BIGINT) "
+        "AS b1_sum, "
+        "CAST(sum(CAST(('0x' || substr(h, 3, 2)) AS INT)) AS BIGINT) "
+        "AS b2_sum, "
+        "CAST(sum(CAST(('0x' || substr(h, 31, 2)) AS INT)) AS BIGINT) "
+        "AS b16_sum "
+        "FROM (SELECT sha256(text || repeat(chr(0), 4)) AS h "
+        "FROM documents) t"
+    ),
+    doc=(
+        "Multimodal decode+featurize through the REAL Arrow/"
+        "mapInPandas path (operators/multimodal.decode_and_featurize "
+        "over documents_as_assets): the deterministic fake codec "
+        "sha256-expands content bytes into a float feature vector, "
+        "and the oracle independently recomputes the same bytes with "
+        "DuckDB's sha256 (content ‖ 4 zero counter bytes) — so the "
+        "batching, binary transport, float32 quantization (k/256 is "
+        "exact in fp32) and null contract are all hash-checked, not "
+        "just smoke-tested. Swapping in a real image codec changes "
+        "only the codec fn (NotImplementedError seam), never this "
+        "plan: embarrassingly parallel, zero shuffle before the "
+        "1-row agg."
+    ),
+    tags=("multimodal", "udf"),
+)
+def x_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.multimodal import (
+        decode_and_featurize,
+        documents_as_assets,
+    )
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    dec = decode_and_featurize(documents_as_assets(d), feature_dim=16)
+
+    def byte_at(i: int):
+        return F.round(
+            F.element_at(F.col("feature"), i).cast("double") * 256
+        ).cast("bigint")
+
+    return dec.filter(F.col("decoded_ok")).agg(
+        F.count("*").alias("n_ok"),
+        F.sum(byte_at(1)).alias("b1_sum"),
+        F.sum(byte_at(2)).alias("b2_sum"),
+        F.sum(byte_at(16)).alias("b16_sum"),
+    )
