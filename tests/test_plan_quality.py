@@ -314,3 +314,19 @@ def test_function_packs_single_pruned_scan(spark, specs):
             name,
             schemas,
         )
+
+
+def test_partitioned_pruning_actually_prunes(spark, specs):
+    """x_partitioned_pruning: the event_type IN filter must appear as
+    a PartitionFilter on the parquet scan (directory pruning before
+    I/O), not just a post-scan Filter."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_partitioned_pruning", spark)
+    plan = formatted_plan(df)
+    m = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "event_type" in ln
+    ]
+    assert m, plan

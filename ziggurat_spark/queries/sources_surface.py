@@ -104,3 +104,42 @@ def x_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     _projected(spark, sf).write.mode("overwrite").json(path)
     back = spark.read.schema(_RT_SCHEMA).json(path)
     return _agg(back)
+
+
+@register(
+    "x_partitioned_pruning",
+    oracle=(
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100 "
+        "FROM events WHERE event_type IN ('click', 'view') "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "Hive-style partitioned write → partition-pruned read: events "
+        "written partitionBy(event_type), re-read with an IN filter "
+        "that must prune to 2 of 5 directories BEFORE any I/O (the "
+        "plan's PartitionFilters, asserted in test_plan_quality) — "
+        "the single most important layout decision at 100 TB, where "
+        "a date/tenant partition column turns a full-corpus scan "
+        "into a touched-partitions scan. The partition column comes "
+        "back as a directory-derived string; values aggregate "
+        "exactly as the original-table oracle."
+    ),
+    tags=("sources", "partitioning", "pushdown"),
+)
+def x_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_part_prune_")
+    path = os.path.join(out, "events_by_type")
+    load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    ).write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("v100").alias("sv100"))
+        .orderBy("event_type")
+    )
+    return back
