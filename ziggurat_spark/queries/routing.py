@@ -224,3 +224,73 @@ def x_deadset_replay(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(dead_after).cast("bigint").alias("dead_after"),
         F.lit(offset_sum_after).cast("bigint").alias("offset_sum_after"),
     )
+
+
+@register(
+    "x_retry_pump",
+    oracle=(
+        "SELECT CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS pumped, CAST(0 AS BIGINT) AS still_queued, "
+        "CAST(sum(CASE WHEN value < 10 THEN event_id ELSE 0 END) AS BIGINT) "
+        "AS offset_sum FROM events"
+    ),
+    doc=(
+        "The retry PUMP loop (S4/K5: delay-queue → instant-queue "
+        "re-delivery, messaging/consumer.clj:122-135 + "
+        "producer.clj:302-316) graded end-to-end: the route "
+        "dead-ends value<10 rows into the retry table with "
+        "next_attempt_at = now + backoff, then pump(now → +1h) "
+        "delivers every due row to a succeeding handler and "
+        "atomically swaps the queue. Graded: how many pumped, that "
+        "the queue drained to zero, and the offset checksum proving "
+        "exactly the retried rows were delivered. Backoff timestamps "
+        "are wall-clock so the oracle grades set identity, not "
+        "timing — the reference's own guarantee is also only "
+        "'not before the TTL' (SURVEY §7.3)."
+    ),
+    tags=("routing", "retry", "streaming"),
+)
+def x_retry_pump(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    from ziggurat_spark.queries.streaming_surface import _stream_events
+    from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+
+    workdir = tempfile.mkdtemp(prefix="zs_retry_pump_")
+    engine = ZigguratEngine(spark, workdir, app_name="retry_pump_query")
+    route = Route(
+        name="pump_route",
+        source=lambda: _stream_events(spark, sf).withColumn(
+            "offset", F.col("event_id")
+        ),
+        handler=lambda df: df.withColumn(
+            "outcome", outcome_expr(F.col("value"))
+        ),
+        oldest_processed_s=None,
+        timestamp_col="ts",
+    )
+    engine.register_route(route)
+    q = engine.start_route("pump_route", trigger_available_now=True)
+    q.awaitTermination()
+
+    delivered: dict[str, int] = {"n": 0, "s": 0}
+
+    def process(env) -> None:
+        row = env.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("offset"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        delivered["n"] += row["n"]
+        delivered["s"] += row["s"]
+
+    horizon = datetime.now(timezone.utc) + timedelta(hours=1)
+    pumped = engine.fabric.pump("pump_route", process, now=horizon)
+    assert pumped == delivered["n"]
+    left = engine.fabric.due("pump_route", now=horizon)
+    still = left.count() if left is not None else 0
+    return spark.range(1).select(
+        F.lit(pumped).cast("bigint").alias("pumped"),
+        F.lit(still).cast("bigint").alias("still_queued"),
+        F.lit(delivered["s"]).cast("bigint").alias("offset_sum"),
+    )
