@@ -1,0 +1,203 @@
+"""Second function-surface pack: ordered-argument aggregates,
+ordered string aggregation, bitwise/boolean aggregates, higher-order
+array functions, and generator-with-ordinality — the remaining
+everyday expression surface a user would expect from an engine that
+claims full query capability (SURVEY §2.2 "Registered beyond
+Z01–Z28").
+
+All five stay JVM-side (no Python in the plan): the aggregates are
+hash-aggregate with map-side partials, the higher-order lambdas run
+inside codegen, and the generator is a Generate node over one scan.
+Tie-breaking everywhere is via a composite BIGINT ordering key that
+embeds the unique event_id, so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+# value ∈ [0, ~100] → v100 ≤ ~10_000; okey = v100·1e11 + event_id is
+# unique (event_id ≪ 1e11) and fits BIGINT with 3 orders of headroom.
+_OKEY_SQL = "CAST(round(value * 100) AS BIGINT) * 100000000000 + event_id"
+
+
+@register(
+    "x_argminmax",
+    oracle=(
+        "SELECT event_type, "
+        "arg_max(event_id, okey) AS max_id, "
+        "arg_min(event_id, okey) AS min_id, "
+        "CAST(max(okey) // 100000000000 AS BIGINT) AS max_v100 "
+        "FROM (SELECT event_type, event_id, "
+        f"{_OKEY_SQL} AS okey FROM events) s "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "Ordered-argument aggregates: max_by/min_by (DuckDB "
+        "arg_max/arg_min) — 'which record had the extreme value', the "
+        "aggregate form of the dead-set peek (R7, LIMIT-by-order). "
+        "Ties are impossible because the ordering key embeds the "
+        "unique event_id. Hash aggregate with map-side partials: one "
+        "shuffle of (event_type → 2 bigints), independent of row "
+        "count — survives 100 TB trivially."
+    ),
+    tags=("functions", "agg"),
+)
+def x_argminmax(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").withColumn("okey", F.expr(_OKEY_SQL))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("max_by(event_id, okey)").alias("max_id"),
+            F.expr("min_by(event_id, okey)").alias("min_id"),
+            (F.max("okey") / F.lit(100000000000))
+            .cast("bigint")
+            .alias("max_v100"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x_string_agg",
+    oracle=(
+        "SELECT lang, count(*) AS n, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    doc=(
+        "Ordered string aggregation (LISTAGG): Spark spells it "
+        "array_sort(collect_list) → transform(cast) → array_join, "
+        "DuckDB as string_agg(… ORDER BY …) — same deterministic "
+        "output. collect_list order is undefined under parallelism, "
+        "so the sort AFTER collection is what makes this "
+        "cluster-safe. Per-group payload is bounded by group "
+        "cardinality (languages), not table size; at 100 TB you'd "
+        "cap or sketch unbounded groups instead."
+    ),
+    tags=("functions", "agg", "string"),
+)
+def x_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    ids = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"), ids.alias("ids"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x_bit_bool_aggregates",
+    oracle=(
+        "SELECT event_type, "
+        "bit_and(m) AS ba, bit_or(m) AS bo, bit_xor(m) AS bx, "
+        "bool_and(value > 0.5) AS all_hi, bool_or(value > 99.5) AS any_top "
+        "FROM (SELECT event_type, value, event_id % 4096 AS m FROM events) s "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "Bitwise and boolean aggregates: bit_and/bit_or/bit_xor over "
+        "a 12-bit field plus bool_and/bool_or (every/any) — the "
+        "flag-accumulation shapes of metrics tallies "
+        "(consumer_handler.clj:59-65 success/skip/retry rollups as "
+        "bitmasks). All are associative+commutative → map-side "
+        "partials, one tiny shuffle."
+    ),
+    tags=("functions", "agg", "bitwise"),
+)
+def x_bit_bool_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").withColumn(
+        "m", F.col("event_id") % 4096
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("bit_and(m)").alias("ba"),
+            F.expr("bit_or(m)").alias("bo"),
+            F.expr("bit_xor(m)").alias("bx"),
+            F.expr("bool_and(value > 0.5)").alias("all_hi"),
+            F.expr("bool_or(value > 99.5)").alias("any_top"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x_higher_order_arrays",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(coalesce(list_sum(list_filter(list_transform("
+        "string_split(text, ' '), w -> len(w)), x -> x > 3)), 0) "
+        "AS BIGINT) AS long_chars, "
+        "CAST(len(list_filter(list_transform(string_split(text, ' '), "
+        "w -> len(w)), x -> x > 3)) AS INT) AS long_words, "
+        "len(list_filter(list_transform(string_split(text, ' '), "
+        "w -> len(w)), x -> x > 8)) > 0 AS has_giant "
+        "FROM documents ORDER BY doc_id"
+    ),
+    doc=(
+        "Higher-order array functions: transform → filter → "
+        "aggregate (fold) and exists — Spark lambda expressions "
+        "compiled into codegen, DuckDB list_transform/list_filter/"
+        "list_sum. This is the collection-processing surface the "
+        "JSON/proto middleware (T4–T6) feeds: repeated fields become "
+        "arrays and never need Python. Pure projection, one scan, "
+        "zero shuffles."
+    ),
+    tags=("functions", "array", "lambda"),
+)
+def x_higher_order_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    lens = F.transform(F.split("text", " "), lambda w: F.length(w))
+    long_lens = F.filter(lens, lambda x: x > 3)
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            long_lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("long_chars"),
+        F.size(long_lens).cast("int").alias("long_words"),
+        F.exists(lens, lambda x: x > 8).alias("has_giant"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_posexplode_ordinal",
+    oracle=(
+        "SELECT doc_id, pos, word FROM ("
+        "SELECT doc_id, "
+        "generate_subscripts(string_split(text, ' '), 1) AS pos, "
+        "unnest(string_split(text, ' ')) AS word "
+        "FROM documents) s "
+        "ORDER BY doc_id, pos LIMIT 20000"
+    ),
+    doc=(
+        "Generator with ordinality: posexplode (DuckDB unnest zipped "
+        "with generate_subscripts) — the tokenizer exploded to one "
+        "row per (doc, position), the input shape of the n-gram/"
+        "doc-frequency family. Generate node directly over the scan; "
+        "output cardinality is Σ words, but it streams through the "
+        "pipeline (no materialization) into the bounded top-K sort. "
+        "1-based positions on both engines."
+    ),
+    tags=("functions", "generator", "text"),
+)
+def x_posexplode_ordinal(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p", "word")
+        )
+        .select("doc_id", (F.col("p") + 1).alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+        .limit(20000)
+    )

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         dedup,
         envelope,
+        functions_more,
         functions_surface,
         joins,
         pricing,

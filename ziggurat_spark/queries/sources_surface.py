@@ -107,6 +107,27 @@ def x_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc=(
+        "ORC sink → source round-trip: the third columnar format "
+        "(after parquet, the native testdata format) — typed, "
+        "stats-bearing, predicate-pushdown-capable, and fully "
+        "splittable, so the same plan shape holds at 100 TB. The "
+        "re-read uses the writer's embedded schema (ORC is "
+        "self-describing; no inferSchema scan needed)."
+    ),
+    tags=("sources", "orc"),
+)
+def x_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_orc_rt_")
+    path = os.path.join(out, "events_orc")
+    _projected(spark, sf).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return _agg(back)
+
+
+@register(
     "x_partitioned_pruning",
     oracle=(
         "SELECT event_type, count(*) AS n, "

@@ -550,3 +550,50 @@ def x_stream_join_chain(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("click_id", "view_id", "purchase_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_stream_stateful_counts",
+    oracle=(
+        "SELECT event_type AS key, count(*) AS total "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Custom stateful streaming operator: per-key running counts "
+        "via applyInPandasWithState (Arrow-batched GroupState, "
+        "streaming/stateful.py keyed_running_counts) — the engine's "
+        "primitive for handler state the built-in aggregates can't "
+        "express (SURVEY §2.1 notes ziggurat is stateless by design; "
+        "this is the declared superset). Update-mode emits one "
+        "(key, running_total) row per key per micro-batch; the final "
+        "total per key is the max of a monotone counter, so the "
+        "result equals the batch groupBy count regardless of how "
+        "availableNow splits the input into batches. State is one "
+        "long per key, shuffled once on the grouping key."
+    ),
+    tags=("streaming", "stateful"),
+)
+def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.streaming.stateful import keyed_running_counts
+
+    src = _stream_events(spark, sf).select(
+        F.col("event_type").cast("string").alias("key")
+    )
+    counted = keyed_running_counts(src, "key")
+    name = f"stream_stateful_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            counted.writeStream.queryName(name)
+            .outputMode("update")
+            .format("memory")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(F.max("total_rows").alias("total"))
+        .orderBy("key")
+    )
