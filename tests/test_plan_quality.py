@@ -10,6 +10,7 @@ from ziggurat_spark.plans import (
     has_cartesian_product,
     pushed_filters,
     scan_read_schemas,
+    shuffle_exchange_count,
 )
 from ziggurat_spark.queries import all_queries
 
@@ -330,3 +331,36 @@ def test_partitioned_pruning_actually_prunes(spark, specs):
         if "PartitionFilters" in ln and "event_type" in ln
     ]
     assert m, plan
+
+
+def test_unpivot_single_expand_single_scan(spark, specs):
+    """x_unpivot: the 3-measure melt is one Expand over one scan —
+    NOT the oracle's 3-scan UNION ALL spelling (3× the I/O at
+    100 TB)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(q(specs, "x_unpivot", spark))
+    assert len(re.findall(r"\n\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_argminmax_single_shuffle(spark, specs):
+    """x_argminmax: map-side partial agg → one hash exchange on the
+    5-value group key; nothing else moves."""
+    df = q(specs, "x_argminmax", spark)
+    assert shuffle_exchange_count(df) <= 2  # agg + deterministic sort
+    from ziggurat_spark.plans import formatted_plan
+
+    assert "partial_" in formatted_plan(df).lower() or "HashAggregate" in formatted_plan(df)
+
+
+def test_higher_order_arrays_no_shuffle_scan_pruned(spark, specs):
+    """x_higher_order_arrays: lambda chain is pure projection — the
+    only exchange is the final deterministic sort; the scan reads
+    only doc_id + text."""
+    df = q(specs, "x_higher_order_arrays", spark)
+    assert shuffle_exchange_count(df) <= 1
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1 and "text" in schemas[0] and "lang" not in schemas[0]

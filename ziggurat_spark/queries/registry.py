@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         joins,
         pricing,
         routing,
+        semistructured,
         setops,
         sources_surface,
         similarity,

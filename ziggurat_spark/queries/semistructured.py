@@ -1,0 +1,153 @@
+"""Semi-structured & reshaping pack: map and struct construction/
+extraction/serialization, interval arithmetic, and wide→long unpivot.
+
+These are the column shapes the middleware layer produces — proto
+messages become structs, repeated k/v pairs become maps (SURVEY §1.1:
+``google.protobuf.Struct`` fields are exactly this), and metric
+tallies get reshaped long for sinks. Everything is a single-scan
+codegen projection (unpivot adds an Expand node: k output rows per
+input row, still narrow and shuffle-free before the final sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+
+@register(
+    "x_map_struct_functions",
+    oracle=(
+        "SELECT event_id, "
+        "map(['t','id'], [event_type, CAST(event_id AS VARCHAR)])['t'][1] "
+        "AS from_map, "
+        "to_json(struct_pack(t := event_type, v := CAST(round(value * 100) "
+        "AS BIGINT))) AS js, "
+        "CAST(cardinality(map(['t','id'], "
+        "[event_type, CAST(event_id AS VARCHAR)])) AS INT) AS map_n "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Map + struct surface: build a map, extract by key, build a "
+        "struct and serialize to JSON (identical compact spelling on "
+        "both engines), count map entries — the columnar form of the "
+        "protobuf Struct flattener (T5, middleware/default.clj:9-34): "
+        "dynamic k/v payloads stay typed columns instead of Python "
+        "dicts. Pure projection in one codegen span."
+    ),
+    tags=("functions", "map", "struct", "json"),
+)
+def x_map_struct_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("t"), F.lit("id")),
+        F.array(F.col("event_type"), F.col("event_id").cast("string")),
+    )
+    st = F.struct(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    return (
+        e.select(
+            "event_id",
+            m.getItem("t").alias("from_map"),
+            F.to_json(st).alias("js"),
+            F.size(m).cast("int").alias("map_n"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
+
+
+@register(
+    "x_interval_arithmetic",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(ts + INTERVAL 90 MINUTE AS VARCHAR) AS plus90m, "
+        "CAST(ts - INTERVAL 3 DAY AS VARCHAR) AS minus3d, "
+        "CAST(date_trunc('hour', ts) + INTERVAL 30 MINUTE AS VARCHAR) "
+        "AS half_past, "
+        "CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) "
+        "AS BIGINT) AS mins_since "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Interval arithmetic: timestamp ± INTERVAL, truncate-then-"
+        "offset, and minute deltas against a literal epoch — the "
+        "building blocks of backoff horizons (R3: next_attempt_at = "
+        "now + interval) and the staleness cutoff (T2), spelled "
+        "without wall-clock so the oracle hash is stable. Timestamps "
+        "emitted as ISO strings (FIXTURES §3 contract)."
+    ),
+    tags=("functions", "datetime", "interval"),
+)
+def x_interval_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    ts = F.col("ts")
+    return (
+        e.select(
+            "event_id",
+            (ts + F.expr("INTERVAL 90 MINUTE")).cast("string").alias("plus90m"),
+            (ts - F.expr("INTERVAL 3 DAY")).cast("string").alias("minus3d"),
+            (F.date_trunc("hour", ts) + F.expr("INTERVAL 30 MINUTE"))
+            .cast("string")
+            .alias("half_past"),
+            (
+                (ts.cast("long") - F.lit("2024-01-01 00:00:00").cast("timestamp").cast("long"))
+                / 60
+            )
+            .cast("bigint")
+            .alias("mins_since"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
+
+
+@register(
+    "x_unpivot",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, measure, v100 FROM ("
+        "SELECT l_orderkey, l_linenumber, 'price' AS measure, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v100 FROM lineitem "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'qty' AS measure, "
+        "CAST(round(l_quantity * 100) AS BIGINT) AS v100 FROM lineitem "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'tax' AS measure, "
+        "CAST(round(l_tax * 100) AS BIGINT) AS v100 FROM lineitem) u "
+        "ORDER BY l_orderkey, l_linenumber, measure LIMIT 20000"
+    ),
+    doc=(
+        "Wide→long unpivot (melt): three lineitem measures become "
+        "(measure, value) rows — the inverse of x_pivot_event_counts "
+        "and the shape metric sinks want (one row per counter, "
+        "metrics.clj:82-111). Spark's unpivot is a single Expand "
+        "node (3 output rows per input, one scan — NOT three scans "
+        "like the oracle's UNION ALL spelling); the plan-quality "
+        "suite pins exactly one Expand and one scan. Values in exact "
+        "integer hundredths."
+    ),
+    tags=("functions", "reshape"),
+)
+def x_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty"),
+        F.expr("CAST(round(l_tax * 100) AS BIGINT)").alias("tax"),
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["price", "qty", "tax"],
+            "measure",
+            "v100",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+        .limit(20000)
+    )
