@@ -364,3 +364,12 @@ def test_higher_order_arrays_no_shuffle_scan_pruned(spark, specs):
     assert shuffle_exchange_count(df) <= 1
     schemas = scan_read_schemas(df)
     assert len(schemas) == 1 and "text" in schemas[0] and "lang" not in schemas[0]
+
+
+def test_lateral_topn_decorrelates(spark, specs):
+    """x_lateral_topn: the correlated LIMIT subquery decorrelates to
+    ranked windows + one broadcast join — never a per-outer-row
+    rescan (CartesianProduct) of supplier."""
+    df = q(specs, "x_lateral_topn", spark)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 1

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         setops,
         sources_surface,
         similarity,
+        stats_lateral,
         skew_surface,
         streaming_surface,
         text,
