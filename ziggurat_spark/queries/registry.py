@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         functions_more,
         functions_surface,
         joins,
+        ngrams,
         pricing,
         routing,
         semistructured,
