@@ -373,3 +373,17 @@ def test_lateral_topn_decorrelates(spark, specs):
     df = q(specs, "x_lateral_topn", spark)
     assert not has_cartesian_product(df)
     assert broadcast_join_count(df) >= 1
+
+
+def test_range_join_rides_equi_key(spark, specs):
+    """x_range_join: interval containment must execute as a hash join
+    on user_id with the range check residual — never a nested loop
+    over all (window, event) pairs."""
+    df = q(specs, "x_range_join", spark)
+    assert not has_cartesian_product(df)
+    from ziggurat_spark.plans import formatted_plan
+
+    import re
+
+    joins = re.findall(r"\n\(\d+\) (\w*Join\w*)", formatted_plan(df))
+    assert joins and all("NestedLoop" not in j for j in joins), joins

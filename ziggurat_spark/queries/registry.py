@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skew_surface,
         streaming_surface,
         text,
+        timeseries,
         tpch_more,
         tpch_sub,
         windows,

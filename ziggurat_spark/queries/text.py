@@ -472,3 +472,54 @@ def x_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(byte_at(2)).alias("b2_sum"),
         F.sum(byte_at(16)).alias("b16_sum"),
     )
+
+
+@register(
+    "x_multimodal_frames",
+    oracle=(
+        "WITH f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+        "sha256(text || repeat(chr(0), 3) || chr(CAST(i AS INT))) AS h "
+        "FROM documents, "
+        "unnest(range(0, least(32, len(text) // 100 + 1))) AS t(i)) "
+        "SELECT frame_idx, count(*) AS n, "
+        "CAST(sum(CAST(('0x' || substr(h, 1, 2)) AS INT)) AS BIGINT) "
+        "AS b1_sum, "
+        "CAST(sum(frame_idx * 1000) AS BIGINT) AS ts_sum "
+        "FROM f GROUP BY frame_idx ORDER BY frame_idx"
+    ),
+    doc=(
+        "Video frame-sampling through the REAL mapInPandas fan-out "
+        "path (operators/multimodal.sample_frames: one asset row → N "
+        "frame rows, N data-dependent from meta.duration_ms — the "
+        "shape a scalar UDF cannot produce): frames at 1000 ms "
+        "spacing capped at 32, each frame's bytes from the "
+        "deterministic fake codec sha256(content ‖ 4-byte "
+        "big-endian index), which the oracle recomputes "
+        "independently in DuckDB (counter < 256 → 3 NULs + chr(i)). "
+        "Per-frame-index counts, first-byte sums and timestamp sums "
+        "hash-check the fan-out cardinality, the binary transport "
+        "AND the frame payloads. Embarrassingly parallel; the only "
+        "shuffle is the 32-row aggregate."
+    ),
+    tags=("multimodal", "udf", "streaming-adjacent"),
+)
+def x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    frames = sample_frames(
+        documents_as_assets(d, modality="video"), every_ms=1000, max_frames=32
+    )
+    b1 = F.conv(F.hex(F.col("frame")).substr(1, 2), 16, 10).cast("bigint")
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(b1).alias("b1_sum"),
+            F.sum("frame_ts_ms").alias("ts_sum"),
+        )
+        .orderBy("frame_idx")
+    )

@@ -1,0 +1,137 @@
+"""Time-series operators the north star names explicitly: range
+(interval-containment) join and hypertable-style gap-fill rollup.
+
+Both are spelled as compositions of existing DataFrame ops (the
+(a)-path of the custom-operator ladder): the range join rides an
+equi-key so it executes as a hash join with a residual range
+predicate — never a nested loop over all pairs — and the gap-fill
+spine is generated from data-derived bounds (no wall clock, so the
+oracle hash is stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+
+@register(
+    "x_range_join",
+    oracle=(
+        "WITH w AS (SELECT user_id, min(ts) AS t0, "
+        "min(ts) + INTERVAL 24 HOUR AS t1 FROM events GROUP BY user_id) "
+        "SELECT w.user_id, count(e.event_id) AS n_first_day, "
+        "CAST(min(w.t0) AS VARCHAR) AS window_start "
+        "FROM w JOIN events e ON e.user_id = w.user_id "
+        "AND e.ts >= w.t0 AND e.ts < w.t1 "
+        "GROUP BY w.user_id ORDER BY w.user_id"
+    ),
+    doc=(
+        "Range (interval-containment) join: each user's first-24h "
+        "window joined back to their events — equi-key (user_id) + "
+        "residual range predicate, so Catalyst executes a plain "
+        "shuffled/broadcast HASH join with a post-filter, never a "
+        "nested loop (pinned: no CartesianProduct). This is the "
+        "general recipe for range joins at 100 TB: always ride an "
+        "equi-key (entity id, or a coarse time-bucket key when "
+        "intervals are keyless) so the range check is residual; "
+        "pure time-banded variants are the stream-join family "
+        "(Z11/J1)."
+    ),
+    tags=("join", "range", "timeseries"),
+)
+def x_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        (F.min("ts") + F.expr("INTERVAL 24 HOUR")).alias("t1"),
+    )
+    j = w.join(
+        e.select("user_id", "event_id", "ts").alias("e"),
+        (F.col("e.user_id") == w.user_id)
+        & (F.col("e.ts") >= F.col("t0"))
+        & (F.col("e.ts") < F.col("t1")),
+    )
+    return (
+        j.groupBy(w.user_id.alias("user_id"))
+        .agg(
+            F.count("event_id").alias("n_first_day"),
+            F.min("t0").cast("string").alias("window_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x_gap_fill",
+    oracle=(
+        "WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) "
+        "AS d, count(*) AS n FROM events GROUP BY 1, 2), "
+        "bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily), "
+        "spine AS (SELECT t.event_type, g.d FROM "
+        "(SELECT DISTINCT event_type FROM events) t "
+        "CROSS JOIN (SELECT unnest(generate_series(d0, d1, "
+        "INTERVAL 1 DAY))::DATE AS d FROM bounds) g), "
+        "filled AS (SELECT s.event_type, s.d, coalesce(daily.n, 0) AS n, "
+        "daily.n AS n_raw FROM spine s LEFT JOIN daily "
+        "ON daily.event_type = s.event_type AND daily.d = s.d) "
+        "SELECT event_type, CAST(d AS VARCHAR) AS day, n, "
+        "CAST(coalesce(last_value(n_raw IGNORE NULLS) OVER ("
+        "PARTITION BY event_type ORDER BY d "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) "
+        "AS carried "
+        "FROM filled ORDER BY event_type, day"
+    ),
+    doc=(
+        "Hypertable-style gap-fill rollup: daily counts per type, "
+        "densified over a generated calendar spine (data-derived "
+        "bounds — no wall clock), missing days zero-filled AND "
+        "forward-filled (last_value IGNORE NULLS ≡ Spark "
+        "last(ignorenulls)). The spine is O(types × days) — built "
+        "from a 1-row bounds aggregate + sequence(), broadcast into "
+        "the left join; the window partitions by type so the fill "
+        "never serializes globally. At 100 TB the daily rollup is "
+        "the only big shuffle; everything after runs on the "
+        "(tiny) rollup."
+    ),
+    tags=("timeseries", "gapfill", "window"),
+)
+def x_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(days)
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.col("n").alias("n_raw"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filled.select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "n",
+            F.coalesce(
+                F.last("n_raw", ignorenulls=True).over(win), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("carried"),
+        )
+        .orderBy("event_type", "day")
+    )
