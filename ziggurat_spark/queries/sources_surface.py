@@ -164,3 +164,37 @@ def x_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_type")
     )
     return back
+
+
+@register(
+    "x_text_roundtrip",
+    oracle=(
+        "SELECT count(*) AS n, "
+        "CAST(sum(len(text)) AS BIGINT) AS chars, "
+        "CAST(sum(ascii(text)) AS BIGINT) AS first_sum "
+        "FROM documents"
+    ),
+    doc=(
+        "Line-oriented text sink → source round-trip: the documents "
+        "corpus written as raw text (one doc per line — valid here: "
+        "the corpus is newline-free; a real pipeline would escape or "
+        "use a framed format) and re-read with spark.read.text. "
+        "Count, total characters and a first-codepoint checksum are "
+        "recomputed from the re-read copy against the original-table "
+        "oracle — losslessness of the line framing, not just row "
+        "count."
+    ),
+    tags=("sources", "text"),
+)
+def x_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_text_rt_")
+    path = os.path.join(out, "docs_text")
+    load_table(spark, sf, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("value")).alias("chars"),
+        F.sum(F.ascii("value")).cast("bigint").alias("first_sum"),
+    )
