@@ -523,3 +523,50 @@ def x_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("frame_idx")
     )
+
+
+@register(
+    "x_multimodal_resize",
+    oracle=(
+        "WITH r AS (SELECT doc_id, sha256(text || '32x24') AS h "
+        "FROM documents) "
+        "SELECT count(*) AS n, "
+        "CAST(sum(CAST(('0x' || substr(h, 1, 2)) AS INT)) AS BIGINT) "
+        "AS b1_sum, "
+        "CAST(sum(CAST(('0x' || substr(h, 63, 2)) AS INT)) AS BIGINT) "
+        "AS b32_sum "
+        "FROM r"
+    ),
+    doc=(
+        "Image resize through the REAL mapInPandas path (operators/"
+        "multimodal.resize_images to 32×24): content bytes are "
+        "transformed by the deterministic fake codec "
+        "sha256(content ‖ 'WxH') and meta.width/height are rewritten "
+        "in-flight; the oracle recomputes the transformed payload "
+        "independently. First/last-byte sums over the whole corpus "
+        "check every output byte position boundary. With a real "
+        "image library only the codec lambda changes "
+        "(require_real_codec seam) — the Spark plumbing, Arrow "
+        "transport and meta contract are what's graded."
+    ),
+    tags=("multimodal", "udf"),
+)
+def x_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_images,
+    )
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    resized = resize_images(documents_as_assets(d), width=32, height=24)
+
+    def byte_at_hex(pos: int):
+        return F.conv(F.hex(F.col("content")).substr(pos, 2), 16, 10).cast(
+            "bigint"
+        )
+
+    return resized.agg(
+        F.count("*").alias("n"),
+        F.sum(byte_at_hex(1)).alias("b1_sum"),
+        F.sum(byte_at_hex(63)).alias("b32_sum"),
+    )
