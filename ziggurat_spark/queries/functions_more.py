@@ -201,3 +201,45 @@ def x_posexplode_ordinal(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id", "pos")
         .limit(20000)
     )
+
+
+@register(
+    "x_decimal_arithmetic",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) "
+        "AS sum_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_discount AS DECIMAL(5,4))) AS VARCHAR) AS sum_disc_amt, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) "
+        "AS VARCHAR) AS sum_net "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    doc=(
+        "Fixed-point DECIMAL arithmetic: cast → multiply → subtract → "
+        "sum with the ANSI precision/scale propagation rules "
+        "(D(18,2)×D(5,4) → scale 6; both engines agree on result "
+        "scale, so the VARCHAR rendering is identical) — exact money "
+        "math with NO scaled-integer workaround, the capability the "
+        "v100 trick elsewhere deliberately avoids needing. Decimal "
+        "sums are associative — map-side partials, one small "
+        "shuffle; Tungsten stores them as unscaled longs while "
+        "precision ≤ 18."
+    ),
+    tags=("functions", "decimal", "agg"),
+)
+def x_decimal_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    di = F.col("l_discount").cast("decimal(5,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(ep).cast("string").alias("sum_price"),
+            F.sum(ep * di).cast("string").alias("sum_disc_amt"),
+            F.sum(ep * (one - di)).cast("string").alias("sum_net"),
+        )
+        .orderBy("l_returnflag")
+    )
