@@ -294,3 +294,46 @@ def x_retry_pump(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(still).cast("bigint").alias("still_queued"),
         F.lit(delivered["s"]).cast("bigint").alias("offset_sum"),
     )
+
+
+@register(
+    "x_recursive_backoff_schedule",
+    oracle=(
+        "WITH RECURSIVE s(event_type, attempt, cum_wait_ms) AS ("
+        "SELECT event_type, 1, CAST(0 AS BIGINT) "
+        "FROM (SELECT DISTINCT event_type FROM events) t "
+        "UNION ALL "
+        "SELECT event_type, attempt + 1, "
+        "cum_wait_ms + ((CAST(1 AS BIGINT) << attempt) - 1) * 5000 "
+        "FROM s WHERE attempt < 25) "
+        "SELECT event_type, attempt, cum_wait_ms FROM s "
+        "ORDER BY event_type, attempt"
+    ),
+    doc=(
+        "Recursive CTE (WITH RECURSIVE, Spark 4 / SPARK-24497): the "
+        "cumulative exponential-backoff timetable — for each route "
+        "(distinct event_type), when attempt k fires relative to "
+        "first failure under R3's ((2^n)-1)*timeout formula "
+        "(messaging/producer.clj:204, timeout 5000 ms, cap "
+        "MAX_EXPONENTIAL_RETRIES=25). The recursion is the iterative "
+        "plan shape Catalyst unions per step (25 bounded steps over "
+        "a 5-row anchor — driver-light, executor-resident); integer "
+        "shifts keep it exact. Engine spellings differ only in the "
+        "shift operator (shiftleft vs <<)."
+    ),
+    tags=("routing", "retry", "recursive"),
+)
+def x_recursive_backoff_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "events").select(
+        "event_type"
+    ).distinct().createOrReplaceTempView("zs_route_types")
+    return spark.sql(
+        "WITH RECURSIVE s(event_type, attempt, cum_wait_ms) AS ("
+        "SELECT event_type, 1, CAST(0 AS BIGINT) FROM zs_route_types "
+        "UNION ALL "
+        "SELECT event_type, attempt + 1, "
+        "cum_wait_ms + (shiftleft(1, attempt) - 1) * CAST(5000 AS BIGINT) "
+        "FROM s WHERE attempt < 25) "
+        "SELECT event_type, attempt, cum_wait_ms FROM s "
+        "ORDER BY event_type, attempt"
+    )
