@@ -67,10 +67,10 @@ def x_covariance_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 _LATERAL_SQL = """
 SELECT n.n_name, t.s_suppkey, t.ab100
-FROM nation n,
+FROM {nation} n,
 LATERAL (
   SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS ab100
-  FROM supplier s
+  FROM {supplier} s
   WHERE s.s_nationkey = n.n_nationkey
   ORDER BY ab100 DESC, s_suppkey
   LIMIT 2
@@ -81,7 +81,7 @@ ORDER BY n.n_name, t.ab100 DESC, t.s_suppkey
 
 @register(
     "x_lateral_topn",
-    oracle=_LATERAL_SQL,
+    oracle=_LATERAL_SQL.format(nation="nation", supplier="supplier"),
     doc=(
         "Correlated LATERAL join: per-nation top-2 suppliers by "
         "account balance — identical SQL text on both engines "
@@ -94,6 +94,11 @@ ORDER BY n.n_name, t.ab100 DESC, t.s_suppkey
     tags=("join", "lateral", "topk"),
 )
 def x_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
-    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    load_table(spark, sf, "supplier").createOrReplaceTempView("supplier")
-    return spark.sql(_LATERAL_SQL)
+    # prefixed view names: never collide with caller/driver session state
+    load_table(spark, sf, "nation").createOrReplaceTempView("zs_lat_nation")
+    load_table(spark, sf, "supplier").createOrReplaceTempView(
+        "zs_lat_supplier"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(nation="zs_lat_nation", supplier="zs_lat_supplier")
+    )
