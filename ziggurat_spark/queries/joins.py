@@ -289,3 +289,45 @@ def x_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_correlated_scalar_subquery",
+    oracle=(
+        "SELECT c_custkey, "
+        "(SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "AS n_orders, "
+        "coalesce((SELECT CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey), -1) "
+        "AS max_price100 "
+        "FROM customer c ORDER BY c_custkey LIMIT 2000"
+    ),
+    doc=(
+        "Correlated scalar subqueries in the SELECT list (count and "
+        "max per outer row): Catalyst decorrelates both into ONE "
+        "grouped aggregate over orders joined back left-outer — "
+        "never a per-customer rescan. Identical ANSI text on both "
+        "engines; NULL-count semantics (no orders → count 0, max "
+        "NULL → -1) pinned by coalesce."
+    ),
+    tags=("join", "subquery"),
+)
+def x_correlated_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("_n"),
+        F.max(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "_mx"
+        ),
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("_n", F.lit(0)).alias("n_orders"),
+            F.coalesce("_mx", F.lit(-1)).alias("max_price100"),
+        )
+        .orderBy("c_custkey")
+        .limit(2000)
+    )

@@ -62,3 +62,42 @@ def z25(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("event_id").alias("keeper"))
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "x_setops_all_variants",
+    oracle=(
+        "SELECT 'ia' AS op, count(*) AS n FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'view') "
+        "UNION ALL "
+        "SELECT 'ea' AS op, count(*) AS n FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'view') "
+        "ORDER BY op"
+    ),
+    doc=(
+        "Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL "
+        "(multiplicity-preserving — min/difference of per-key "
+        "counts, not the dedup the DISTINCT variants do). Spark "
+        "spells them intersectAll/exceptAll on the DataFrame; the "
+        "plan is a count-aggregated join, one shuffle per side — "
+        "the same shape at any scale."
+    ),
+    tags=("setops",),
+)
+def x_setops_all_variants(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    ia = (
+        clicks.intersectAll(views)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("ia").alias("op"), "n")
+    )
+    ea = (
+        clicks.exceptAll(views)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("ea").alias("op"), "n")
+    )
+    return ia.unionAll(ea).orderBy("op")
