@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 from ziggurat_spark.queries.registry import register
 from ziggurat_spark.tables import load_table
 
-# value ∈ [0, ~100] → v100 ≤ ~10_000; okey = v100·1e11 + event_id is
-# unique (event_id ≪ 1e11) and fits BIGINT with 3 orders of headroom.
+# value ∈ [0, ~600] across sfs → v100 ≤ ~60_000; okey = v100·1e11 +
+# event_id is unique (event_id ≪ 1e11) and fits BIGINT with ~3
+# orders of headroom.
 _OKEY_SQL = "CAST(round(value * 100) AS BIGINT) * 100000000000 + event_id"
 
 
