@@ -244,3 +244,48 @@ def x_decimal_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "x_codec_functions",
+    oracle=(
+        "SELECT event_id, "
+        "md5(event_type) AS m5, "
+        "sha256(event_type) AS s256, "
+        "base64(encode(event_type)) AS b64, "
+        "lower(to_hex(event_id % 4096)) AS hx, "
+        "TRY_CAST(substr(event_type, 1, 2) AS INT) AS tc, "
+        "CAST(round(value * 100) AS BIGINT) / nullif(event_id % 3, 0) "
+        "AS td "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Codec + safe-eval pack: md5 / sha-256 (hex), base64, hex "
+        "rendering, TRY_CAST (NULL on bad parse — the poison-message "
+        "discipline R4 applied to scalars: never throw in the hot "
+        "path, route nulls instead) and division made total via "
+        "try_divide ≡ x / nullif(d, 0). All JVM codegen; hashing "
+        "short strings is the cheap first pass of every content-"
+        "hash dedup (x_content_hash_dedup runs it corpus-wide)."
+    ),
+    tags=("functions", "codec", "null"),
+)
+def x_codec_functions(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    t = F.col("event_type")
+    return (
+        e.select(
+            "event_id",
+            F.md5(t).alias("m5"),
+            F.sha2(t, 256).alias("s256"),
+            F.base64(t.cast("binary")).alias("b64"),
+            F.lower(F.hex(F.col("event_id") % 4096)).alias("hx"),
+            F.expr("try_cast(substr(event_type, 1, 2) AS INT)").alias("tc"),
+            F.try_divide(
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+                F.col("event_id") % 3,
+            ).alias("td"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
