@@ -382,12 +382,19 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
     dot64 = THU.dot64_udf(EMB_DIM)
     e = load_table(spark, sf, "embeddings", fan_out=True)
-    # Materialize the (tiny: n_vectors x 2 ints) bucket table once —
-    # the self-join would otherwise run the projection UDF on BOTH
-    # branches, and the norm projection again on both verify joins.
-    bands = e.select(
-        "vec_id", F.posexplode(srp_buckets("embedding")).alias("band", "bucket")
+    # ONE UDF pass over the corpus computes buckets AND the norm
+    # (both pandas UDFs land in the same ArrowEvalPython node), and
+    # ONE checkpoint materializes it — the self-join and both verify
+    # joins all read this table instead of re-running projections.
+    feat = e.select(
+        "vec_id",
+        "embedding",
+        srp_buckets("embedding").alias("bks"),
+        F.sqrt(dot64("embedding", "embedding")).alias("nrm"),
     ).localCheckpoint(eager=False)
+    bands = feat.select(
+        "vec_id", F.posexplode("bks").alias("band", "bucket")
+    )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -405,11 +412,7 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
         # locally, explicit partitioned join at corpus scale).
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    n = e.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot64("embedding", "embedding")).alias("nrm"),
-    ).localCheckpoint(eager=False)
+    n = feat.select("vec_id", "embedding", "nrm")
     ea = n.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("e_a"),
