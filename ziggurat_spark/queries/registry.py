@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from ziggurat_spark.queries import (  # noqa: F401
         aggs,
         analytics,
+        behavior,
         dedup,
         envelope,
         functions_more,
