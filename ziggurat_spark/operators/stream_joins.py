@@ -172,6 +172,6 @@ def pair_timestamp_diff_ms(
 ) -> Column:
     """T9 joined-pair delay metric (stream_joins_diff.clj:5-17):
     |left.ts − right.ts| in ms, for `df.observe(avg(...))`."""
-    lt = F.unix_millis(F.col(f"{left_name}.{ts_col}"))
-    rt = F.unix_millis(F.col(f"{right_name}.{ts_col}"))
+    lt = F.unix_millis(F.col(f"{left_name}.{ts_col}").cast("timestamp"))
+    rt = F.unix_millis(F.col(f"{right_name}.{ts_col}").cast("timestamp"))
     return F.abs(lt - rt)

@@ -162,7 +162,9 @@ class ZigguratEngine:
                 aggs.append(
                     F.avg(
                         F.lit(int(now.timestamp() * 1000))
-                        - F.unix_millis(F.col(route.timestamp_col))
+                        - F.unix_millis(
+                            F.col(route.timestamp_col).cast("timestamp")
+                        )
                     ).alias("delay_ms")
                 )
             try:

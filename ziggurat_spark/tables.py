@@ -43,6 +43,14 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     if _EXCLUDED_RULES not in existing:
         merged = f"{existing},{_EXCLUDED_RULES}" if existing else _EXCLUDED_RULES
         spark.conf.set("spark.sql.optimizer.excludedRules", merged)
+    # Parquet timestamps without a timezone annotation must load as
+    # TIMESTAMP (LTZ; an epoch instant shown in the UTC session zone),
+    # not TIMESTAMP_NTZ: every timestamp function the engine leans on
+    # (unix_millis/unix_micros, interval arithmetic vs LTZ literals)
+    # rejects or re-types NTZ inputs, and DuckDB's naive timestamps
+    # compare equal to LTZ-under-UTC anyway.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
 
 
