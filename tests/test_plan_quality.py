@@ -387,3 +387,27 @@ def test_range_join_rides_equi_key(spark, specs):
 
     joins = re.findall(r"\n\(\d+\) (\w*Join\w*)", formatted_plan(df))
     assert joins and all("NestedLoop" not in j for j in joins), joins
+
+
+def test_merge_upsert_no_cartesian(spark, specs):
+    """x_merge_upsert: the full-outer upsert join stays an equi-join
+    on the primary key — never a cartesian/nested-loop product."""
+    df = q(specs, "x_merge_upsert", spark)
+    assert not has_cartesian_product(df)
+
+
+def test_ewma_is_join_free(spark, specs):
+    """x_ewma_exact: the Spark spelling must stay the window+lambda
+    fold — no self-join (the oracle's spelling) may creep in."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_ewma_exact", spark))
+    assert "Join" not in plan
+
+
+def test_sequence_pattern_single_window_shuffle(spark, specs):
+    """x_sequence_pattern: one user_id hash exchange feeds both the
+    row_number and the full-frame collect (same window ordering) —
+    the final orderBy adds the only other exchange."""
+    df = q(specs, "x_sequence_pattern", spark)
+    assert shuffle_exchange_count(df) <= 3

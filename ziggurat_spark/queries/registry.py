@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         envelope,
         functions_more,
         functions_surface,
+        graph_seq,
         joins,
         ngrams,
         pricing,
