@@ -411,3 +411,37 @@ def test_sequence_pattern_single_window_shuffle(spark, specs):
     the final orderBy adds the only other exchange."""
     df = q(specs, "x_sequence_pattern", spark)
     assert shuffle_exchange_count(df) <= 3
+
+
+def test_profile_is_single_scan(spark, specs):
+    """x_profile_stats: every per-column metric comes from ONE scan
+    of events (the oracle's UNION-ALL spelling reads 5×)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(q(specs, "x_profile_stats", spark))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, specs):
+    """x_bucketed_join: both sides bucketed on the join key → the
+    join and the downstream agg run with ZERO shuffle exchanges
+    (the final 1-row sort is all that's allowed to move)."""
+    df = q(specs, "x_bucketed_join", spark)
+    from ziggurat_spark.plans import formatted_plan
+    import re
+
+    plan = formatted_plan(df)
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert not hash_exchanges, hash_exchanges
+
+
+def test_referential_audit_broadcasts_parents(spark, specs):
+    """x_referential_audit: every parent side broadcasts — the fact
+    tables are never hash-shuffled for the anti-joins."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_referential_audit", spark))
+    assert plan.count("BroadcastHashJoin") >= 7
+    assert "SortMergeJoin" not in plan

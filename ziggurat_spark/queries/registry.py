@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         joins,
         ngrams,
         pricing,
+        quality_audit,
         routing,
         semistructured,
         setops,
