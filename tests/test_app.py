@@ -1,0 +1,113 @@
+"""ZigguratApp end-to-end: config file → validated routes → real
+streaming run → outcome tallies (init.clj main-flow parity)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ziggurat_spark.app import ZigguratApp, derive_modes, validate_route_shape
+from ziggurat_spark.envelope import events_as_envelope
+from ziggurat_spark.sources import file_stream_source
+from ziggurat_spark.tables import load_table
+
+SF = os.environ.get("ZS_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _handler(df):
+    return df.withColumn(
+        "outcome",
+        F.when(F.col("offset") % 5 == 0, "retry").otherwise("success"),
+    )
+
+
+def _write_config(tmp_path, retry_enabled=True):
+    p = tmp_path / "config.json"
+    p.write_text(
+        json.dumps(
+            {
+                "ziggurat": {
+                    "app-name": "apptest",
+                    "retry": {"enabled": retry_enabled, "count": 2},
+                    "stream-router": {
+                        "events": {
+                            "oldest-processed-message-in-s": 10**10
+                        }
+                    },
+                }
+            }
+        )
+    )
+    return str(p)
+
+
+def test_derive_modes_parity():
+    assert derive_modes({"r": {}}, None) == [
+        "management-api",
+        "worker",
+        "stream-worker",
+    ]
+    assert "batch-worker" in derive_modes(None, {"b": {}})
+    with pytest.raises(ValueError, match="stream_routes or batch_routes"):
+        derive_modes(None, None)
+
+
+def test_route_shape_validation():
+    with pytest.raises(ValueError, match="missing handler-fn"):
+        validate_route_shape({"r": {}})
+    with pytest.raises(ValueError, match="not callable"):
+        validate_route_shape({"r": {"handler-fn": 42}})
+
+
+def test_unknown_route_rejected(spark, tmp_path):
+    cfg = _write_config(tmp_path)
+    with pytest.raises(ValueError, match="ghost.*isn't present"):
+        ZigguratApp(
+            spark,
+            str(tmp_path / "work"),
+            sources={"ghost": lambda: None},
+            stream_routes={"ghost": {"handler-fn": _handler}},
+            config_path=cfg,
+        )
+
+
+def test_app_runs_route_from_config(spark, tmp_path):
+    """Full lifecycle: envelope parquet replayed through the app's
+    streaming query; retry policy and staleness horizon come from
+    the config file, tallies from the engine's one-pass aggregate."""
+    env_dir = str(tmp_path / "envelope")
+    events_as_envelope(load_table(spark, SF, "events")).write.parquet(env_dir)
+    cfg = _write_config(tmp_path)
+
+    app = ZigguratApp(
+        spark,
+        str(tmp_path / "work"),
+        sources={"events": lambda: file_stream_source(spark, env_dir)},
+        stream_routes={"events": {"handler-fn": _handler}},
+        config_path=cfg,
+    )
+    route = app.engine.routes["events"]
+    assert route.retry.enabled and route.retry.max_attempts == 2
+    assert route.oldest_processed_s == 10**10
+
+    app.start()
+    for q in app.engine.queries.values():
+        q.awaitTermination()
+    app.stop()
+
+    total = sum(s.total for s in app.engine.stats)
+    retries = sum(s.retry for s in app.engine.stats)
+    n = load_table(spark, SF, "events").count()
+    assert total == n
+    expected_retry = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .count()
+    )
+    assert retries == expected_retry
+    # retry rows actually landed in the fabric
+    pending = app.engine.fabric.retry_table()
+    assert pending is not None and pending.count() == expected_retry
