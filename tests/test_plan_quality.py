@@ -445,3 +445,14 @@ def test_referential_audit_broadcasts_parents(spark, specs):
     plan = formatted_plan(q(specs, "x_referential_audit", spark))
     assert plan.count("BroadcastHashJoin") >= 7
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_is_join_free(spark, specs):
+    """x_asof_nearest: the single-pass union+window spelling — no
+    join operator anywhere (the oracle needs two ASOF joins plus a
+    re-join; our plan is one shuffle + one sort)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_asof_nearest", spark))
+    # the dedup groupBy on the right side is an Aggregate, not a Join
+    assert "Join" not in plan

@@ -115,3 +115,88 @@ def asof_join_forward(
         *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
         *[F.col(f"_m.{c}").alias(c) for c in rcols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join: every left row, plus the right row with
+    the same key whose timestamp is CLOSEST in either direction
+    (ties go backward, pandas.merge_asof direction='nearest'
+    semantics). Optional ``tolerance_s`` nulls out matches farther
+    than that many seconds.
+
+    Single-pass spelling: right rows enter the union TWICE — tagged
+    0 (visible to the backward frame) and 2 (visible to the forward
+    frame) with lefts tagged 1 between them — so one shuffle + one
+    sort serves both directions; at equal timestamps both frames
+    include the right row (inclusive match both ways). Union size is
+    L + 2R, still O(input) with zero pair fan-out.
+    """
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
+    )
+    r_back = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_rb"),
+    )
+    r_fwd = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(2).alias("_tag"),
+        payload.alias("_rf"),
+    )
+    l_part = left.select(
+        *left.columns, F.col(left_ts).alias("_ats"), F.lit(1).alias("_tag")
+    )
+    u = l_part.unionByName(r_back, allowMissingColumns=True).unionByName(
+        r_fwd, allowMissingColumns=True
+    )
+    wb = (
+        W.partitionBy(*on)
+        .orderBy("_ats", "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*on)
+        .orderBy("_ats", "_tag")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    m = (
+        u.withColumn("_mb", F.last("_rb", ignorenulls=True).over(wb))
+        .withColumn("_mf", F.first("_rf", ignorenulls=True).over(wf))
+        .filter(F.col("_tag") == 1)
+    )
+    lts = F.col(left_ts).cast("timestamp")
+    bdiff = F.unix_micros(lts) - F.unix_micros(
+        F.col(f"_mb.{right_ts}").cast("timestamp")
+    )
+    fdiff = F.unix_micros(
+        F.col(f"_mf.{right_ts}").cast("timestamp")
+    ) - F.unix_micros(lts)
+    if tolerance_s is not None:
+        tol = tolerance_s * 1_000_000
+        m = m.withColumn(
+            "_mb", F.when(bdiff <= tol, F.col("_mb"))
+        ).withColumn("_mf", F.when(fdiff <= tol, F.col("_mf")))
+    take_back = F.col("_mb").isNotNull() & (
+        F.col("_mf").isNull() | (bdiff <= fdiff)
+    )
+    nearest = F.when(take_back, F.col("_mb")).otherwise(F.col("_mf"))
+    m = m.withColumn("_mn", nearest)
+    return m.select(
+        *left.columns,
+        *[F.col(f"_mn.{right_ts}").alias(f"nearest_{right_ts}")],
+        *[F.col(f"_mn.{c}").alias(c) for c in rcols],
+    )

@@ -331,3 +331,53 @@ def x_correlated_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(2000)
     )
+
+
+@register(
+    "x_asof_nearest",
+    oracle=(
+        "WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS "
+        "o_orderkey FROM orders GROUP BY 1, 2), "
+        "b AS (SELECT e.event_id, od.o_orderdate AS bd, od.o_orderkey AS bk "
+        "FROM events e ASOF LEFT JOIN od "
+        "ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate), "
+        "f AS (SELECT e.event_id, od.o_orderdate AS fd, od.o_orderkey AS fk "
+        "FROM events e ASOF LEFT JOIN od "
+        "ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate) "
+        "SELECT e.event_id, "
+        "CASE WHEN bd IS NOT NULL AND (fd IS NULL OR (e.ts - bd) <= "
+        "(fd - e.ts)) THEN bd ELSE fd END AS nearest_o_orderdate, "
+        "CASE WHEN bd IS NOT NULL AND (fd IS NULL OR (e.ts - bd) <= "
+        "(fd - e.ts)) THEN bk ELSE fk END AS o_orderkey "
+        "FROM events e JOIN b USING (event_id) JOIN f USING (event_id) "
+        "ORDER BY e.event_id LIMIT 5000"
+    ),
+    doc=(
+        "Nearest as-of join (operators/asof.py::asof_join_nearest — "
+        "pandas merge_asof direction='nearest' semantics, ties "
+        "backward): each event matched to the user's CLOSEST order "
+        "date in either direction. Single-pass spelling: rights "
+        "enter the union twice (back/forward tags bracketing lefts) "
+        "so ONE shuffle + ONE sort serves both directions — the "
+        "oracle needs two ASOF joins plus a re-join to say the same "
+        "thing. Zero pair fan-out, O(L + 2R) state."
+    ),
+    tags=("join", "asof"),
+)
+def x_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    od = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_nearest(
+        e, od, on=["user_id"], left_ts="ts", right_ts="o_orderdate"
+    )
+    return (
+        out.select("event_id", "nearest_o_orderdate", "o_orderkey")
+        .orderBy("event_id")
+        .limit(5000)
+    )

@@ -135,3 +135,97 @@ def x_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "x_rolling_median",
+    oracle=(
+        "WITH r AS (SELECT event_id, user_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS v FROM events) "
+        "SELECT event_id, "
+        "list_sort(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))"
+        "[CAST((len(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) + 1) // 2 AS INT)] "
+        "AS rolling_med "
+        "FROM r ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Rolling exact median (lower median) of the centi-scaled "
+        "value over each user's trailing 5 events: collect the frame, "
+        "sort the (bounded, <=5-element) array JVM-side, index the "
+        "middle — engine-exact integers, no percentile interpolation "
+        "ambiguity. One user_id window shuffle; the per-row sort is "
+        "O(k log k) on a constant k, which is the right trade "
+        "whenever the frame is small and exactness matters (the "
+        "sketch answer for big frames is x_approx_sketches)."
+    ),
+    tags=("timeseries", "window", "median"),
+)
+def x_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = e.select("event_id", F.collect_list("v").over(w).alias("arr"))
+    return (
+        arr.select(
+            "event_id",
+            F.expr(
+                "element_at(array_sort(arr), "
+                "CAST((size(arr) + 1) div 2 AS INT))"
+            ).alias("rolling_med"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
+
+
+@register(
+    "x_rolling_distinct",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(len(list_distinct(list(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) "
+        "AS n_distinct_types "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Rolling distinct count over each user's trailing 10 events "
+        "(distinct event types seen in the recent window — the "
+        "rolling-unique-visitors shape). COUNT(DISTINCT) isn't legal "
+        "over a moving frame in either engine; the portable exact "
+        "spelling collects the bounded frame and distincts in the "
+        "array domain (JVM-side). Same single-shuffle window plan "
+        "as every trailing-frame query here; at 100 TB a huge frame "
+        "would swap to an HLL sketch column instead."
+    ),
+    tags=("timeseries", "window", "distinct"),
+)
+def x_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.size(
+                F.array_distinct(F.collect_list("event_type").over(w))
+            )
+            .cast("bigint")
+            .alias("n_distinct_types"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
