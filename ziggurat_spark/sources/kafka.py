@@ -127,3 +127,128 @@ def kafka_sink_writer(
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
     )
+
+
+# -- config → Kafka property assembly (config.clj:139-300 parity) --------
+
+#: config.clj:139-146 — consumer config renames (kebab-case keys).
+CONSUMER_CONFIG_MAPPING = {
+    "auto-offset-reset-config": "auto-offset-reset",
+    "commit-interval-ms": "auto-commit-interval-ms",
+    "consumer-group-id": "group-id",
+    "default-api-timeout-ms-config": "default-api-timeout-ms",
+    "key-deserializer-class-config": "key-deserializer",
+    "session-timeout-ms-config": "session-timeout-ms",
+    "value-deserializer-class-config": "value-deserializer",
+}
+
+#: config.clj:148-151.
+PRODUCER_CONFIG_MAPPING = {
+    "key-serializer-class": "key-serializer",
+    "retries-config": "retries",
+    "value-serializer-class": "value-serializer",
+}
+
+#: config.clj:153-160.
+STREAMS_CONFIG_MAPPING = {
+    "auto-offset-reset-config": "auto-offset-reset",
+    "default-api-timeout-ms-config": "default-api-timeout-ms",
+    "changelog-topic-replication-factor": "replication-factor",
+    "session-timeout-ms-config": "session-timeout-ms",
+    "stream-threads-count": "num-stream-threads",
+}
+
+#: config.clj:162-174 — route keys that are NOT Kafka properties.
+NON_KAFKA_CONFIG_KEYS = frozenset(
+    {
+        "channels",
+        "consumer-type",
+        "input-topics",
+        "join-cfg",
+        "oldest-processed-message-in-s",
+        "origin-topic",
+        "poll-timeout-ms-config",
+        "producer",
+        "thread-count",
+        "enabled",
+        "manual-commit-enabled",
+        "jaas",
+    }
+)
+
+
+def kafka_properties(
+    mapping_table: dict[str, str], config: dict
+) -> dict[str, str]:
+    """config.clj:199-206 set-property over a config map: rename via
+    the mapping table, kebab-case → dotted property names, values
+    normalized to trimmed strings; non-Kafka route keys skipped."""
+    out: dict[str, str] = {}
+    for k, v in config.items():
+        if k in NON_KAFKA_CONFIG_KEYS or v is None:
+            continue
+        prop = mapping_table.get(k, k).replace("-", ".")
+        out[prop] = str(v).strip()
+    return out
+
+
+def create_jaas_properties(
+    username: str | None, password: str | None, login_module: str
+) -> str:
+    """config.clj:209-213 — the exact JAAS template: blank
+    credentials are omitted, not rendered empty."""
+
+    def blank(s):
+        return s is None or not str(s).strip()
+
+    parts = ""
+    if not blank(username):
+        parts += f' username="{username}"'
+    if not blank(password):
+        parts += f' password="{password}"'
+    return f"{login_module} required{parts};"
+
+
+def _apply_auth(props: dict[str, str], auth: dict) -> dict[str, str]:
+    """Shared SASL/SSL assembly (config.clj:215-231 + 233-300):
+    JAAS from the nested :jaas map, then mechanism / protocol /
+    login-callback-handler (first-wins like putIfAbsent), then every
+    remaining key as an ordinary property."""
+    jaas = auth.get("jaas")
+    if jaas is not None:
+        props["sasl.jaas.config"] = create_jaas_properties(
+            jaas.get("username"), jaas.get("password"), jaas.get("login-module")
+        )
+    for key, prop in (
+        ("mechanism", "sasl.mechanism"),
+        ("protocol", "security.protocol"),
+        ("login-callback-handler", "sasl.login.callback.handler.class"),
+    ):
+        if auth.get(key) is not None:
+            props.setdefault(prop, str(auth[key]))
+    for k, v in auth.items():
+        if k in ("enabled", "jaas", "mechanism", "protocol",
+                 "login-callback-handler"):
+            continue
+        props.update(kafka_properties({}, {k: v}))
+    return props
+
+
+def build_ssl_properties(props: dict[str, str], ssl_config: dict | None):
+    """config.clj:233-263 — applied only when :enabled is true."""
+    if not ssl_config or ssl_config.get("enabled") not in (True, "true"):
+        return props
+    return _apply_auth(props, ssl_config)
+
+
+def build_sasl_properties(props: dict[str, str], sasl_config: dict | None):
+    """config.clj:265-300 — applied only when :enabled is true."""
+    if not sasl_config or sasl_config.get("enabled") not in (True, "true"):
+        return props
+    return _apply_auth(props, sasl_config)
+
+
+def as_spark_kafka_options(props: dict[str, str]) -> dict[str, str]:
+    """Kafka client properties → Spark source/sink options: Spark
+    passes through everything under the ``kafka.`` prefix."""
+    return {f"kafka.{k}": v for k, v in props.items()}
