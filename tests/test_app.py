@@ -111,3 +111,28 @@ def test_app_runs_route_from_config(spark, tmp_path):
     # retry rows actually landed in the fabric
     pending = app.engine.fabric.retry_table()
     assert pending is not None and pending.count() == expected_retry
+
+
+def test_stream_joins_alpha_gated(spark, tmp_path):
+    """streams.clj:163-170: a stream-joins route is skipped (with a
+    warning) unless the alpha-features flag is on."""
+    import warnings as w
+
+    from ziggurat_spark.app import build_routes
+
+    cfg = {
+        "ziggurat": {
+            "stream-router": {"j": {"consumer-type": "stream-joins"}}
+        }
+    }
+    spec = {"j": {"handler-fn": _handler}}
+    srcs = {"j": lambda: None}
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        routes = build_routes(cfg, spec, srcs)
+    assert routes == []
+    assert any("alpha feature" in str(x.message) for x in caught)
+
+    cfg["ziggurat"]["alpha-features"] = {"stream-joins": True}
+    routes = build_routes(cfg, spec, srcs)
+    assert [r.name for r in routes] == ["j"]

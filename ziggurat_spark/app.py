@@ -27,6 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from ziggurat_spark.config import (
+    alpha_feature_enabled,
     get_in_config,
     load_config,
     retry_config_from,
@@ -82,6 +83,22 @@ def build_routes(
     config over defaults."""
     routes = []
     for name, spec in stream_routes.items():
+        # streams.clj:163-170: a stream-joins route builds a topology
+        # only when the :alpha-features :stream-joins flag is set —
+        # otherwise it's skipped with a warning, not an error.
+        if get_in_config(
+            config, ["stream-router", name, "consumer-type"]
+        ) == "stream-joins" and not alpha_feature_enabled(
+            config, "stream-joins"
+        ):
+            import warnings
+
+            warnings.warn(
+                f"route {name}: stream-joins is an alpha feature; "
+                "enable [alpha-features stream-joins] in config",
+                stacklevel=2,
+            )
+            continue
         channels = {k: v for k, v in spec.items() if k != "handler-fn"}
         oldest = get_in_config(
             config,

@@ -271,3 +271,10 @@ def retry_config_from(
         timeout_ms=int(timeout_ms),
         exponential=retry.get("type") == "exponential",
     )
+
+
+def alpha_feature_enabled(config: Mapping[str, Any], feature: str) -> bool:
+    """`streams.clj:166`: alpha features are config-gated under
+    ``:alpha-features`` (e.g. stream-joins topologies build only when
+    ``[:alpha-features :stream-joins]`` is truthy)."""
+    return bool(get_in_config(config, ["alpha-features", feature], False))
