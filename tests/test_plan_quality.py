@@ -456,3 +456,30 @@ def test_asof_nearest_is_join_free(spark, specs):
     plan = formatted_plan(q(specs, "x_asof_nearest", spark))
     # the dedup groupBy on the right side is an Aggregate, not a Join
     assert "Join" not in plan
+
+
+def test_bucketed_table_prunes_buckets(spark, specs):
+    """Bucket pruning: an equality filter on the bucket column of the
+    x_bucketed_join tables must scan 1 of 8 buckets (the layout
+    answers point lookups too, not just the join)."""
+    import re
+
+    from ziggurat_spark.plans import formatted_plan
+
+    q(specs, "x_bucketed_join", spark)  # materializes the tables
+    import hashlib
+
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+    # the groupBy on the bucket key makes the output distribution
+    # interesting, so the planner keeps the bucketed scan (a bare
+    # filter falls back to a plain file scan under autoBucketedScan)
+    df = (
+        spark.table(f"zs_orders_b_{tag}")
+        .filter("o_custkey = 421")
+        .groupBy("o_custkey")
+        .count()
+    )
+    plan = formatted_plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan[:500]
+    assert m.group(1) == "1" and m.group(2) == "8"

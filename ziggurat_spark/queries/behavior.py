@@ -246,3 +246,50 @@ def x_window_navigation(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_transition_matrix",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM events) "
+        "SELECT prev AS from_type, event_type AS to_type, "
+        "count(*) AS n, "
+        "CAST(count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY prev) "
+        "AS BIGINT) AS p_ppm "
+        "FROM seq WHERE prev IS NOT NULL "
+        "GROUP BY prev, event_type ORDER BY from_type, to_type"
+    ),
+    doc=(
+        "Clickstream Markov transition matrix: for each consecutive "
+        "event pair per user (one user_id window pass), the "
+        "transition count and probability in integer parts-per-"
+        "million (count·1e6 div row-total — engine-exact, no float "
+        "division). The row-normalization rides a tiny window over "
+        "the k² aggregated matrix, not the event table. One event "
+        "shuffle + one k²-row window; the standard input to "
+        "next-event prediction and anomaly scoring."
+    ),
+    tags=("behavior", "markov", "analytics"),
+)
+def x_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    counts = seq.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div sum(n) OVER (PARTITION BY from_type)")
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
