@@ -120,3 +120,98 @@ def test_np_shingles_and_minhash_invariants(whash, k):
         # each minhash is the min over the permuted shingles
         for j, (a, b) in enumerate(TH.MINHASH_PERMS):
             assert sig[j] == min((int(s) * a + b) % TH.P for s in sh)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """asof_join_nearest vs pandas.merge_asof(direction='nearest') on
+    a seeded random dataset: identical matches everywhere (pandas
+    breaks distance ties backward, same as our operator)."""
+    import pandas as pd
+
+    from ziggurat_spark.operators.asof import asof_join_nearest
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "lts": rng.integers(0, 10_000, 300).astype("datetime64[s]"),
+            "lid": np.arange(300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 120),
+            "rts": rng.integers(0, 10_000, 120).astype("datetime64[s]"),
+        }
+    )
+    # dedupe per (k, ts) for determinism (operator contract) and give
+    # each right row a payload id
+    right = right.drop_duplicates(["k", "rts"]).reset_index(drop=True)
+    right["rid"] = np.arange(len(right))
+
+    out = asof_join_nearest(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+    ).toPandas()
+
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="stable"),
+        right.sort_values("rts", kind="stable"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="nearest",
+    )
+    got = out.set_index("lid")["rid"].sort_index()
+    want = exp.set_index("lid")["rid"].sort_index()
+    eq = (got.isna() & want.isna()) | (got == want)
+    assert eq.all(), pd.DataFrame({"got": got[~eq], "want": want[~eq]})
+
+
+@given(
+    st.recursive(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(0, 9),
+            max_size=3,
+        ),
+        lambda inner: st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]), inner, max_size=3
+        ),
+        max_leaves=8,
+    ),
+    st.recursive(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(10, 19),
+            max_size=3,
+        ),
+        lambda inner: st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]), inner, max_size=3
+        ),
+        max_leaves=8,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_deep_merge_right_biased_and_total(a, b):
+    """config.clj:62-69 algebra: every path in the merge resolves to
+    b's value when b has it (non-map collision), else a's; merged
+    key set is the union at every level."""
+    from ziggurat_spark.config import deep_merge
+
+    out = deep_merge(a, b)
+
+    def check(x, y, m):
+        assert set(m) == set(x) | set(y)
+        for k in m:
+            if k in x and k in y and isinstance(x[k], dict) and isinstance(y[k], dict):
+                check(x[k], y[k], m[k])
+            elif k in y:
+                assert m[k] == y[k]
+            else:
+                assert m[k] == x[k]
+
+    check(a, b, out)
