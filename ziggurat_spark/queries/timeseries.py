@@ -125,7 +125,7 @@ def x_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     return (
         filled.select(
             "event_type",
-            F.col("d").cast("string").alias("day"),
+            F.col("d").cast("date").cast("string").alias("day"),
             "n",
             F.coalesce(
                 F.last("n_raw", ignorenulls=True).over(win), F.lit(0)
@@ -228,4 +228,87 @@ def x_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
         .limit(5000)
+    )
+
+
+@register(
+    "x_period_over_period",
+    oracle=(
+        "WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS n "
+        "FROM events GROUP BY 1) "
+        "SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day, n, "
+        "n - lag(n) OVER (ORDER BY d) AS delta, "
+        "CAST((n - lag(n) OVER (ORDER BY d)) * 1000000 // "
+        "lag(n) OVER (ORDER BY d) AS BIGINT) AS growth_ppm "
+        "FROM daily ORDER BY d"
+    ),
+    doc=(
+        "Period-over-period growth: daily event counts with absolute "
+        "delta and growth rate in integer parts-per-million (delta * "
+        "1e6 div previous — engine-exact, no float division). The "
+        "window runs over the AGGREGATED day series (365 rows/year), "
+        "so the single-partition ORDER BY lag is safe at any input "
+        "scale — the event-table shuffle is the groupBy, map-side "
+        "combined. The standard WoW/DoD dashboard primitive."
+    ),
+    tags=("timeseries", "growth", "window"),
+)
+def x_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("d")
+    prev = F.lag("n").over(w)
+    return (
+        daily.select(
+            F.col("d").cast("date").cast("string").alias("day"),
+            "n",
+            (F.col("n") - prev).alias("delta"),
+            F.expr(
+                "CAST((n - lag(n) OVER (ORDER BY d)) * 1000000 div "
+                "lag(n) OVER (ORDER BY d) AS BIGINT)"
+            ).alias("growth_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "x_cumulative_distinct",
+    oracle=(
+        "WITH first_seen AS (SELECT user_id, "
+        "min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id), "
+        "per_day AS (SELECT d0, count(*) AS new_users FROM first_seen "
+        "GROUP BY d0) "
+        "SELECT CAST(CAST(d0 AS DATE) AS VARCHAR) AS day, new_users, "
+        "CAST(sum(new_users) OVER (ORDER BY d0 ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users "
+        "FROM per_day ORDER BY d0"
+    ),
+    doc=(
+        "Cumulative distinct users per day WITHOUT a running "
+        "COUNT(DISTINCT) (quadratic state): each user collapses to a "
+        "first-seen day (one user_id aggregate), days aggregate to "
+        "new-user counts, and the running sum over the tiny day "
+        "series is the cumulative distinct — the growth-accounting "
+        "identity. Two map-combined shuffles of shrinking size; the "
+        "day-series window is O(days), never O(users)."
+    ),
+    tags=("timeseries", "distinct", "growth"),
+)
+def x_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    per_day = first_seen.groupBy("d0").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.select(
+            F.col("d0").cast("date").cast("string").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+        .orderBy("day")
     )
