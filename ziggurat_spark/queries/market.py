@@ -1,0 +1,247 @@
+"""Market-basket / co-occurrence analytics and skew diagnostics.
+
+North-star analytics additions (the reference — a stream router,
+SURVEY §2.1 — has no relational surface beyond windowed joins); these
+are the standard "what co-occurs with what" shapes a training-data or
+product pipeline computes downstream of the router, plus the
+frequency-of-frequencies profile an engineer runs BEFORE a big join
+to find out whether the key is skewed.
+
+Scale shape (100 TB): every query here keys its self-joins on
+`l_orderkey`, so after ONE hash shuffle all pair/triple generation is
+partition-local and bounded by per-order basket size k (k≈4 here;
+pairs k²/2, triads k³/6 — per-group constants, never cross-order).
+No driver collects; top-k results go through TakeOrderedAndProject
+(per-partition heap + driver merge of k rows, never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+
+def _baskets(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct (order, part) pairs — the basket item sets."""
+    return (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+
+
+_BASKET_CTE = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+
+
+@register(
+    "x_basket_pairs",
+    oracle=(
+        f"WITH d AS ({_BASKET_CTE}) "
+        "SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n "
+        "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY pa, pb ORDER BY n DESC, pa, pb LIMIT 100"
+    ),
+    doc=(
+        "Market-basket co-occurrence: top part pairs ordered "
+        "together. Self-join co-partitioned on l_orderkey (ONE "
+        "shuffle; AQE handles the skewed mega-basket case), "
+        "k²/2 pairs per order with small bounded k, map-side "
+        "combined count, total-ordered top-100 via "
+        "TakeOrderedAndProject. The pair inequality halves the "
+        "output and makes (pa,pb) canonical."
+    ),
+    tags=("market", "join", "analytics"),
+)
+def x_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _baskets(spark, sf)
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pa", "pb")
+        .limit(100)
+    )
+
+
+@register(
+    "x_triangle_count",
+    oracle=(
+        f"WITH d AS ({_BASKET_CTE}), "
+        "t AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
+        "c.l_partkey AS pc FROM d a "
+        "JOIN d b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "JOIN d c ON a.l_orderkey = c.l_orderkey "
+        "AND b.l_partkey < c.l_partkey) "
+        "SELECT count(*) AS n_triads, "
+        "count(DISTINCT (pa, pb, pc)) AS n_unique FROM t"
+    ),
+    doc=(
+        "Triangle counting over the co-purchase hypergraph: ordered "
+        "part triples appearing in one basket, total and distinct. "
+        "A 3-way self-join where EVERY join rides the same "
+        "l_orderkey partitioning — one shuffle total, then "
+        "partition-local k³/6 triple generation (bounded per-order "
+        "k). The classic graph-triangle shape without an edge-list "
+        "blow-up; the distinct count is one extra hash-agg on the "
+        "triple key."
+    ),
+    tags=("market", "graph", "join"),
+)
+def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = _baskets(spark, sf)
+    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
+    t = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+            F.col("c.l_partkey").alias("pc"),
+        )
+    )
+    return t.agg(
+        F.count("*").alias("n_triads"),
+        F.count_distinct("pa", "pb", "pc").alias("n_unique"),
+    )
+
+
+@register(
+    "x_activity_streaks",
+    oracle=(
+        "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+        "FROM events), "
+        "s AS (SELECT user_id, d, d - CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor FROM d) "
+        "SELECT user_id, CAST(min(d) AS VARCHAR) AS streak_start, "
+        "count(*) AS days FROM s GROUP BY user_id, anchor "
+        "ORDER BY user_id, streak_start"
+    ),
+    doc=(
+        "Gaps-and-islands: per-user runs of consecutive active days "
+        "via the date-minus-row_number anchor trick. One shuffle on "
+        "user_id serves the distinct, the window AND the final "
+        "group-by (same partitioning reused); state is O(distinct "
+        "active days), never O(events)."
+    ),
+    tags=("analytics", "behavior", "window"),
+)
+def x_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    s = d.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    # streak_start goes out as STRING: a bare DATE round-trips through
+    # pandas differently across sessions (datetime.date vs datetime64)
+    # and the driver's session is not ours to configure.
+    return (
+        s.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").cast("string").alias("streak_start"),
+            F.count("*").alias("days"),
+        )
+        .select("user_id", "streak_start", "days")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+@register(
+    "x_time_to_convert",
+    oracle=(
+        "WITH v AS (SELECT user_id, min(ts) AS tv FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "p AS (SELECT user_id, min(ts) AS tp FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id) "
+        "SELECT v.user_id AS user_id, "
+        "epoch_us(p.tp) - epoch_us(v.tv) AS micros "
+        "FROM v JOIN p ON p.user_id = v.user_id WHERE p.tp > v.tv "
+        "ORDER BY user_id"
+    ),
+    doc=(
+        "Time-to-convert: exact microseconds from a user's first "
+        "'view' to their first 'purchase' (converters only). Two "
+        "filtered min-aggregates on user_id joined co-partitioned — "
+        "the timestamps never leave integer microsecond space "
+        "(unix_micros / epoch_us), so the result is engine-exact."
+    ),
+    tags=("analytics", "behavior"),
+)
+def x_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(p, "user_id")
+        .filter(F.col("tp") > F.col("tv"))
+        .select(
+            "user_id",
+            (F.unix_micros("tp") - F.unix_micros("tv")).alias("micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x_key_distribution",
+    oracle=(
+        "WITH k AS (SELECT l_partkey, count(*) AS cnt FROM lineitem "
+        "GROUP BY l_partkey) "
+        "SELECT cnt, count(*) AS n_keys, min(l_partkey) AS sample_key "
+        "FROM k GROUP BY cnt ORDER BY cnt"
+    ),
+    doc=(
+        "Skew diagnostic: frequency-of-frequencies of the join key "
+        "(how many partkeys occur n times). Two cascaded hash "
+        "aggregates — the first is the expensive one (map-side "
+        "combined, one shuffle on l_partkey); the second runs over "
+        "|distinct keys| rows. This is the profile that decides "
+        "whether x_salted_join / AQE skew handling is needed BEFORE "
+        "burning a 100 TB shuffle."
+    ),
+    tags=("quality", "skew", "agg"),
+)
+def x_key_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    k = (
+        load_table(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        k.groupBy("cnt")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("l_partkey").alias("sample_key"),
+        )
+        .orderBy("cnt")
+    )

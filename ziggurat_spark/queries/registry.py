@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         functions_surface,
         graph_seq,
         joins,
+        market,
         ngrams,
         pricing,
         quality_audit,

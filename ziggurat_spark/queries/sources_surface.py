@@ -198,3 +198,32 @@ def x_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.length("value")).alias("chars"),
         F.sum(F.ascii("value")).cast("bigint").alias("first_sum"),
     )
+
+
+@register(
+    "x_xml_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc=(
+        "XML sink → source round-trip (Spark 4 ships the XML "
+        "datasource natively): the projected events slice written "
+        "with rowTag framing, re-read with an explicit schema "
+        "(never schema inference — a second full parse at 100 TB), "
+        "aggregated against the original-table oracle. Completes "
+        "the format family: columnar (parquet/ORC), delimited "
+        "(CSV), semi-structured (JSON/XML), raw (text)."
+    ),
+    tags=("sources", "xml"),
+)
+def x_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_xml_rt_")
+    path = os.path.join(out, "events_xml")
+    _projected(spark, sf).write.mode("overwrite").format("xml").option(
+        "rowTag", "event"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .schema(_RT_SCHEMA)
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return _agg(back)
