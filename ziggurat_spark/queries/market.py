@@ -7,12 +7,14 @@ product pipeline computes downstream of the router, plus the
 frequency-of-frequencies profile an engineer runs BEFORE a big join
 to find out whether the key is skewed.
 
-Scale shape (100 TB): every query here keys its self-joins on
-`l_orderkey`, so after ONE hash shuffle all pair/triple generation is
-partition-local and bounded by per-order basket size k (k≈4 here;
-pairs k²/2, triads k³/6 — per-group constants, never cross-order).
-No driver collects; top-k results go through TakeOrderedAndProject
-(per-partition heap + driver merge of k rows, never a full sort).
+Scale shape (100 TB): baskets collect with ONE hash shuffle on
+`l_orderkey`; all pair/triple generation then happens INSIDE the
+array domain (transform-with-index + slice), partition-local and
+bounded by per-order basket size k (k≈4 here; pairs k²/2, triads
+k³/6 — per-group constants, never cross-order, never a self-join
+that would shuffle the fact table twice). No driver collects; top-k
+results go through TakeOrderedAndProject (per-partition heap +
+driver merge of k rows, never a full sort).
 """
 
 from __future__ import annotations
@@ -25,13 +27,32 @@ from ziggurat_spark.queries.registry import register
 from ziggurat_spark.tables import load_table
 
 
-def _baskets(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct (order, part) pairs — the basket item sets."""
+def _basket_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """One sorted part-set array per order — ONE shuffle (the groupBy
+    on l_orderkey); all pair/triple generation after this is
+    partition-local array-domain work bounded by basket size k."""
     return (
         load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
+
+
+#: i<j pairs of a sorted array, generated inside the array domain
+#: (transform-with-index + slice) — no self-join, no re-shuffle.
+_PAIRS_EXPR = (
+    "flatten(transform(parts, (x, i) -> "
+    "transform(slice(parts, i + 2, size(parts)), "
+    "y -> struct(x AS pa, y AS pb))))"
+)
+
+#: i<j<k triples, same construction one level deeper.
+_TRIPLES_EXPR = (
+    "flatten(transform(parts, (x, i) -> "
+    "flatten(transform(slice(parts, i + 2, size(parts)), (y, j) -> "
+    "transform(slice(parts, i + j + 3, size(parts)), "
+    "z -> struct(x AS pa, y AS pb, z AS pc))))))"
+)
 
 
 _BASKET_CTE = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
@@ -48,27 +69,21 @@ _BASKET_CTE = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
     ),
     doc=(
         "Market-basket co-occurrence: top part pairs ordered "
-        "together. Self-join co-partitioned on l_orderkey (ONE "
-        "shuffle; AQE handles the skewed mega-basket case), "
-        "k²/2 pairs per order with small bounded k, map-side "
-        "combined count, total-ordered top-100 via "
-        "TakeOrderedAndProject. The pair inequality halves the "
-        "output and makes (pa,pb) canonical."
+        "together. ONE shuffle total: baskets collect per order, "
+        "then i<j pairs generate INSIDE the array domain "
+        "(transform-with-index + slice — k²/2 per basket with small "
+        "bounded k) instead of a self-join that would shuffle "
+        "lineitem twice. Map-side-combined count, total-ordered "
+        "top-100 via TakeOrderedAndProject. Sorting the part-set "
+        "makes (pa,pb) canonical."
     ),
     tags=("market", "join", "analytics"),
 )
 def x_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = _baskets(spark, sf)
-    a, b = d.alias("a"), d.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        _basket_arrays(spark, sf)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "pa", "pb")
         .limit(100)
@@ -91,34 +106,20 @@ def x_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     doc=(
         "Triangle counting over the co-purchase hypergraph: ordered "
         "part triples appearing in one basket, total and distinct. "
-        "A 3-way self-join where EVERY join rides the same "
-        "l_orderkey partitioning — one shuffle total, then "
-        "partition-local k³/6 triple generation (bounded per-order "
-        "k). The classic graph-triangle shape without an edge-list "
-        "blow-up; the distinct count is one extra hash-agg on the "
-        "triple key."
+        "Same ONE-shuffle basket collection as x_basket_pairs with "
+        "triple generation nested one level deeper in the array "
+        "domain (k³/6 per basket, bounded k) — the classic "
+        "graph-triangle shape without an edge-list blow-up or a "
+        "3-way self-join; the distinct count is one extra hash-agg "
+        "on the triple key."
     ),
     tags=("market", "graph", "join"),
 )
 def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    d = _baskets(spark, sf)
-    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
     t = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-            F.col("c.l_partkey").alias("pc"),
-        )
+        _basket_arrays(spark, sf)
+        .select(F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
+        .select("t.pa", "t.pb", "t.pc")
     )
     return t.agg(
         F.count("*").alias("n_triads"),

@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         setops,
         sources_surface,
         similarity,
+        statistics,
         stats_lateral,
         skew_surface,
         streaming_surface,

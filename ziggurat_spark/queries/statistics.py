@@ -1,0 +1,207 @@
+"""Exact statistical-model queries: per-group OLS trend fit, Benford
+first-digit profiling, and bigram lift (PMI's ratio core).
+
+North-star analytics additions (the reference's only aggregations
+are metric counters — SURVEY §2.1). All three follow the repo's
+float-parity discipline: every aggregate is an integer sum (exact,
+associative, order-free), and the only floating-point steps are a
+FIXED expression tree over those integer totals — identical on Spark
+and DuckDB, so results hash-match (see queries/aggs.py).
+
+Scale shape (100 TB): trend fit and Benford are single-scan
+map-side-combined groupBys (one shuffle each; the Benford share adds
+a single-partition window over 9 rows). Bigram lift is the
+x_top_bigrams explode feeding one agg shuffle, then two joins
+against the unigram count table keyed on the word — co-partitioned
+with AQE deciding broadcast for the (vocabulary-sized) count side —
+plus two scalar totals that always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+_EPOCH = "2024-01-01"
+
+#: shared integer cores (engine-neutral SQL)
+_Y = "CAST(round(value * 100) AS BIGINT)"
+
+
+@register(
+    "x_trend_fit",
+    oracle=(
+        "WITH p AS (SELECT event_type, "
+        f"CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) "
+        f"AS BIGINT) AS x, {_Y} AS y FROM events), "
+        "s AS (SELECT event_type, count(*) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x * y) AS BIGINT) AS sxy, "
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM p GROUP BY event_type) "
+        "SELECT event_type, n, "
+        "CAST(round(1000000.0 * (n * sxy - sx * sy) / "
+        "(n * sxx - sx * sx)) AS BIGINT) AS slope_ppm, "
+        "CAST(round(1000000.0 * (sy * sxx - sx * sxy) / "
+        "(n * sxx - sx * sx)) AS BIGINT) AS intercept_ppm "
+        "FROM s ORDER BY event_type"
+    ),
+    doc=(
+        "Per-group ordinary-least-squares fit of value against "
+        "day-since-epoch, exact: the five sufficient statistics "
+        "(n, Σx, Σy, Σxy, Σx²) are integer sums — order-free and "
+        "mergeable, so the groupBy map-side-combines like any "
+        "counter — and slope/intercept come out of one fixed IEEE "
+        "expression over those totals, reported in ppm. The "
+        "streaming form is the same five integers in a state store "
+        "(they merge by addition), which is why OLS-by-sufficient-"
+        "statistics is THE scale spelling of regression."
+    ),
+    tags=("statistics", "agg"),
+)
+def x_trend_fit(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    p = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.expr(_Y).alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / den
+        )
+    ).cast("bigint")
+    intercept = (
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            / den
+        )
+    ).cast("bigint")
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_ppm"),
+        intercept.alias("intercept_ppm"),
+    ).orderBy("event_type")
+
+
+@register(
+    "x_benford_digits",
+    oracle=(
+        "WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100) "
+        "AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders) "
+        "SELECT digit, count(*) AS n, "
+        "CAST(round(1000000.0 * count(*) / sum(count(*)) OVER ()) "
+        "AS BIGINT) AS share_ppm "
+        "FROM d GROUP BY digit ORDER BY digit"
+    ),
+    doc=(
+        "Benford first-digit profile of order totals — the classic "
+        "fraud/data-quality screen. The leading digit is taken from "
+        "the STRING form of exact integer cents (never floor(log10) "
+        "— transcendental-at-a-boundary is how engines disagree), "
+        "so the profile is engine-exact. One map-side-combined "
+        "groupBy on 9 digit values, then a single-partition window "
+        "over 9 rows for the ppm share — free at any scale."
+    ),
+    tags=("statistics", "quality"),
+)
+def x_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    d = o.select(
+        F.expr(
+            "substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS STRING), 1, 1)"
+        ).alias("digit")
+    )
+    agg = d.groupBy("digit").agg(F.count("*").alias("n"))
+    share = (
+        F.round(F.lit(1000000.0) * F.col("n") / F.sum("n").over(Window.partitionBy()))
+    ).cast("bigint")
+    return agg.select("digit", "n", share.alias("share_ppm")).orderBy("digit")
+
+
+_MIN_BIGRAM_N = 5
+
+
+@register(
+    "x_bigram_lift",
+    oracle=(
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "u AS (SELECT word, count(*) AS nw FROM w GROUP BY word), "
+        "tw AS (SELECT count(*) AS n_words FROM w), "
+        "b AS (SELECT words[i] AS w1, words[i + 1] AS w2 FROM ("
+        "SELECT string_split(text, ' ') AS words FROM documents) t, "
+        "unnest(range(1, len(words))) AS r(i)), "
+        "bc AS (SELECT w1, w2, count(*) AS nb FROM b GROUP BY w1, w2), "
+        "tb AS (SELECT count(*) AS n_bigrams FROM b) "
+        "SELECT bc.w1, bc.w2, bc.nb, "
+        "CAST(round(1000000.0 * (bc.nb * tw.n_words * tw.n_words) / "
+        "(tb.n_bigrams * u1.nw * u2.nw)) AS BIGINT) AS lift_ppm "
+        "FROM bc, tw, tb "
+        "JOIN u u1 ON u1.word = bc.w1 JOIN u u2 ON u2.word = bc.w2 "
+        f"WHERE bc.nb >= {_MIN_BIGRAM_N} "
+        "ORDER BY lift_ppm DESC, w1, w2 LIMIT 100"
+    ),
+    doc=(
+        "Bigram lift (the ratio inside PMI, kept integer-exact): "
+        "p(xy) / (p(x)·p(y)) = nb·N_w² / (N_b·n_x·n_y), reported in "
+        "ppm without ever taking a log. Collocation mining: lift ≫ 1 "
+        "marks word pairs that co-occur far above chance. One explode "
+        "feeds both the unigram and bigram counts (two agg shuffles "
+        "over token partials), the two count joins are keyed on the "
+        "word (AQE broadcasts the smaller side), and the two scalar "
+        "totals broadcast as single-row cross joins."
+    ),
+    tags=("statistics", "text", "ngram"),
+)
+def x_bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents", fan_out=True)
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    u = words.groupBy("word").agg(F.count("*").alias("nw"))
+    tw = words.agg(F.count("*").alias("n_words"))
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(split(text, ' ')[i-1] AS w1, "
+                "split(text, ' ')[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    tb = pairs.agg(F.count("*").alias("n_bigrams"))
+    lift = (
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("nb") * F.col("n_words") * F.col("n_words"))
+            / (F.col("n_bigrams") * F.col("u1.nw") * F.col("u2.nw"))
+        )
+    ).cast("bigint")
+    return (
+        bc.filter(F.col("nb") >= _MIN_BIGRAM_N)
+        .crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(tb))
+        .join(u.alias("u1"), F.col("w1") == F.col("u1.word"))
+        .join(u.alias("u2"), F.col("w2") == F.col("u2.word"))
+        .select("w1", "w2", "nb", lift.alias("lift_ppm"))
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(100)
+    )

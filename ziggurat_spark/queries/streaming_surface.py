@@ -597,3 +597,148 @@ def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max("total_rows").alias("total"))
         .orderBy("key")
     )
+
+
+def _events_split_dir(spark: SparkSession, sf: str, n: int) -> str:
+    """Materialize events as exactly ``n`` parquet files so the file
+    source's maxFilesPerTrigger can carve a deterministic number of
+    micro-batches — the test stand-in for Kafka's max-poll-records
+    bounded batches (S3, consumer_handler.clj:98-115)."""
+    from ziggurat_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="zs_stream_split_")
+    load_table(spark, sf, "events").repartition(n).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+@register(
+    "x_stream_max_poll_batches",
+    oracle=(
+        "SELECT CAST(8 AS BIGINT) AS n_batches, "
+        "count(*) AS n_rows FROM events"
+    ),
+    doc=(
+        "Bounded micro-batches (S3 batch-consumer max-poll parity + "
+        "R6 commit-after-batch): events split into 8 files, streamed "
+        "with maxFilesPerTrigger=1 under availableNow, foreachBatch "
+        "appends one (batch_id, count) bookkeeping row per batch — "
+        "committed batch-by-batch like commitSync after each poll. "
+        "The graded result (exactly 8 batches, all rows processed) "
+        "is read back from the bookkeeping table. At 100 TB the "
+        "same route uses Kafka's maxOffsetsPerTrigger; nothing else "
+        "changes."
+    ),
+    tags=("streaming", "batch-consumer"),
+)
+def x_stream_max_poll_batches(spark: SparkSession, sf: str) -> DataFrame:
+    src_dir = _events_split_dir(spark, sf, 8)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stats_dir = tempfile.mkdtemp(prefix="zs_stream_poll_") + "/stats"
+
+    def bookkeep(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.groupBy().agg(F.count("*").alias("n")).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(stats_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(bookkeep)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    stats = spark.read.parquet(stats_dir)
+    return stats.agg(
+        F.count("*").alias("n_batches"), F.sum("n").alias("n_rows")
+    )
+
+
+_LWW_KEY_DUCK = "printf('%020d#%012d', epoch_us(ts), event_id)"
+
+
+@register(
+    "x_stream_upsert_state",
+    oracle=(
+        "SELECT user_id, "
+        f"arg_max(event_type, {_LWW_KEY_DUCK}) AS last_type, "
+        f"arg_max(CAST(round(value * 100) AS BIGINT), {_LWW_KEY_DUCK}) "
+        "AS last_v100 "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    doc=(
+        "Streaming CDC materialization: events arrive in 8 "
+        "micro-batches and foreachBatch MERGEs each into a keyed "
+        "state table (union previous state + batch, keep the "
+        "max-(ts,event_id) row per user, swap in a new version — "
+        "the parquet spelling of Delta MERGE INTO). The graded "
+        "result is the FINAL state table, which must equal the "
+        "declarative last-write-wins oracle no matter how the "
+        "stream was batched. State stays O(distinct keys); each "
+        "merge is one co-partitioned window over state ∪ batch "
+        "keyed on user_id."
+    ),
+    tags=("streaming", "upsert", "cdc"),
+)
+def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    src_dir = _events_split_dir(spark, sf, 8)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = tempfile.mkdtemp(prefix="zs_stream_upsert_")
+    state = {"path": None}
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        proj = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        )
+        cur = (
+            spark.read.parquet(state["path"]).unionByName(proj)
+            if state["path"]
+            else proj
+        )
+        merged = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_path = os.path.join(workdir, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(state["path"])
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("v100").alias("last_v100"),
+        )
+        .orderBy("user_id")
+    )
