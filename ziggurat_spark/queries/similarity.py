@@ -173,3 +173,78 @@ def x_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk", "score")
         .orderBy("query_id", "rnk")
     )
+
+
+KNN_QUERIES = 20
+KNN_K = 10
+
+
+@register(
+    "x_knn_classify",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+        f"label AS true_label FROM embeddings WHERE vec_id < {KNN_QUERIES}), "
+        f"pairs AS (SELECT q.query_id, q.true_label, e.label, "
+        f"{_cosine('qe', 'e.embedding', 1)} AS score, e.vec_id AS nid "
+        f"FROM q, embeddings e WHERE e.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY score DESC, nid) AS rnk FROM pairs), "
+        f"votes AS (SELECT query_id, true_label, label, count(*) AS c "
+        f"FROM ranked WHERE rnk <= {KNN_K} GROUP BY 1, 2, 3), "
+        f"pred AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY c DESC, label) AS p FROM votes) "
+        f"SELECT query_id, true_label, label AS pred_label, "
+        f"CAST(true_label = label AS BOOLEAN) AS correct "
+        f"FROM pred WHERE p = 1 ORDER BY query_id"
+    ),
+    doc=(
+        "k-NN classification over the embedding corpus: exact cosine "
+        "10-NN for each held-out query (broadcast query set, one "
+        "corpus scan — the z28 plan), then a majority vote over "
+        "neighbor labels with a deterministic (count DESC, label) "
+        "tie-break. The standard label-propagation/QA-dedup "
+        "primitive of a training-data pipeline; at 100 TB the "
+        "neighbor search swaps to the IVF cell-pruned plan "
+        "(x_ivf_ann_topk) with the vote unchanged."
+    ),
+    tags=("similarity", "classify"),
+)
+def x_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "label",
+            F.expr(_cosine("qe", "embedding", 0)).alias("score"),
+            F.col("vec_id").alias("nid"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "nid")
+    votes = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("c").desc(), "label")
+    return (
+        votes.withColumn("p", F.row_number().over(wp))
+        .filter(F.col("p") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            (F.col("true_label") == F.col("label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

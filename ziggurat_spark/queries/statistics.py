@@ -205,3 +205,57 @@ def x_bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(100)
     )
+
+
+@register(
+    "x_anomaly_flags",
+    oracle=(
+        "WITH y AS (SELECT event_type, "
+        f"{_Y} AS y FROM events), "
+        "s AS (SELECT event_type, count(*) AS n, "
+        "CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(y * y) AS BIGINT) AS syy FROM y GROUP BY event_type) "
+        "SELECT s.event_type, s.n, "
+        "CAST(sum(CASE WHEN (s.n * y.y - s.sy) * (s.n * y.y - s.sy) > "
+        "4 * (s.n * s.syy - s.sy * s.sy) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS anomalies "
+        "FROM y JOIN s ON s.event_type = y.event_type "
+        "GROUP BY s.event_type, s.n ORDER BY s.event_type"
+    ),
+    doc=(
+        "2-sigma anomaly census per group WITHOUT floats: "
+        "|y − μ| > 2σ is algebraically (n·y − Σy)² > 4(n·Σy² − (Σy)²), "
+        "so the flag is pure int64 arithmetic over the two integer "
+        "moments (DECIMAL(38,0) at populations beyond ~1e9 rows/group) "
+        "— no sqrt, no division, no engine float drift. Plan: one "
+        "moments aggregate (map-side combined), the 5-row stats table "
+        "broadcast back onto the scan, one counting aggregate. Two "
+        "passes over events; the streaming form keeps (n, Σy, Σy²) "
+        "in a state store and flags in-flight."
+    ),
+    tags=("statistics", "quality", "anomaly"),
+)
+def x_anomaly_flags(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.expr(_Y).alias("y")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dev = F.col("n") * F.col("y") - F.col("sy")
+    var4 = F.lit(4) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(dev * dev > var4, 1).otherwise(0))
+            .cast("bigint")
+            .alias("anomalies")
+        )
+        .select("event_type", "n", "anomalies")
+        .orderBy("event_type")
+    )
