@@ -483,3 +483,58 @@ def test_bucketed_table_prunes_buckets(spark, specs):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, plan[:500]
     assert m.group(1) == "1" and m.group(2) == "8"
+
+
+def test_basket_pairs_one_shuffle_then_arrays(spark, specs):
+    """x_basket_pairs: baskets collect with ONE orderkey shuffle and
+    pairs generate in the array domain — the plan must show exactly
+    the basket-agg and pair-count exchanges (plus nothing for the
+    top-100, which is TakeOrderedAndProject, not a range exchange),
+    and never a join at all."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_basket_pairs", spark)
+    plan = formatted_plan(df)
+    assert shuffle_exchange_count(df) == 2
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    assert schemas[0].count(":") == 2  # l_orderkey, l_partkey only
+
+
+def test_triangle_count_no_join(spark, specs):
+    """x_triangle_count: triples come from the array domain, not a
+    3-way self-join — no Join nodes, one basket shuffle plus the
+    distinct-triple aggregate exchanges."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_triangle_count", spark)
+    assert "Join" not in formatted_plan(df)
+    assert shuffle_exchange_count(df) <= 3
+
+
+def test_codec_functions_topk_before_hashes(spark, specs):
+    """x_codec_functions: the sort-limit runs on slim source columns
+    and the crypto hashes are computed on the 5000 survivors — the
+    scan must read only the 3 source columns."""
+    df = q(specs, "x_codec_functions", spark)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    assert schemas[0].count(":") == 3  # event_id, event_type, value
+
+
+def test_anomaly_flags_broadcasts_stats(spark, specs):
+    """x_anomaly_flags: the 5-row moments table joins back onto the
+    event scan as a broadcast — shuffling events on event_type
+    (skewed, 5 values) would be the wrong plan at any scale."""
+    df = q(specs, "x_anomaly_flags", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_knn_classify_broadcasts_queries(spark, specs):
+    """x_knn_classify: the query set broadcasts; the corpus is
+    scanned once without a shuffle before scoring."""
+    df = q(specs, "x_knn_classify", spark)
+    assert broadcast_join_count(df) >= 1

@@ -49,7 +49,11 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", formatted_plan(df)))
+    """Number of shuffle Exchange nodes (broadcast exchanges and
+    AQE-reused exchanges excluded). Formatted explain puts the node
+    name and its partitioning arguments on separate lines, so count
+    the node-detail headers: ``(n) Exchange``."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", formatted_plan(df), re.M))
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -266,26 +266,32 @@ def x_decimal_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
         "path, route nulls instead) and division made total via "
         "try_divide ≡ x / nullif(d, 0). All JVM codegen; hashing "
         "short strings is the cheap first pass of every content-"
-        "hash dedup (x_content_hash_dedup runs it corpus-wide)."
+        "hash dedup (x_content_hash_dedup runs it corpus-wide). "
+        "The top-k runs FIRST over the slim source columns and the "
+        "hashes are computed on the 5000 survivors — Catalyst won't "
+        "reorder a projection past a sort on its own, and hashing "
+        "the full corpus to keep 5000 rows is the kind of wasted "
+        "work that matters at 100 TB."
     ),
     tags=("functions", "codec", "null"),
 )
 def x_codec_functions(spark: SparkSession, sf: str) -> DataFrame:
-    e = load_table(spark, sf, "events")
-    t = F.col("event_type")
-    return (
-        e.select(
-            "event_id",
-            F.md5(t).alias("m5"),
-            F.sha2(t, 256).alias("s256"),
-            F.base64(t.cast("binary")).alias("b64"),
-            F.lower(F.hex(F.col("event_id") % 4096)).alias("hx"),
-            F.expr("try_cast(substr(event_type, 1, 2) AS INT)").alias("tc"),
-            F.try_divide(
-                F.expr("CAST(round(value * 100) AS BIGINT)"),
-                F.col("event_id") % 3,
-            ).alias("td"),
-        )
+    top = (
+        load_table(spark, sf, "events")
+        .select("event_id", "event_type", "value")
         .orderBy("event_id")
         .limit(5000)
     )
+    t = F.col("event_type")
+    return top.select(
+        "event_id",
+        F.md5(t).alias("m5"),
+        F.sha2(t, 256).alias("s256"),
+        F.base64(t.cast("binary")).alias("b64"),
+        F.lower(F.hex(F.col("event_id") % 4096)).alias("hx"),
+        F.expr("try_cast(substr(event_type, 1, 2) AS INT)").alias("tc"),
+        F.try_divide(
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+            F.col("event_id") % 3,
+        ).alias("td"),
+    ).orderBy("event_id")
