@@ -246,3 +246,93 @@ def x_key_distribution(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cnt")
     )
+
+
+@register(
+    "x_skyline_frontier",
+    oracle=(
+        "WITH pc AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) "
+        "AS price_c, p_size, p_partkey FROM part), "
+        "m AS (SELECT price_c, max(p_size) AS size FROM pc "
+        "GROUP BY price_c), "
+        "r AS (SELECT m.price_c, m.size, min(pc.p_partkey) AS part_id "
+        "FROM m JOIN pc ON pc.price_c = m.price_c "
+        "AND pc.p_size = m.size GROUP BY m.price_c, m.size), "
+        "f AS (SELECT price_c, size, part_id, max(size) OVER "
+        "(ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING) AS prev_max FROM r) "
+        "SELECT price_c, size, part_id FROM f "
+        "WHERE prev_max IS NULL OR size > prev_max ORDER BY price_c"
+    ),
+    doc=(
+        "Skyline (Pareto frontier) query — Borzsony/Kossmann/Stocker "
+        "'01 — over (minimize price, maximize size): a part is on "
+        "the frontier iff no strictly cheaper part is at least as "
+        "big. The classic nested-NOT-EXISTS spelling is O(n²); this "
+        "is the sort-scan spelling: collapse to max-size per price "
+        "point (integer cents), then one running-max window pass "
+        "keeps frontier points. Price-point cardinality bounds the "
+        "window input, and the single-partition window runs over "
+        "price points, not parts — at 100 TB the groupBy does the "
+        "heavy lifting map-side and the frontier scan is O(distinct "
+        "prices)."
+    ),
+    tags=("analytics", "skyline", "window"),
+)
+def x_skyline_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").select(
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+        "p_size",
+        "p_partkey",
+    )
+    m = p.groupBy("price_c").agg(F.max("p_size").alias("size"))
+    r = (
+        m.join(
+            p,
+            (m["price_c"] == p["price_c"]) & (m["size"] == p["p_size"]),
+        )
+        .groupBy(m["price_c"].alias("price_c"), "size")
+        .agg(F.min("p_partkey").alias("part_id"))
+    )
+    w = (
+        Window.orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = r.withColumn("prev_max", F.max("size").over(w))
+    return (
+        f.filter(F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+        .select("price_c", "size", "part_id")
+        .orderBy("price_c")
+    )
+
+
+#: ONE string, executed verbatim by BOTH engines — the SQL-text
+#: interface demonstration: a user can hand the engine ANSI SQL
+#: instead of DataFrame calls and get the identical plan/result.
+_SQL_TEXT = (
+    "SELECT o_orderpriority, count(*) AS n, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS total_c, min(o_orderkey) AS first_key "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+@register(
+    "x_sql_text_interface",
+    oracle=_SQL_TEXT,
+    doc=(
+        "The SQL front door: the engine registers the loaded tables "
+        "as views and executes a raw ANSI SQL string via spark.sql — "
+        "the SAME string the DuckDB oracle runs, byte for byte "
+        "(dialect-portable subset). Proves query-text capability on "
+        "top of the DataFrame surface; Catalyst plans it identically "
+        "to the equivalent DataFrame chain (one map-side-combined "
+        "aggregate, scaled-integer money sum)."
+    ),
+    tags=("sql", "interface", "agg"),
+)
+def x_sql_text_interface(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_TEXT)
