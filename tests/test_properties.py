@@ -215,3 +215,124 @@ def test_deep_merge_right_biased_and_total(a, b):
                 assert m[k] == x[k]
 
     check(a, b, out)
+
+
+# ---- skyline / streaks / anomaly algebra ------------------------------
+
+
+def _brute_frontier(points):
+    """NOT-EXISTS skyline definition over collapsed (price, max-size)
+    points: keep (p, s) iff no point is strictly cheaper with size >= s."""
+    best = {}
+    for p, s, i in points:
+        if p not in best or s > best[p][0] or (s == best[p][0] and i < best[p][1]):
+            best[p] = (s, i) if p not in best or s > best[p][0] else (
+                best[p][0], min(best[p][1], i) if s == best[p][0] else best[p][1]
+            )
+    # representative id = min id among rows at (p, smax)
+    reps = {}
+    for p, s, i in points:
+        smax = best[p][0]
+        if s == smax:
+            reps[p] = min(reps.get(p, i), i)
+    out = []
+    for p in sorted(best):
+        smax = best[p][0]
+        if all(best[q][0] < smax for q in best if q < p):
+            out.append((p, smax, reps[p]))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 12), st.integers(0, 8), st.integers(0, 99)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_matches_brute_force(points):
+    from ziggurat_spark.queries.market import pareto_frontier
+    from ziggurat_spark.session import get_session
+
+    spark = get_session(app_name="prop_skyline")
+    df = spark.createDataFrame(
+        points, "price_c long, size long, part_id long"
+    )
+    got = [
+        (r.price_c, r.size, r.part_id)
+        for r in pareto_frontier(df).collect()
+    ]
+    assert got == _brute_frontier(points)
+
+
+def _brute_streaks(pairs):
+    """Run-lengths of consecutive ints per user."""
+    from collections import defaultdict
+
+    by_user = defaultdict(set)
+    for u, d in pairs:
+        by_user[u].add(d)
+    out = []
+    for u in sorted(by_user):
+        days = sorted(by_user[u])
+        start, length = days[0], 1
+        for prev, cur in zip(days, days[1:]):
+            if cur == prev + 1:
+                length += 1
+            else:
+                out.append((u, start, length))
+                start, length = cur, 1
+        out.append((u, start, length))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_day_streaks_matches_run_length(pairs):
+    import datetime as dt
+
+    from ziggurat_spark.queries.market import day_streaks
+    from ziggurat_spark.session import get_session
+
+    spark = get_session(app_name="prop_streaks")
+    epoch = dt.date(2024, 1, 1)
+    rows = sorted({(u, d) for u, d in pairs})
+    df = spark.createDataFrame(
+        [(u, epoch + dt.timedelta(days=d)) for u, d in rows],
+        "user_id long, d date",
+    )
+    got = [
+        (r.user_id, r.streak_start, r.days) for r in day_streaks(df).collect()
+    ]
+    want = [
+        (u, str(epoch + dt.timedelta(days=s)), n)
+        for u, s, n in _brute_streaks(rows)
+    ]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-10_000, 10_000), min_size=2, max_size=50))
+def test_anomaly_algebra_matches_exact_zscore(ys):
+    """(n*y - sy)^2 > 4*(n*syy - sy^2)  <=>  |y - mean| > 2*sigma_pop,
+    checked in exact rational arithmetic (python ints/Fractions)."""
+    from fractions import Fraction
+
+    n = len(ys)
+    sy = sum(ys)
+    syy = sum(y * y for y in ys)
+    mean = Fraction(sy, n)
+    var = Fraction(syy, n) - mean * mean
+    for y in ys:
+        lhs_int = (n * y - sy) ** 2 > 4 * (n * syy - sy * sy)
+        lhs_def = (Fraction(y) - mean) ** 2 > 4 * var
+        assert lhs_int == lhs_def

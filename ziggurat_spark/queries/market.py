@@ -153,11 +153,19 @@ def x_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", F.to_date("ts").alias("d"))
         .dropDuplicates()
     )
+    return day_streaks(d)
+
+
+def day_streaks(days: DataFrame) -> DataFrame:
+    """Runs of consecutive days per user from distinct
+    ``days(user_id, d DATE)`` via the date-minus-row_number anchor.
+    Property-tested against a pure-Python run-length reference
+    (tests/test_properties.py). streak_start goes out as STRING: a
+    bare DATE round-trips through pandas differently across sessions
+    (datetime.date vs datetime64) and the driver's session is not
+    ours to configure."""
     w = Window.partitionBy("user_id").orderBy("d")
-    s = d.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
-    # streak_start goes out as STRING: a bare DATE round-trips through
-    # pandas differently across sessions (datetime.date vs datetime64)
-    # and the driver's session is not ours to configure.
+    s = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
     return (
         s.groupBy("user_id", "anchor")
         .agg(
@@ -284,17 +292,24 @@ def x_skyline_frontier(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias(
             "price_c"
         ),
-        "p_size",
-        "p_partkey",
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("part_id"),
     )
-    m = p.groupBy("price_c").agg(F.max("p_size").alias("size"))
+    return pareto_frontier(p)
+
+
+def pareto_frontier(points: DataFrame) -> DataFrame:
+    """Skyline of ``points(price_c, size, part_id)`` under
+    (minimize price_c, maximize size): collapse to max-size per
+    price point, then keep points whose size beats the running max
+    over all strictly cheaper points. Property-tested against the
+    brute-force NOT-EXISTS definition (tests/test_properties.py)."""
+    m = points.groupBy("price_c").agg(F.max("size").alias("size"))
     r = (
-        m.join(
-            p,
-            (m["price_c"] == p["price_c"]) & (m["size"] == p["p_size"]),
-        )
-        .groupBy(m["price_c"].alias("price_c"), "size")
-        .agg(F.min("p_partkey").alias("part_id"))
+        m.join(points.withColumnRenamed("size", "psize"), ["price_c"])
+        .filter(F.col("size") == F.col("psize"))
+        .groupBy("price_c", "size")
+        .agg(F.min("part_id").alias("part_id"))
     )
     w = (
         Window.orderBy("price_c")
