@@ -62,6 +62,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # BASELINE.md bench protocol extras: streaming route-pipeline
+    # throughput (records/s through staleness → dispatch → retry
+    # fabric under availableNow) and the retry-pump re-delivery lag
+    # (enqueue-with-backoff → pump-at-horizon wall time). Both ride
+    # the already-graded x_stream_route_outcomes / x_retry_pump
+    # plans; here we time them and normalize to rates.
+    n_events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    )
+    t0 = time.perf_counter()
+    specs["x_stream_route_outcomes"].spark(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    stream_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    specs["x_retry_pump"].spark(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    pump_wall = time.perf_counter() - t0
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -74,6 +95,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stream_pipeline_records_per_s": round(
+                    n_events / stream_wall, 1
+                ),
+                "retry_pump_redelivery_s": round(pump_wall, 4),
             }
         )
     )
