@@ -312,3 +312,55 @@ def x_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "x_time_weighted_avg",
+    oracle=(
+        "WITH o AS (SELECT user_id, "
+        "CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS t, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS tn FROM events) "
+        "SELECT user_id, wv, w, "
+        "CAST(round(1000000.0 * wv / w) AS BIGINT) AS twa_c_ppm FROM ("
+        "SELECT user_id, CAST(sum(v * (tn - t)) AS BIGINT) AS wv, "
+        "CAST(sum(tn - t) AS BIGINT) AS w FROM o "
+        "WHERE tn IS NOT NULL GROUP BY user_id) s ORDER BY user_id"
+    ),
+    doc=(
+        "Time-weighted average per user (the TimescaleDB time_weight "
+        "primitive): each observation is held until the next one, so "
+        "its weight is the exact integer-microsecond gap from a "
+        "single lead() — weighted numerator and denominator are pure "
+        "int64 sums (DECIMAL(38,0) beyond ~1e18 µs·cents per group) "
+        "and only the final ppm ratio touches floats, as one fixed "
+        "IEEE expression. One shuffle on user_id serves the window "
+        "AND the groupBy — the aggregation rides the window's "
+        "partitioning."
+    ),
+    tags=("timeseries", "window", "agg"),
+)
+def x_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        F.unix_micros("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("tn", F.lead("t").over(w)).filter(
+        F.col("tn").isNotNull()
+    )
+    s = o.groupBy("user_id").agg(
+        F.sum(F.col("v") * (F.col("tn") - F.col("t"))).alias("wv"),
+        F.sum(F.col("tn") - F.col("t")).alias("w"),
+    )
+    twa = (F.round(F.lit(1000000.0) * F.col("wv") / F.col("w"))).cast(
+        "bigint"
+    )
+    return s.select("user_id", "wv", "w", twa.alias("twa_c_ppm")).orderBy(
+        "user_id"
+    )
