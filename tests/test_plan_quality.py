@@ -538,3 +538,13 @@ def test_knn_classify_broadcasts_queries(spark, specs):
     scanned once without a shuffle before scoring."""
     df = q(specs, "x_knn_classify", spark)
     assert broadcast_join_count(df) >= 1
+
+
+def test_join_strategy_hint_takes_effect(spark, specs):
+    """x_join_strategy_hints: the SHUFFLE_HASH hint must actually
+    produce a ShuffledHashJoin (not SMJ, not broadcast)."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_join_strategy_hints", spark))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

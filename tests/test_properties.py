@@ -336,3 +336,59 @@ def test_anomaly_algebra_matches_exact_zscore(ys):
         lhs_int = (n * y - sy) ** 2 > 4 * (n * syy - sy * sy)
         lhs_def = (Fraction(y) - mean) ** 2 > 4 * var
         assert lhs_int == lhs_def
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 10_000),     # t (micros)
+            st.integers(-1000, 1000),   # v (cents)
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_time_weighted_avg_matches_reference(rows):
+    """Spark TWA == pure-Python hold-until-next reference (exact ints)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ziggurat_spark.session import get_session
+
+    # unique (user, t) so ordering is total; event_id = index
+    seen, data = set(), []
+    for i, (u, t, v) in enumerate(rows):
+        if (u, t) not in seen:
+            seen.add((u, t))
+            data.append((u, i, t, v))
+    by_user = defaultdict(list)
+    for u, i, t, v in data:
+        by_user[u].append((t, i, v))
+    want = {}
+    for u, obs in by_user.items():
+        obs.sort()
+        wv = sum(v * (obs[k + 1][0] - t) for k, (t, _, v) in enumerate(obs[:-1]))
+        w = sum(obs[k + 1][0] - t for k, (t, _, v) in enumerate(obs[:-1]))
+        if w or len(obs) > 1:
+            want[u] = (wv, w)
+
+    spark = get_session(app_name="prop_twa")
+    df = spark.createDataFrame(data, "user_id long, event_id long, t long, v long")
+    win = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = df.withColumn("tn", F.lead("t").over(win)).filter(
+        F.col("tn").isNotNull()
+    )
+    got = {
+        r.user_id: (r.wv, r.w)
+        for r in o.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * (F.col("tn") - F.col("t"))).alias("wv"),
+            F.sum(F.col("tn") - F.col("t")).alias("w"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -381,3 +381,49 @@ def x_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_join_strategy_hints",
+    oracle=(
+        "SELECT o.o_orderpriority, count(*) AS n, "
+        "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS rev_c "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+    ),
+    doc=(
+        "Join-strategy control surface: the same fact-fact equi-join "
+        "every TPC-H shape uses, but with an explicit SHUFFLE_HASH "
+        "hint — the engine exposes Spark's full strategy menu "
+        "(broadcast / shuffle-hash / sort-merge) per join when the "
+        "optimizer's default is wrong for a known workload: "
+        "shuffle-hash skips both sort phases when one side's "
+        "per-partition build fits memory, the classic win for a "
+        "medium dimension too big to broadcast. Plan-pinned to "
+        "ShuffledHashJoin; results are strategy-invariant (the "
+        "oracle doesn't know or care)."
+    ),
+    tags=("join", "hints", "agg"),
+)
+def x_join_strategy_hints(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .hint("shuffle_hash")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_c").alias("rev_c"),
+        )
+        .orderBy("o_orderpriority")
+    )
