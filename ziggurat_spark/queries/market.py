@@ -121,9 +121,14 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
         .select("t.pa", "t.pb", "t.pc")
     )
-    return t.agg(
-        F.count("*").alias("n_triads"),
-        F.count_distinct("pa", "pb", "pc").alias("n_unique"),
+    # two-level aggregate instead of count + count_distinct in one
+    # agg: the mixed form plans an Expand that duplicates the triple
+    # stream; grouping on the triple key first map-side-combines and
+    # yields both totals from the (much smaller) distinct table.
+    g = t.groupBy("pa", "pb", "pc").agg(F.count("*").alias("c"))
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_triads"),
+        F.count("*").alias("n_unique"),
     )
 
 
