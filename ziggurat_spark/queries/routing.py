@@ -337,3 +337,48 @@ def x_recursive_backoff_schedule(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT event_type, attempt, cum_wait_ms FROM s "
         "ORDER BY event_type, attempt"
     )
+
+
+@register(
+    "x_observed_metrics",
+    oracle=(
+        "SELECT count(*) AS n_rows, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100, "
+        "CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_retryable FROM events"
+    ),
+    doc=(
+        "T10 metrics taps graded: df.observe() attaches the counter "
+        "aggregates to the SAME pass that produces the data — the "
+        "Spark spelling of the reference's per-record metric taps "
+        "(streams.clj:45-64), with zero extra scans (an Observation "
+        "accumulates on executors during the one materialization). "
+        "The graded row is the observed values themselves, so the "
+        "oracle verifies the metric pipeline end-to-end, not just "
+        "the data path."
+    ),
+    tags=("routing", "metrics", "observe"),
+)
+def x_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from ziggurat_spark.tables import load_table
+
+    e = load_table(spark, sf, "events")
+    obs = Observation("route_metrics")
+    tapped = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sv100"),
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retryable"),
+    )
+    # one materialization drives both the data path and the metrics
+    tapped.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.range(1).select(
+        F.lit(got["n_rows"]).cast("bigint").alias("n_rows"),
+        F.lit(got["sv100"]).cast("bigint").alias("sv100"),
+        F.lit(got["n_retryable"]).cast("bigint").alias("n_retryable"),
+    )
