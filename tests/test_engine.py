@@ -141,6 +141,7 @@ def test_streaming_route_lifecycle(spark, engine, envelope_df, tmp_path):
         source=lambda: spark.readStream.schema(schema).parquet(src_dir),
         handler=dispatch_handler,
         middleware=(json_middleware,),
+        channels={"audit": lambda df: None},
         retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
         oldest_processed_s=None,
     )
@@ -166,6 +167,7 @@ def test_streaming_checkpoint_no_reprocess(spark, engine, envelope_df, tmp_path)
         source=lambda: spark.readStream.schema(schema).parquet(src_dir),
         handler=dispatch_handler,
         middleware=(json_middleware,),
+        channels={"audit": lambda df: None},
         oldest_processed_s=None,
         retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
     )
@@ -200,6 +202,7 @@ def test_kill_midstream_and_restart_no_loss(spark, engine, envelope_df, tmp_path
         .parquet(src_dir),
         handler=dispatch_handler,
         middleware=(json_middleware,),
+        channels={"audit": lambda df: None},
         retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
         oldest_processed_s=None,
     )
@@ -223,3 +226,18 @@ def test_kill_midstream_and_restart_no_loss(spark, engine, envelope_df, tmp_path
     engine.stop_route("kill")
     total = sum(s.total for s in engine.stats if s.route == "kill")
     assert total == 300
+
+
+def test_unregistered_channel_outcome_rejected(spark, engine, envelope_df):
+    """Dispatching to a channel the route never declared is the
+    reference's invalid-return-code error (mapper.clj:62-64), not a
+    silent drop."""
+    route = Route(
+        name="ghost_chan",
+        source=lambda: None,
+        handler=lambda df: df.withColumn("outcome", F.lit("channel:ghost")),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    with pytest.raises(TypeError, match="invalid outcomes"):
+        engine.process_batch(route, envelope_df.limit(5), now=NOW)

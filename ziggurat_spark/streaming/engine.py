@@ -184,7 +184,14 @@ class ZigguratEngine:
             unknown = [
                 o
                 for o in counts
-                if o not in VALID_OUTCOMES and not str(o).startswith("channel:")
+                if o not in VALID_OUTCOMES
+                and not (
+                    str(o).startswith("channel:")
+                    # dispatching to a channel the route never declared
+                    # is the reference's invalid-return-code error, not
+                    # a silent drop (mapper.clj:62-64)
+                    and str(o)[len("channel:"):] in route.channels
+                )
             ]
             if unknown:
                 # InvalidReturnTypeException parity
@@ -223,11 +230,15 @@ class ZigguratEngine:
                     out.filter(oc == "dead-letter"), route.name, now=now
                 )
             for ch in route.channels:
-                ch_rows = out.filter(oc == f"channel:{ch}")
-                n_ch = ch_rows.count()
+                # the one-pass tally already counted this channel —
+                # a second count() job per channel would rescan the
+                # cached batch for nothing
+                n_ch = counts.get(f"channel:{ch}", 0)
                 if n_ch:
                     stats.channel += n_ch
-                    self._deliver_channel(route, ch, ch_rows, now)
+                    self._deliver_channel(
+                        route, ch, out.filter(oc == f"channel:{ch}"), now
+                    )
         finally:
             out.unpersist()
             batch.unpersist()
