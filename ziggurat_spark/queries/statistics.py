@@ -259,3 +259,101 @@ def x_anomaly_flags(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", "n", "anomalies")
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_grouped_mode",
+    oracle=(
+        "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+        "FROM events GROUP BY user_id, event_type) "
+        "SELECT user_id, event_type AS mode_type, n FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY n DESC, event_type) AS rn FROM c) t "
+        "WHERE rn = 1 ORDER BY user_id"
+    ),
+    doc=(
+        "Statistical mode per group with a deterministic "
+        "(count DESC, value ASC) tie-break: count sub-groups, then "
+        "one row_number pick per user. Both aggregations ride a "
+        "single user_id shuffle (sub-group counts re-use the "
+        "partitioning); state is O(groups × distinct values), "
+        "map-side combined."
+    ),
+    tags=("statistics", "agg", "window"),
+)
+def x_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+def _lower_median_cte(src: str, val: str, out: str) -> str:
+    """DuckDB CTE body: exact lower median of integer ``val`` per
+    event_type — the element at 1-based position (n+1)//2 of the
+    sorted sequence (no interpolation, stays in integer space)."""
+    return (
+        f"SELECT event_type, {val} AS {out} FROM ("
+        f"SELECT event_type, {val}, row_number() OVER ("
+        f"PARTITION BY event_type ORDER BY {val}) AS rn, "
+        f"count(*) OVER (PARTITION BY event_type) AS cnt FROM {src}) t "
+        f"WHERE rn = (cnt + 1) // 2"
+    )
+
+
+@register(
+    "x_mad_exact",
+    oracle=(
+        f"WITH y AS (SELECT event_type, {_Y} AS v FROM events), "
+        "med AS (" + _lower_median_cte("y", "v", "med_v") + "), "
+        "dev AS (SELECT y.event_type, abs(y.v - med.med_v) AS d "
+        "FROM y JOIN med ON med.event_type = y.event_type), "
+        "mad AS (" + _lower_median_cte("dev", "d", "mad_v") + ") "
+        "SELECT med.event_type, med.med_v, mad.mad_v "
+        "FROM med JOIN mad ON mad.event_type = med.event_type "
+        "ORDER BY med.event_type"
+    ),
+    doc=(
+        "Exact median absolute deviation per group — the robust "
+        "dispersion statistic. Lower-median convention keeps every "
+        "step in integer space (no even-count interpolation, no "
+        "floats anywhere): one windowed rank pass picks the median, "
+        "deviations join back on the (broadcastable) 5-row median "
+        "table, a second rank pass picks the MAD. At 100 TB the "
+        "per-group sort is the cost — the approx path is "
+        "approx_percentile on |v − approx_median| (x_approx_sketches "
+        "shows the sketch surface); this is the exact oracle "
+        "counterpart."
+    ),
+    tags=("statistics", "robust", "window"),
+)
+def x_mad_exact(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.expr(_Y).alias("v")
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val)
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("cnt", F.count("*").over(wc))
+            .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = lower_median(e, "v", "med_v")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_v")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad_v")
+    return (
+        med.join(mad, "event_type")
+        .select("event_type", "med_v", "mad_v")
+        .orderBy("event_type")
+    )
