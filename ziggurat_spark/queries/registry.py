@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sources_surface,
         similarity,
         statistics,
+        statistics_more,
         stats_lateral,
         skew_surface,
         streaming_surface,
@@ -70,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         timeseries,
         tpch_more,
         tpch_sub,
+        urls_formats,
         windows,
     )
 

@@ -1,0 +1,194 @@
+"""Second exact-statistics pack: interpolated quantiles, weighted
+median, and a chi-square contingency audit (SURVEY §2.2 "Registered
+beyond Z01–Z28", exact-statistics family).
+
+The reference's only numeric surface is metrics histograms/timings
+(`metrics.clj:117-128`); an analytics engine replacing it owes the
+operator the real statistics those histograms approximate. House
+rule for [exact] grading: inputs are first scaled to integers
+(cents), and any unavoidable floating point is written as the SAME
+IEEE-754 expression text on both engines, evaluated per-group (never
+an order-dependent float sum), so results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+_V100 = "CAST(round(value * 100) AS BIGINT)"
+
+
+@register(
+    "x_percentile_exact",
+    oracle=(
+        f"WITH s AS (SELECT event_type, {_V100} AS v100 FROM events) "
+        "SELECT event_type, count(*) AS n, "
+        "quantile_cont(v100, 0.25) AS q25, "
+        "quantile_cont(v100, 0.50) AS q50, "
+        "quantile_cont(v100, 0.75) AS q75 "
+        "FROM s GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "Exact linear-interpolated quantiles per group: Spark "
+        "percentile() ≡ DuckDB quantile_cont(), both defined as "
+        "rank h=(n-1)p with linear interpolation between the two "
+        "straddling order statistics. Inputs are integer cents and "
+        "p ∈ {.25,.5,.75} is dyadic, so the interpolation "
+        "x+(y-x)·frac is EXACT in binary floating point — no "
+        "rounding anywhere, hence hashable despite the DOUBLE "
+        "return type. Scale: exact percentile sorts each group's "
+        "values (Spark implements it as a per-group sorted buffer); "
+        "groups here are the 5-type domain, so per-group state is "
+        "the real cost driver at 100 TB — for billions-per-group "
+        "use the graded x_equidepth_histogram / approx_percentile "
+        "scale path instead; this query is the exact oracle for it."
+    ),
+    tags=("statistics", "agg"),
+)
+def x_percentile_exact(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.expr(_V100).alias("v100")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(v100, 0.25)").alias("q25"),
+            F.expr("percentile(v100, 0.50)").alias("q50"),
+            F.expr("percentile(v100, 0.75)").alias("q75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x_weighted_median",
+    oracle=(
+        "WITH w AS (SELECT l_returnflag AS rf, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS p100, "
+        "CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+        "c AS (SELECT rf, p100, "
+        "sum(wt) OVER (PARTITION BY rf ORDER BY p100) AS cum, "
+        "sum(wt) OVER (PARTITION BY rf) AS tot FROM w) "
+        "SELECT rf, min(p100) AS wmedian_100, "
+        "CAST(min(tot) AS BIGINT) AS total_weight "
+        "FROM c WHERE cum * 2 >= tot GROUP BY rf ORDER BY rf"
+    ),
+    doc=(
+        "Quantity-weighted median price per return flag: the "
+        "smallest price whose cumulative weight reaches half the "
+        "total — all-integer (cents × integer quantities), "
+        "lower-median convention, so exact. The default RANGE "
+        "window frame makes tied prices accumulate as one step on "
+        "both engines. Plan: one shuffle on rf, per-partition sort "
+        "by price, two window passes over the same sort order "
+        "(Spark fuses them into one Window node), then a tiny agg. "
+        "At 100 TB the per-group sort is the cost — the same "
+        "sort-based spelling TimescaleDB/BigQuery use for exact "
+        "weighted quantiles; approx path is x_equidepth_histogram."
+    ),
+    tags=("statistics", "window"),
+)
+def x_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p100"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    by_rf = Window.partitionBy("rf")
+    cum_w = by_rf.orderBy("p100").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = li.select(
+        "rf",
+        "p100",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(by_rf).alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("rf")
+        .agg(
+            F.min("p100").alias("wmedian_100"),
+            F.min("tot").alias("total_weight"),
+        )
+        .orderBy("rf")
+    )
+
+
+# Identical IEEE-754 expression text on both engines: diff is exact
+# BIGINT algebra; the one unavoidable float step (squaring + three
+# divisions) happens per-CELL on a ≤10-row contingency table, never
+# inside an order-dependent sum, and is floored to BIGINT ppm.
+_TERM_PPM = (
+    "CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) "
+    "/ rt / ct / n * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "x_chi_square",
+    oracle=(
+        "WITH cells AS (SELECT event_type, "
+        "CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS band, "
+        "count(*) AS obs FROM events GROUP BY 1, 2), "
+        "m AS (SELECT event_type, band, obs, "
+        "sum(obs) OVER (PARTITION BY event_type) AS rt, "
+        "sum(obs) OVER (PARTITION BY band) AS ct, "
+        "sum(obs) OVER () AS n FROM cells), "
+        "d AS (SELECT event_type, band, obs, rt, ct, n, "
+        "obs * n - rt * ct AS diff FROM m) "
+        "SELECT event_type, band, obs, "
+        "CAST(rt * ct * 1000000 // n AS BIGINT) AS exp_ppm, "
+        f"{_TERM_PPM} AS term_ppm "
+        "FROM d ORDER BY event_type, band"
+    ),
+    doc=(
+        "Chi-square contingency audit (event_type × value band): "
+        "observed vs expected counts plus each cell's chi-square "
+        "term in ppm — the 'is traffic independent of route?' "
+        "drift check a ziggurat operator runs over per-route "
+        "counters (metrics.clj:82-111 tallies are exactly these "
+        "cells). Exactness: diff = obs·N − rowtot·coltot is pure "
+        "BIGINT (bounded: obs·N ≤ 1e10 at sf0.1, diff² < 2^62); "
+        "the float term is the same expression text on both "
+        "engines, computed per cell on the ≤10-row aggregated "
+        "table. Plan: ONE full-data hash-agg (map-side partials) "
+        "collapses events to the contingency cells; all window "
+        "math runs on ≤10 rows. The full-data pass is O(rows) with "
+        "O(cells) state — unchanged at 100 TB."
+    ),
+    tags=("statistics",),
+)
+def x_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    cells = (
+        e.select(
+            "event_type",
+            F.when(F.col("value") >= 100, "hi").otherwise("lo").alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("obs"))
+    )
+    m = cells.select(
+        "event_type",
+        "band",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("band")).alias("ct"),
+        F.sum("obs").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    d = m.withColumn("diff", F.col("obs") * F.col("n") - F.col("rt") * F.col("ct"))
+    return d.select(
+        "event_type",
+        "band",
+        "obs",
+        F.expr("rt * ct * 1000000 div n").alias("exp_ppm"),
+        F.expr(_TERM_PPM).alias("term_ppm"),
+    ).orderBy("event_type", "band")
