@@ -227,3 +227,66 @@ def x_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .load(path)
     )
     return _agg(back)
+
+
+@register(
+    "x_csv_permissive_corrupt",
+    oracle=(
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_bad, "
+        "CAST(sum(CASE WHEN event_id % 97 <> 0 THEN "
+        "CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sv100_good, "
+        "CAST(sum(CASE WHEN event_id % 97 = 0 THEN "
+        "length(CAST(event_id AS VARCHAR)) + length(event_type) + 6 END) "
+        "AS BIGINT) AS bad_bytes "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "PERMISSIVE malformed-record capture — the batch-source "
+        "spelling of the poison shunt (R4, messaging/consumer.clj:"
+        "28-48: undeserializable payload → dead set AS-IS, pipeline "
+        "keeps going). Every 97th event is written with a "
+        "non-numeric value field; the CSV reader under "
+        "mode=PERMISSIVE parses what it can, nulls the bad field, "
+        "and preserves the COMPLETE raw line in the "
+        "columnNameOfCorruptRecord column — graded here by "
+        "byte-length checksum of those raw lines (the oracle "
+        "recomputes each corrupt line's exact length from the "
+        "original table), plus good-row sums proving unaffected "
+        "rows parse losslessly. Per-partition streaming parse, no "
+        "driver involvement; the corrupt column prunes away when "
+        "unused, so the happy path pays nothing at 100 TB."
+    ),
+    tags=("sources", "csv", "poison"),
+)
+def x_csv_permissive_corrupt(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_csv_perm_") + "/data"
+    e = load_table(spark, sf, "events")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("oops")).otherwise(
+            F.expr("CAST(round(value * 100) AS BIGINT)").cast("string")
+        ),
+    )
+    e.select(line.alias("value")).write.text(out)
+    parsed = (
+        spark.read.schema(
+            "event_id LONG, event_type STRING, v100 LONG, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_corrupt").alias("n_bad"),
+            F.sum("v100").alias("sv100_good"),
+            F.sum(F.length("_corrupt")).alias("bad_bytes"),
+        )
+        .orderBy("event_type")
+    )

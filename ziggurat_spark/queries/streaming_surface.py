@@ -940,3 +940,92 @@ def x_stream_exactly_once_restart(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_rows"),
         F.lit(2).cast("bigint").alias("runs"),
     )
+
+
+@register(
+    "x_stream_window_finalize",
+    oracle=(
+        "WITH wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events) "
+        "SELECT date_trunc('hour', ts) AS window_start, count(*) AS n, "
+        "CAST(1 AS BIGINT) AS emit_batch "
+        "FROM events, wm "
+        "GROUP BY 1, 3 HAVING date_trunc('hour', min(ts)) "
+        "+ INTERVAL 1 HOUR <= min(wm.w) ORDER BY 1"
+    ),
+    doc=(
+        "Watermark-driven window finalization, GRADED: events arrive "
+        "in two forced-order micro-batches (recent half first, via "
+        "file-mtime ordering — the file source's batch order key), "
+        "under append mode. Batch 0 emits NOTHING (initial watermark "
+        "is -inf, no window is closed); the watermark then advances "
+        "to max(ts)−1min, so batch 1 emits every hour window whose "
+        "end the watermark has passed — all but the head window "
+        "containing max(ts), which stays open and is verifiably "
+        "ABSENT from the result. emit_batch=1 on every row grades "
+        "the deferral itself. This is the engine-enforced timing "
+        "ziggurat approximates with its staleness cutoff (T2, "
+        "timestamp_transformer.clj:9-12); note Spark 4.1's stateful "
+        "ops do NOT pre-drop late input (verified empirically) — "
+        "lateness bounds live in watermark eviction/finalization, "
+        "which is what this query pins. State is O(open windows); "
+        "at 100 TB the same plan runs on Kafka with the identical "
+        "watermark mechanics."
+    ),
+    tags=("streaming", "watermark"),
+)
+def x_stream_window_finalize(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    e = load_table(spark, sf, "events")
+    lo_us, hi_us = e.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo_us + hi_us) // 2
+
+    src = tempfile.mkdtemp(prefix="zs_stream_fin_") + "/src"
+    e.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(src)
+    before = set(os.listdir(src))
+    e.where(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # Arrival order = file mtime order: stamp the old half 100s
+    # later so the file source delivers recent-then-old.
+    base = max(
+        os.path.getmtime(os.path.join(src, f))
+        for f in before
+        if f.endswith(".parquet")
+    )
+    for f in set(os.listdir(src)) - before:
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(src, f), (base + 100, base + 100))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="zs_stream_fin_out_") + "/emitted"
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.col("window.start").alias("window_start"),
+            "n",
+            F.lit(batch_id).alias("emit_batch"),
+        ).write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.foreachBatch(capture)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("window_start")
