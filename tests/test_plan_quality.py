@@ -548,3 +548,38 @@ def test_join_strategy_hint_takes_effect(spark, specs):
     plan = formatted_plan(q(specs, "x_join_strategy_hints", spark))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_functions_prunes_text_column(spark, specs):
+    """x_url_functions: URLs are built from 3 small columns — the
+    wide `text` column must be pruned out of the parquet scan (at
+    100 TB `text` IS the table; reading it for a URL query would be
+    a 100x I/O regression)."""
+    schemas = scan_read_schemas(q(specs, "x_url_functions", spark))
+    assert len(schemas) == 1
+    assert "text" not in schemas[0]
+    assert "n_chars" not in schemas[0]
+
+
+def test_topology_grid_broadcasts_both_sides(spark, specs):
+    """x_topology_grid: aggregate-then-densify — the only full-data
+    pass is the events hash-agg; the grid join must be broadcast
+    (shuffling events to densify a 15-row grid would be wrong at
+    any scale)."""
+    df = q(specs, "x_topology_grid", spark)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_weighted_median_single_data_shuffle(spark, specs):
+    """x_weighted_median: both window passes ride ONE hash
+    partitioning on rf; the only other exchange is the final 3-row
+    sort."""
+    df = q(specs, "x_weighted_median", spark)
+    assert shuffle_exchange_count(df) <= 2
+
+
+def test_chi_square_single_full_pass(spark, specs):
+    """x_chi_square: events collapse to <=10 contingency cells in
+    one hash-agg; all window math runs post-agg on the tiny side."""
+    df = q(specs, "x_chi_square", spark)
+    assert shuffle_exchange_count(df) <= 5  # 1 data agg + tiny-side exchanges
