@@ -151,3 +151,104 @@ def x_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber", "measure")
         .limit(20000)
     )
+
+
+@register(
+    "x_variant_shred",
+    oracle=(
+        "SELECT event_id, event_type AS type, "
+        "CAST(round(value * 100) AS BIGINT) AS v100, "
+        "user_id AS id0, CAST(NULL AS BIGINT) AS missing "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Spark 4 VARIANT round-trip: each event is serialized to a "
+        "JSON document (to_json over a struct), parsed into the "
+        "binary VARIANT type (parse_json), then shredded back out "
+        "with typed path extraction — variant_get for scalars and "
+        "array elements, try_variant_get for an absent path (NULL, "
+        "not an error). The oracle is the identity: extraction must "
+        "return exactly the columns the document was built from. "
+        "VARIANT is the idiomatic-Spark replacement for ziggurat's "
+        "schemaless middleware payloads (google.protobuf.Struct / "
+        "arbitrary JSON, middleware/default.clj:9-34): bytes in, "
+        "lazily-typed paths out, no schema declared up front. "
+        "Single-scan codegen projection; the binary encoding keeps "
+        "documents compact through any shuffle at 100 TB."
+    ),
+    tags=("semistructured", "variant"),
+)
+def x_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("type"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+            F.array("user_id", "event_id").alias("ids"),
+        )
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return (
+        v.select(
+            "event_id",
+            F.variant_get("v", "$.type", "string").alias("type"),
+            F.variant_get("v", "$.v100", "long").alias("v100"),
+            F.variant_get("v", "$.ids[0]", "long").alias("id0"),
+            F.try_variant_get("v", "$.missing", "long").alias("missing"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
+
+
+@register(
+    "x_union_by_name",
+    oracle=(
+        "WITH u AS ("
+        "SELECT event_id, event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS v100, NULL AS user_id "
+        "FROM events WHERE event_type = 'click' "
+        "UNION ALL BY NAME "
+        "SELECT event_id, user_id FROM events WHERE event_type = 'view') "
+        "SELECT coalesce(event_type, '<none>') AS src_type, "
+        "count(*) AS n, count(v100) AS n_v100, count(user_id) AS n_uid, "
+        "CAST(sum(v100) AS BIGINT) AS sv100 "
+        "FROM u GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Schema-evolution union: two route outputs with different "
+        "column sets merge via unionByName(allowMissingColumns=True) "
+        "≡ DuckDB UNION ALL BY NAME — absent columns null-fill "
+        "instead of erroring or misaligning by position. This is "
+        "how an engine ingests a topic whose producers upgraded "
+        "their schema mid-stream (ziggurat's per-route serde "
+        "evolution; doc/middleware.md) — and how a 100 TB lakehouse "
+        "unions a year of drifting parquet. Pure union + "
+        "hash-agg: one shuffle of 3-column partials."
+    ),
+    tags=("setops", "schema-evolution"),
+)
+def x_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id"
+    )
+    u = clicks.unionByName(views, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.coalesce("event_type", F.lit("<none>")).alias("src_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count("v100").alias("n_v100"),
+            F.count("user_id").alias("n_uid"),
+            F.sum("v100").alias("sv100"),
+        )
+        .orderBy("src_type")
+    )

@@ -290,3 +290,51 @@ def x_csv_permissive_corrupt(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_binary_file_source",
+    oracle=(
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+        "sha256(text) AS digest "
+        "FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id"
+    ),
+    doc=(
+        "binaryFile source — the multimodal ingestion front door "
+        "(SURVEY §7 north star: image/audio/video arrive as opaque "
+        "files). A deterministic subset of documents is materialized "
+        "as one file per asset; format('binaryFile') reads them back "
+        "as (path, length, content BINARY) rows, and the grade "
+        "checks per-asset byte length + sha256 against the oracle's "
+        "independent recomputation from the source table — proving "
+        "content arrives bit-perfect and ids recover from paths. "
+        "The driver-side file write is test scaffolding only (real "
+        "assets already sit in object storage); the READ path is "
+        "the production plan: distributed scan, one task per file "
+        "group, content never touches the driver. At 100 TB pair "
+        "it with pathGlobFilter/recursiveFileLookup and the "
+        "mapInPandas decode plumbing graded in x_multimodal_decode."
+    ),
+    tags=("sources", "binary", "multimodal"),
+)
+def x_binary_file_source(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    out = tempfile.mkdtemp(prefix="zs_binsrc_")
+    for row in d.collect():  # scaffolding: materialize test assets
+        with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as fh:
+            fh.write(row["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(out)
+    return (
+        files.select(
+            F.regexp_extract(
+                F.col("path"), r"doc_(\d+)\.bin$", 1
+            ).cast("bigint").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.sha2("content", 256).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
