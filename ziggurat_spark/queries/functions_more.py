@@ -295,3 +295,48 @@ def x_codec_functions(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_id") % 3,
         ).alias("td"),
     ).orderBy("event_id")
+
+
+@register(
+    "x_pattern_predicates",
+    oracle=(
+        "SELECT event_id, "
+        "event_type LIKE 'c%' AS like_c, "
+        "upper(event_type) ILIKE 'cL%' AS ilike_c, "
+        "regexp_matches(event_type, '^(cl|si)') AS re_pre, "
+        "event_type LIKE '%u^_%' ESCAPE '^' AS esc_underscore, "
+        "split_part(props, ':', 2) AS second_field "
+        "FROM events ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Pattern-predicate pack: LIKE / case-insensitive ILIKE / "
+        "regexp prefix match / LIKE with a custom ESCAPE character "
+        "(matching a literal underscore) / split_part field "
+        "extraction — the predicate surface route selectors are "
+        "written in (ziggurat routes subscribe by topic REGEX, "
+        "streams.clj:184; these are the same match primitives over "
+        "payloads). All codegen'd predicates; a LIKE 'prefix%' on a "
+        "scan column additionally compiles to a StartsWith pushed "
+        "filter at the parquet reader — the 100 TB win is in the "
+        "scan, not the expression."
+    ),
+    tags=("functions", "strings", "predicates"),
+)
+def x_pattern_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            F.col("event_type").like("c%").alias("like_c"),
+            F.upper("event_type").ilike("cL%").alias("ilike_c"),
+            F.col("event_type").rlike("^(cl|si)").alias("re_pre"),
+            F.expr("event_type LIKE '%u^_%' ESCAPE '^'").alias(
+                "esc_underscore"
+            ),
+            F.split_part("props", F.lit(":"), F.lit(2)).alias(
+                "second_field"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )

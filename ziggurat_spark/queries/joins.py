@@ -427,3 +427,59 @@ def x_join_strategy_hints(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "x_null_safe_join",
+    oracle=(
+        "WITH o AS (SELECT o_orderkey, CASE WHEN o_orderkey % 499 = 0 "
+        "THEN NULL ELSE o_custkey END AS k FROM orders), "
+        "c AS (SELECT c_custkey, CASE WHEN c_custkey % 101 = 0 "
+        "THEN NULL ELSE c_custkey END AS k FROM customer) "
+        "SELECT count(*) AS n_pairs, "
+        "CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null_pairs, "
+        "CAST(sum(o.o_orderkey % 1000000 + c.c_custkey % 1000000) "
+        "AS BIGINT) AS checksum "
+        "FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k"
+    ),
+    doc=(
+        "Null-safe equi-join: Spark's <=> (eqNullSafe) ≡ SQL's IS "
+        "NOT DISTINCT FROM — NULL keys match each other instead of "
+        "vanishing, the semantics CDC/merge pipelines need when the "
+        "join key itself is nullable (ziggurat's Kafka record key "
+        "CAN be null, streams.clj:129; a key-join that silently "
+        "drops null-keyed records loses data). Graded via pair "
+        "count, null-pair count, and a modular checksum over both "
+        "sides. Plan note: <=> is still an EQUI join condition — "
+        "Spark hash-partitions on the key with null-safe "
+        "comparison, never a nested-loop. The null×null block is a "
+        "deliberate skew hotspot kept small here (~0.2% × ~1%); at "
+        "scale the null cohort routes through the salting toolkit "
+        "(x_salted_join)."
+    ),
+    tags=("joins", "null-safe"),
+)
+def x_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 499 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 101 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k"),
+    )
+    j = o.join(c, o["k"].eqNullSafe(c["k"]))
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.when(o["k"].isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_null_pairs"),
+        F.sum(
+            F.col("o_orderkey") % 1000000 + F.col("c_custkey") % 1000000
+        ).cast("bigint").alias("checksum"),
+    )

@@ -1,0 +1,157 @@
+"""Distributed k-means (exact-integer Lloyd iterations) over the
+embeddings table — the iterative-ML capability of the engine, graded
+bit-exactly against a fully unrolled SQL oracle.
+
+The reference has no ML surface; this belongs to the north-star
+LLM-pipeline extensions (SURVEY §7): clustering embeddings is how
+training pipelines do semantic dedup cohorts, topic balancing, and
+IVF index construction (x_ivf_ann_topk's cell assignment IS one
+k-means assignment step).
+
+Exactness discipline: coordinates are scaled to integer millionths
+up front, so distances are pure BIGINT algebra, centroid updates are
+truncating integer division (Spark `div` ≡ DuckDB `//`, both
+truncate toward zero — verified), and argmin tie-breaks ride a
+composite integer key. No float enters the loop, so Spark and the
+oracle agree on every assignment at every iteration.
+
+Scale shape (MLlib-standard): the data side never leaves executors —
+assignment is a broadcast of k·d centroid integers against one scan,
+distance math runs in the array domain (zip_with fold, codegen'd
+higher-order functions), and the only driver traffic is the k×d
+centroid table between iterations (k=4, d=64 → 256 longs — the same
+sync point spark.ml's KMeans uses). Updates are one hash-agg on
+(cluster, pos) with map-side partials. At 100 TB: same plan, plus a
+cache() on the scaled scan to avoid re-reading per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+_K = 4
+_SCALE_EXPR = (
+    "transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+_DIST_EXPR = (
+    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, d) -> acc + d)"
+)
+
+# Long-form oracle: one (vec, pos, val) relation, explicit pos-join
+# distances, arg_min on the composite integer key, truncating-div
+# centroid updates — 2 unrolled Lloyd iterations + final assignment.
+_ORACLE = """
+WITH s AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS val
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM s WHERE vec_id < 4),
+d1 AS (SELECT s.vec_id, c.cid,
+              CAST(sum((s.val - c.cval) * (s.val - c.cval)) AS BIGINT) AS d
+       FROM s JOIN c0 c USING (pos) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, arg_min(cid, d * 8 + cid) AS cluster
+       FROM d1 GROUP BY 1),
+c1 AS (SELECT a1.cluster AS cid, s.pos,
+              CAST(sum(s.val) // count(*) AS BIGINT) AS cval
+       FROM s JOIN a1 USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT s.vec_id, c.cid,
+              CAST(sum((s.val - c.cval) * (s.val - c.cval)) AS BIGINT) AS d
+       FROM s JOIN c1 c USING (pos) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, arg_min(cid, d * 8 + cid) AS cluster
+       FROM d2 GROUP BY 1),
+c2 AS (SELECT a2.cluster AS cid, s.pos,
+              CAST(sum(s.val) // count(*) AS BIGINT) AS cval
+       FROM s JOIN a2 USING (vec_id) GROUP BY 1, 2),
+d3 AS (SELECT s.vec_id, c.cid,
+              CAST(sum((s.val - c.cval) * (s.val - c.cval)) AS BIGINT) AS d
+       FROM s JOIN c2 c USING (pos) GROUP BY 1, 2),
+a3 AS (SELECT vec_id, arg_min(cid, d * 8 + cid) AS cluster
+       FROM d3 GROUP BY 1),
+cl1 AS (SELECT cid, CAST(sum(abs(cval)) AS BIGINT) AS c_l1
+        FROM c2 GROUP BY 1)
+SELECT a3.cluster, count(*) AS n_members,
+       CAST(sum(a3.vec_id) AS BIGINT) AS vecsum, min(cl1.c_l1) AS c_l1
+FROM a3 JOIN cl1 ON cl1.cid = a3.cluster
+GROUP BY a3.cluster ORDER BY a3.cluster
+"""
+
+
+def _assign(spark: SparkSession, scaled: DataFrame, cents) -> DataFrame:
+    """One Lloyd assignment pass: broadcast k centroids, array-domain
+    distances, argmin by the composite (d, cid) integer key."""
+    cdf = spark.createDataFrame(
+        [(int(cid), [int(x) for x in vec]) for cid, vec in cents],
+        "cid bigint, c array<bigint>",
+    )
+    return (
+        scaled.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cid", F.expr(_DIST_EXPR).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.expr("min_by(cid, d * 8 + cid)").alias("cluster"))
+    )
+
+
+def _update(scaled: DataFrame, assign: DataFrame):
+    """One centroid update: hash-agg on (cluster, pos), truncating
+    integer mean; returns the k×d table to the driver (k·d longs —
+    the MLlib-standard iteration sync, NOT a data collect)."""
+    upd = (
+        scaled.join(assign, "vec_id")
+        .select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.expr("CAST(sum(val) div count(*) AS BIGINT)").alias("cval"))
+        .collect()
+    )
+    byc: dict[int, dict[int, int]] = {}
+    for r in upd:
+        byc.setdefault(r["cluster"], {})[r["pos"]] = r["cval"]
+    return sorted(
+        (cid, [pos_map[p] for p in sorted(pos_map)])
+        for cid, pos_map in byc.items()
+    )
+
+
+@register(
+    "x_kmeans_exact",
+    oracle=_ORACLE,
+    doc=(
+        "Two exact-integer Lloyd iterations + final assignment over "
+        "the 64-dim embeddings (k=4, centroids seeded from vec_id "
+        "0..3). Graded per final cluster: member count, vec_id "
+        "checksum, and the L1 fingerprint of the iteration-2 "
+        "centroid — all BIGINT, matching the oracle's fully "
+        "unrolled CTE chain bit-for-bit."
+    ),
+    tags=("ml", "clustering", "iterative"),
+)
+def x_kmeans_exact(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings", fan_out=True)
+    scaled = emb.select("vec_id", F.expr(_SCALE_EXPR).alias("v"))
+    cents = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in scaled.where(F.col("vec_id") < _K).collect()
+    )
+    for _ in range(2):
+        cents = _update(scaled, _assign(spark, scaled, cents))
+    final = _assign(spark, scaled, cents)
+    l1df = spark.createDataFrame(
+        [(int(cid), int(sum(abs(x) for x in vec))) for cid, vec in cents],
+        "cid bigint, c_l1 bigint",
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").cast("bigint").alias("vecsum"),
+        )
+        .join(F.broadcast(l1df), F.col("cluster") == F.col("cid"))
+        .select("cluster", "n_members", "vecsum", "c_l1")
+        .orderBy("cluster")
+    )

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_seq,
         joins,
         market,
+        ml_cluster,
         ngrams,
         pricing,
         quality_audit,
