@@ -392,3 +392,90 @@ def test_time_weighted_avg_matches_reference(rows):
         .collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # price
+            st.integers(min_value=1, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_weighted_median_matches_brute_force(pairs):
+    """x_weighted_median's SQL definition (smallest x whose
+    cumulative weight reaches half the total, RANGE-frame tie
+    handling) equals the naive expand-and-index weighted median."""
+    expanded = sorted(x for x, w in pairs for _ in range(w))
+    total = len(expanded)
+    brute = expanded[(total - 1) // 2]  # lower median
+    # the query's rule: min x with 2 * cumweight(x) >= totalweight,
+    # cumweight accumulated over ALL rows with value <= x (RANGE).
+    xs = sorted({x for x, _ in pairs})
+    cum = 0
+    chosen = None
+    for x in xs:
+        cum += sum(w for v, w in pairs if v == x)
+        if 2 * cum >= total:
+            chosen = x
+            break
+    assert chosen == brute
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_array_set_algebra_matches_python_sets(rows):
+    """x_array_set_ops' sorted-array intersect/except/union rendering
+    equals Python set algebra joined on sorted order."""
+    hi = sorted({t for t, is_hi in rows if is_hi})
+    lo = sorted({t for t, is_hi in rows if not is_hi})
+    inter = [t for t in hi if t in lo]
+    exc = [t for t in hi if t not in lo]
+    uni = sorted(set(hi) | set(lo))
+    assert inter == sorted(set(hi) & set(lo))
+    assert exc == sorted(set(hi) - set(lo))
+    assert uni == sorted(set(hi) | set(lo))
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    """x_kmeans_exact's argmin key (d*8+cid): every vector's final
+    cluster must be its true nearest final centroid (ties → lowest
+    cid) — recomputed naively in numpy over the scaled integers."""
+    from ziggurat_spark.queries.ml_cluster import (
+        _SCALE_EXPR,
+        _assign,
+        _update,
+    )
+    from ziggurat_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    scaled = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.expr(_SCALE_EXPR).alias("v")
+    )
+    cents = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in scaled.where(F.col("vec_id") < 4).collect()
+    )
+    for _ in range(2):
+        cents = _update(scaled, _assign(spark, scaled, cents))
+    final = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign(spark, scaled, cents).collect()
+    }
+    V = {r["vec_id"]: np.array(r["v"], dtype=np.int64) for r in scaled.collect()}
+    C = {cid: np.array(vec, dtype=np.int64) for cid, vec in cents}
+    for vid, v in V.items():
+        best = min(C, key=lambda c: (int(((v - C[c]) ** 2).sum()), c))
+        assert final[vid] == best, vid

@@ -570,3 +570,81 @@ def x_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(byte_at_hex(1)).alias("b1_sum"),
         F.sum(byte_at_hex(63)).alias("b32_sum"),
     )
+
+
+@register(
+    "x_corpus_pipeline",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, lang, text, "
+        "len(list_filter(string_split(lower(text), ' '), x -> x != '')) "
+        "AS n_words FROM documents), "
+        "q AS (SELECT * FROM tok WHERE lang IN ('en', 'de', 'es') "
+        "AND n_words >= 5), "
+        "d AS (SELECT *, row_number() OVER ("
+        "PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn "
+        "FROM q), "
+        "s AS (SELECT doc_id, lang, n_words, "
+        "CASE WHEN ((doc_id % 1048576) * 2654435761) % 100 < 80 "
+        "THEN 'train' WHEN ((doc_id % 1048576) * 2654435761) % 100 < 90 "
+        "THEN 'valid' ELSE 'test' END AS split "
+        "FROM d WHERE rn = 1) "
+        "SELECT split, lang, count(*) AS n_docs, "
+        "CAST(sum(n_words) AS BIGINT) AS n_tokens, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum "
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc=(
+        "The flagship training-data curation pipeline as ONE graded "
+        "dataflow — the composition the per-component queries "
+        "(x_lang_id, x_quality_score, x_content_hash_dedup, "
+        "x_hash_split) exist to serve: tokenize → language+quality "
+        "gate → exact content-hash dedup (keep lowest doc_id per "
+        "digest) → deterministic Knuth-hash train/valid/test split "
+        "→ per-split per-language token accounting. Plan: the gate "
+        "is a scan-level filter; dedup is ONE shuffle keyed by the "
+        "16-byte digest (window row_number, uniform by "
+        "construction); split+report is one map-side-combined agg "
+        "over ≤9 groups. Nothing holds state bigger than "
+        "O(duplicates-per-digest); the same plan curates 100 TB "
+        "with the digest shuffle as the only wide edge — which is "
+        "the architecture of every production pretraining-dedup "
+        "stack (C4/Gopher/Dolma)."
+    ),
+    tags=("text", "pipeline", "dedup", "flagship"),
+)
+def x_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("n_words"),
+    )
+    q = tok.where(
+        F.col("lang").isin("en", "de", "es") & (F.col("n_words") >= 5)
+    )
+    digest = F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
+    w = Window.partitionBy(digest).orderBy("doc_id")
+    keep = q.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    bucket = (F.col("doc_id") % 1048576) * F.lit(2654435761) % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+    )
+    return (
+        keep.select(split.alias("split"), "lang", "n_words", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("split", "lang")
+    )
