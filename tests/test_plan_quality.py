@@ -583,3 +583,12 @@ def test_chi_square_single_full_pass(spark, specs):
     one hash-agg; all window math runs post-agg on the tiny side."""
     df = q(specs, "x_chi_square", spark)
     assert shuffle_exchange_count(df) <= 5  # 1 data agg + tiny-side exchanges
+
+
+def test_topology_grid_single_scan(spark, specs):
+    """x_topology_grid: at most ONE events scan in the final plan —
+    the counts subtree is checkpointed and the type dimension reuses
+    it, never a second table pass (the checkpoint itself performed
+    the single real scan)."""
+    schemas = scan_read_schemas(q(specs, "x_topology_grid", spark))
+    assert len(schemas) <= 1

@@ -425,28 +425,36 @@ def test_weighted_median_matches_brute_force(pairs):
     assert chosen == brute
 
 
-@given(
-    st.lists(
-        st.tuples(
-            st.sampled_from(["a", "b", "c", "d", "e"]),
-            st.booleans(),
-        ),
-        min_size=1,
-        max_size=40,
-    )
-)
-@settings(max_examples=60, deadline=None)
-def test_array_set_algebra_matches_python_sets(rows):
-    """x_array_set_ops' sorted-array intersect/except/union rendering
-    equals Python set algebra joined on sorted order."""
-    hi = sorted({t for t, is_hi in rows if is_hi})
-    lo = sorted({t for t, is_hi in rows if not is_hi})
-    inter = [t for t in hi if t in lo]
-    exc = [t for t in hi if t not in lo]
-    uni = sorted(set(hi) | set(lo))
-    assert inter == sorted(set(hi) & set(lo))
-    assert exc == sorted(set(hi) - set(lo))
-    assert uni == sorted(set(hi) | set(lo))
+def test_array_set_algebra_matches_python_sets(spark):
+    """x_array_set_ops' Spark output (array_intersect/except/union
+    over sorted collect_sets, rendered via array_join) equals an
+    independent per-user Python-set recomputation from the raw
+    events table."""
+    import duckdb
+
+    from ziggurat_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["both_bands"], r["hi_only"], r["any_band"])
+        for r in all_queries()["x_array_set_ops"].spark(spark, sf).collect()
+    }
+    raw = duckdb.sql(
+        f"SELECT user_id, event_type, value > 0.3 AS is_hi "
+        f"FROM '{sf}/events.parquet'"
+    ).fetchall()
+    by_user: dict[int, tuple[set, set]] = {}
+    for uid, et, is_hi in raw:
+        hi, lo = by_user.setdefault(uid, (set(), set()))
+        (hi if is_hi else lo).add(et)
+    assert set(got) == set(by_user)
+    for uid, (hi, lo) in by_user.items():
+        want = (
+            ",".join(sorted(hi & lo)),
+            ",".join(sorted(hi - lo)),
+            ",".join(sorted(hi | lo)),
+        )
+        assert got[uid] == want, uid
 
 
 def test_kmeans_assignment_is_nearest_centroid(spark):

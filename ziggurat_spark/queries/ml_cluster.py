@@ -133,7 +133,9 @@ def _update(scaled: DataFrame, assign: DataFrame):
 )
 def x_kmeans_exact(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings", fan_out=True)
-    scaled = emb.select("vec_id", F.expr(_SCALE_EXPR).alias("v"))
+    # cache: the seed collect, two update syncs, and the final
+    # assignment each re-execute this lineage otherwise (~5 scans)
+    scaled = emb.select("vec_id", F.expr(_SCALE_EXPR).alias("v")).cache()
     cents = sorted(
         (r["vec_id"], list(r["v"]))
         for r in scaled.where(F.col("vec_id") < _K).collect()

@@ -143,7 +143,8 @@ _TERM_PPM = (
         "d AS (SELECT event_type, band, obs, rt, ct, n, "
         "obs * n - rt * ct AS diff FROM m) "
         "SELECT event_type, band, obs, "
-        "CAST(rt * ct * 1000000 // n AS BIGINT) AS exp_ppm, "
+        "CAST((rt * ct // n) * 1000000 "
+        "+ ((rt * ct % n) * 1000000) // n AS BIGINT) AS exp_ppm, "
         f"{_TERM_PPM} AS term_ppm "
         "FROM d ORDER BY event_type, band"
     ),
@@ -185,10 +186,16 @@ def x_chi_square(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("n"),
     )
     d = m.withColumn("diff", F.col("obs") * F.col("n") - F.col("rt") * F.col("ct"))
+    # exp_ppm via remainder split — floor(rt·ct·1e6/n) computed as
+    # q·1e6 + floor(r·1e6/n) with rt·ct = q·n + r, so no factor ever
+    # exceeds n·1e6. Exact while rt·ct fits int64 (~3e9 events);
+    # beyond that, widen to DECIMAL(38,0) on both engines.
     return d.select(
         "event_type",
         "band",
         "obs",
-        F.expr("rt * ct * 1000000 div n").alias("exp_ppm"),
+        F.expr(
+            "(rt * ct div n) * 1000000 + ((rt * ct % n) * 1000000) div n"
+        ).alias("exp_ppm"),
         F.expr(_TERM_PPM).alias("term_ppm"),
     ).orderBy("event_type", "band")

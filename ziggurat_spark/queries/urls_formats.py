@@ -197,13 +197,17 @@ def x_array_set_ops(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_topology_grid(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
-    types = e.select("event_type").distinct()
-    channels = spark.range(3).select(F.col("id").alias("ch"))
-    grid = types.crossJoin(channels)
     counts = (
         e.groupBy("event_type", (F.col("event_id") % 3).alias("ch"))
         .agg(F.count("*").alias("cnt"))
+        # materialize the ≤15-row result once: the type dimension
+        # below reuses it, and WITHOUT this Spark would duplicate
+        # the whole subtree — scanning events twice
+        .localCheckpoint()
     )
+    types = counts.select("event_type").distinct()
+    channels = spark.range(3).select(F.col("id").alias("ch"))
+    grid = types.crossJoin(channels)
     return (
         grid.join(F.broadcast(counts), ["event_type", "ch"], "left")
         .select(
