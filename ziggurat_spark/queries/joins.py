@@ -483,3 +483,74 @@ def x_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_orderkey") % 1000000 + F.col("c_custkey") % 1000000
         ).cast("bigint").alias("checksum"),
     )
+
+
+@register(
+    "x_join_pair_delay",
+    oracle=(
+        "SELECT a.user_id % 16 AS ub, count(*) AS n_pairs, "
+        "CAST(sum(abs(epoch_us(b.ts) - epoch_us(a.ts))) AS BIGINT) "
+        "AS sum_abs_us, "
+        "CAST(max(abs(epoch_us(b.ts) - epoch_us(a.ts))) AS BIGINT) "
+        "AS max_abs_us "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR "
+        "AND a.event_id < b.event_id "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "T9 graded — the joined-pair timestamp-diff metric "
+        "(stream_joins_diff.clj:5-17 histograms "
+        "abs(left.ts − right.ts) for every joined pair): here the "
+        "J1-shaped ±1h self-join feeds an exact integer-µs delay "
+        "aggregate per user cohort — count, sum, max of |Δts| — the "
+        "same histogram content the reference emits to its metrics "
+        "backend, as a hash-checkable result. Pair generation reuses "
+        "Z11's bucketed band join (join key carries the hour bucket, "
+        "so fan-out stays window-local — no O(k²)-per-user blowup); "
+        "the metric rides the join output as a map-side-combined "
+        "aggregate, state O(16 cohorts). In production this exact "
+        "aggregate ships via df.observe on the streaming join "
+        "(x_stream_windowed_join runs the join itself under "
+        "watermarks)."
+    ),
+    tags=("join", "metrics", "window"),
+)
+def x_join_pair_delay(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    hb = F.expr("unix_timestamp(ts) div 3600")
+    a = e.select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.unix_micros("ts").alias("l_us"),
+        F.explode(
+            F.array((hb - 1).cast("long"), hb.cast("long"), (hb + 1).cast("long"))
+        ).alias("hb"),
+    )
+    b = e.select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.unix_micros("ts").alias("r_us"),
+        hb.cast("long").alias("r_hb"),
+    )
+    pairs = a.join(
+        b,
+        (a["user_id"] == b["r_user"])
+        & (a["hb"] == b["r_hb"])
+        & (F.col("l_id") < F.col("r_id"))
+        & (F.col("r_us") >= F.col("l_us") - 3600 * 1000000)
+        & (F.col("r_us") <= F.col("l_us") + 3600 * 1000000),
+    )
+    return (
+        pairs.groupBy((F.col("user_id") % 16).alias("ub"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.abs(F.col("r_us") - F.col("l_us")))
+            .cast("bigint")
+            .alias("sum_abs_us"),
+            F.max(F.abs(F.col("r_us") - F.col("l_us")))
+            .cast("bigint")
+            .alias("max_abs_us"),
+        )
+        .orderBy("ub")
+    )
