@@ -145,6 +145,25 @@ class ZigguratQueryListener(StreamingQueryListener):
             self.registry.report_histogram(
                 route, "streaming-query.trigger-duration-ms", float(duration)
             )
+        # df.observe taps on streaming queries surface here (T10's
+        # streaming half): integer observation columns accumulate as
+        # counters under observed.<tap>.<column>, doubles as
+        # histograms — the same pass-riding metrics the reference's
+        # mapValues taps emit (streams.clj:45-64).
+        for tap, row in (getattr(p, "observedMetrics", None) or {}).items():
+            for col, val in row.asDict().items():
+                if val is None:
+                    continue
+                if isinstance(val, bool):
+                    continue
+                if isinstance(val, int):
+                    self.registry.inc(
+                        route, f"observed.{tap}", col, int(val)
+                    )
+                elif isinstance(val, float):
+                    self.registry.report_histogram(
+                        route, f"observed.{tap}.{col}", val
+                    )
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
