@@ -487,3 +487,26 @@ def test_kmeans_assignment_is_nearest_centroid(spark):
     for vid, v in V.items():
         best = min(C, key=lambda c: (int(((v - C[c]) ** 2).sum()), c))
         assert final[vid] == best, vid
+
+
+@given(
+    st.integers(min_value=0, max_value=3_000_000_000),
+    st.integers(min_value=0, max_value=3_000_000_000),
+    st.integers(min_value=1, max_value=3_000_000_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_chi_square_remainder_split_identity(rt, ct, n):
+    """x_chi_square's exp_ppm remainder split equals the exact
+    rational floor(rt*ct*1e6/n) for any magnitudes (Python bigints
+    as the oracle), and every intermediate the SQL computes fits
+    int64 whenever rt*ct itself does."""
+    exact = (rt * ct * 1_000_000) // n
+    q, r = divmod(rt * ct, n)
+    split = q * 1_000_000 + (r * 1_000_000) // n
+    assert split == exact
+    # int64-safety of every intermediate the SQL computes, given
+    # rt*ct fits (documented bound): r < n, so r*1e6 < n*1e6, and
+    # q*1e6 <= exact <= rt*ct*1e6/n — all bounded by max(n, exact)*1e6
+    if rt * ct <= 2**63 - 1 and exact <= 2**63 - 1:
+        assert q * 1_000_000 <= exact
+        assert r * 1_000_000 <= (n - 1) * 1_000_000
