@@ -136,3 +136,35 @@ def test_stream_joins_alpha_gated(spark, tmp_path):
     cfg["ziggurat"]["alpha-features"] = {"stream-joins": True}
     routes = build_routes(cfg, spec, srcs)
     assert [r.name for r in routes] == ["j"]
+
+
+def test_app_runs_batch_route(spark, tmp_path):
+    """A batch route (non-streaming source) starts as one bounded
+    poll cycle (S3) — config comes from the batch-routes section."""
+    p = tmp_path / "config.json"
+    p.write_text(
+        json.dumps(
+            {
+                "ziggurat": {
+                    "app-name": "apptest",
+                    "retry": {"enabled": True, "count": 2},
+                    "batch-routes": {
+                        "bulk": {"oldest-processed-message-in-s": 10**10}
+                    },
+                }
+            }
+        )
+    )
+    env = events_as_envelope(load_table(spark, SF, "events"))
+    app = ZigguratApp(
+        spark,
+        str(tmp_path / "work"),
+        sources={"bulk": lambda: env},
+        batch_routes={"bulk": {"handler-fn": _handler}},
+        config_path=str(p),
+    )
+    assert app.engine.routes["bulk"].oldest_processed_s == 10**10
+    app.start()
+    app.stop()
+    total = sum(s.total for s in app.engine.stats if s.route == "bulk")
+    assert total == load_table(spark, SF, "events").count()

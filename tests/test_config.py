@@ -129,3 +129,43 @@ def test_retry_config_bridge_channel_exponential():
     base = retry_config_from(cfg)
     assert not base.exponential and base.max_attempts == 5
     assert channel_retry_config(cfg, "r", "c")["count"] == 3
+
+
+def test_env_overrides_default_only_paths(tmp_path):
+    """clonfig parity: an env var must override a path that exists
+    ONLY in the defaults — with or without a config file."""
+    cfg = load_config(None, env={"ZIGGURAT_RETRY_ENABLED": "true"})
+    assert get_in_config(cfg, ["retry", "enabled"]) is True
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"ziggurat": {"app-name": "svc"}}))
+    cfg = load_config(
+        str(p), env={"ZIGGURAT_STREAMS_OLDEST_PROCESSED_MESSAGE_IN_S": "60"}
+    )
+    assert (
+        get_in_config(cfg, ["streams", "oldest-processed-message-in-s"])
+        == 60
+    )
+
+
+def test_interpolation_covers_file_values(tmp_path):
+    """%s templates in the USER's config interpolate with app-name,
+    like the reference's interpolate-config over the whole merged
+    tree (config.clj:55-60)."""
+    p = tmp_path / "c.json"
+    p.write_text(
+        json.dumps(
+            {
+                "ziggurat": {
+                    "app-name": "svc",
+                    "rabbit-mq": {
+                        "delay": {"queue-name": "%s_custom_delay"}
+                    },
+                }
+            }
+        )
+    )
+    cfg = load_config(str(p), env={})
+    assert (
+        get_in_config(cfg, ["rabbit-mq", "delay", "queue-name"])
+        == "svc_custom_delay"
+    )

@@ -241,3 +241,84 @@ def test_unregistered_channel_outcome_rejected(spark, engine, envelope_df):
     engine.register_route(route)
     with pytest.raises(TypeError, match="invalid outcomes"):
         engine.process_batch(route, envelope_df.limit(5), now=NOW)
+
+
+def test_channel_retry_redelivers_to_channel_handler(spark, engine, envelope_df):
+    """A failed channel delivery re-enters through the CHANNEL's
+    handler on the next pump — never the main handler (channel
+    instant queues, messaging/consumer.clj:150-186)."""
+    calls = {"channel": 0, "fail_first": True}
+
+    def audit_handler(df):
+        calls["channel"] += 1
+        if calls["fail_first"]:
+            calls["fail_first"] = False
+            raise RuntimeError("audit sink down")
+        return None
+
+    route = make_route(engine, channels={"audit": audit_handler})
+    engine.process_batch(route, envelope_df.limit(40), now=NOW)
+    assert calls["channel"] == 1  # first delivery failed
+    rt = engine.fabric.retry_table()
+    assert rt is not None
+    chans = {r["channel"] for r in rt.select("channel").distinct().collect()}
+    assert "audit" in chans  # channel attribution survives the queue
+    n_queued = rt.filter(F.col("channel") == "audit").count()
+    pumped = engine.pump_retries("events", now=NOW + timedelta(seconds=1))
+    assert pumped >= n_queued
+    assert calls["channel"] == 2  # redelivered to the channel handler
+
+
+def test_failed_redelivery_decrements_not_duplicates(spark, engine, envelope_df):
+    """A handler that keeps failing consumes attempts and lands in
+    the dead set — the queue must never GROW from re-enqueue overlap
+    between the engine's failure path and the pump's compensation."""
+
+    def always_fail(df):
+        return df.withColumn(
+            "outcome", F.when(F.col("value").isNotNull(), "success")
+        ).withColumn("boom", F.assert_true(F.length("topic") > 9000))
+
+    route = Route(
+        name="failing",
+        source=lambda: None,
+        handler=always_fail,
+        retry=RetryConfig(max_attempts=2, timeout_ms=0),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    n = 10
+    engine.process_batch(route, envelope_df.limit(n), now=NOW)
+    t = NOW
+    for _ in range(4):  # more cycles than attempts
+        t = t + timedelta(seconds=1)
+        engine.pump_retries("failing", now=t)
+        rt = engine.fabric.retry_table()
+        queued = rt.filter(F.col("route") == "failing").count() if rt is not None else 0
+        assert queued <= n  # never duplicated
+    rt = engine.fabric.retry_table()
+    assert rt is None or rt.filter(F.col("route") == "failing").count() == 0
+    dead = engine.fabric.dead_set_table()
+    assert dead.filter(F.col("route") == "failing").count() == n
+
+
+def test_stale_accounting_independent_of_handler_cardinality(
+    spark, engine, envelope_df
+):
+    """stale_dropped reflects the staleness FILTER, not handler
+    output arithmetic — a row-dropping handler must not inflate it."""
+
+    def dropping_handler(df):
+        return df.withColumn("outcome", F.lit("success")).limit(5)
+
+    route = Route(
+        name="dropper",
+        source=lambda: None,
+        handler=dropping_handler,
+        retry=RetryConfig(max_attempts=2, timeout_ms=0),
+        oldest_processed_s=10**9,  # horizon far in the past: drops none
+    )
+    engine.register_route(route)
+    stats = engine.process_batch(route, envelope_df.limit(20), now=NOW)
+    assert stats.stale_dropped == 0  # nothing was actually stale
+    assert stats.total == 5  # handler's own cardinality, separate

@@ -95,8 +95,11 @@ def test_failure_path_counts_and_requeues(engine, envelope_df):
         oldest_processed_s=None,
     )
     engine.register_route(route)
-    with pytest.raises(Exception):
-        engine.process_batch(route, envelope_df.limit(10), now=NOW)
+    # mapper.clj:66-69 parity: the Throwable is CAUGHT — failure
+    # metric + whole-delivery retry, then processing continues (the
+    # reference never crashes the stream thread on a handler error)
+    stats = engine.process_batch(route, envelope_df.limit(10), now=NOW)
+    assert stats.failure == 10
     assert engine.metrics.counter("myapp.events.message-processing.failure") == 10
     rt = engine.fabric.retry_table()
     assert rt is not None and rt.count() == 10  # whole delivery re-enqueued

@@ -84,10 +84,10 @@ def test_pump_respects_next_attempt_at(spark, fabric):
     fabric.enqueue_retry(make_env(spark), "r1", cfg, now=NOW)
     delivered = []
     # before the deadline: nothing is due ("not before" guarantee)
-    n = fabric.pump("r1", lambda df: delivered.append(df.count()), now=NOW)
+    n = fabric.pump("r1", lambda df, ch: delivered.append(df.count()), now=NOW)
     assert n == 0 and delivered == []
     after = NOW + timedelta(milliseconds=60_001)
-    n = fabric.pump("r1", lambda df: delivered.append(df.count()), now=after)
+    n = fabric.pump("r1", lambda df, ch: delivered.append(df.count()), now=after)
     assert n == 4 and delivered == [4]
     # queue drained
     assert fabric.retry_table() is None
@@ -98,7 +98,7 @@ def test_pump_is_route_scoped(spark, fabric):
     fabric.enqueue_retry(make_env(spark, n=2), "a", cfg, now=NOW)
     fabric.enqueue_retry(make_env(spark, n=3), "b", cfg, now=NOW)
     later = NOW + timedelta(seconds=1)
-    assert fabric.pump("a", lambda df: None, now=later) == 2
+    assert fabric.pump("a", lambda df, ch: None, now=later) == 2
     assert fabric.retry_table().count() == 3  # route b untouched
 
 

@@ -76,18 +76,19 @@ def build_routes(
     config: Mapping[str, Any],
     stream_routes: Mapping[str, Mapping[str, Any]],
     sources: Mapping[str, Callable[[], DataFrame]],
+    route_type: str = "stream-router",
 ) -> list[Route]:
     """Route maps + config → engine Routes. Retry policy and the
-    staleness horizon are config-driven per route (stream-router
-    section), mirroring how `streams.clj:22-32` deep-merges per-route
-    config over defaults."""
+    staleness horizon are config-driven per route (the route_type
+    section: stream-router / batch-routes), mirroring how
+    `streams.clj:22-32` deep-merges per-route config over defaults."""
     routes = []
     for name, spec in stream_routes.items():
         # streams.clj:163-170: a stream-joins route builds a topology
         # only when the :alpha-features :stream-joins flag is set —
         # otherwise it's skipped with a warning, not an error.
         if get_in_config(
-            config, ["stream-router", name, "consumer-type"]
+            config, [route_type, name, "consumer-type"]
         ) == "stream-joins" and not alpha_feature_enabled(
             config, "stream-joins"
         ):
@@ -102,7 +103,7 @@ def build_routes(
         channels = {k: v for k, v in spec.items() if k != "handler-fn"}
         oldest = get_in_config(
             config,
-            ["stream-router", name, "oldest-processed-message-in-s"],
+            [route_type, name, "oldest-processed-message-in-s"],
             get_in_config(
                 config,
                 ["streams", "oldest-processed-message-in-s"],
@@ -116,6 +117,10 @@ def build_routes(
                 handler=spec["handler-fn"],
                 channels=channels,
                 retry=retry_config_from(config, name, None),
+                channel_retry={
+                    ch: retry_config_from(config, name, ch)
+                    for ch in channels
+                },
                 oldest_processed_s=int(oldest),
             )
         )
@@ -156,18 +161,27 @@ class ZigguratApp:
             )
         self.engine = ZigguratEngine(spark, workdir)
         for route in build_routes(
-            self.config, {**self.stream_routes, **self.batch_routes}, sources
+            self.config, self.stream_routes, sources, "stream-router"
+        ):
+            self.engine.register_route(route)
+        for route in build_routes(
+            self.config, self.batch_routes, sources, "batch-routes"
         ):
             self.engine.register_route(route)
 
     def start(self) -> None:
         """`init.clj:244-273` start order: user start-fn first, then
-        the workers (one streaming query per route; checkpoints land
-        under the engine workdir — R6)."""
+        the workers — stream routes as streaming queries (checkpoints
+        under the engine workdir, R6), batch routes as one bounded
+        poll cycle each (S3; drive engine.run_batch_route again for a
+        poll loop)."""
         if self.start_fn:
             self.start_fn()
         for name in self.engine.routes:
-            self.engine.start_route(name)
+            if name in self.batch_routes:
+                self.engine.run_batch_route(name)
+            else:
+                self.engine.start_route(name)
 
     def stop(self) -> None:
         """Reverse order: drain workers (R9), then user stop-fn."""

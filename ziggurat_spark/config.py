@@ -174,13 +174,20 @@ def load_config(
     if path:
         with open(path) as f:
             file_cfg = json.load(f)
-    file_cfg = env_overlay(file_cfg, env)
+    # defaults ← file, THEN the env overlay over the merged tree —
+    # so an env var can override a path that only the defaults
+    # declare (clonfig reads env for every key, not just file keys),
+    # THEN %s interpolation over every string in the final config
+    # (the reference interpolates the whole merged config, not just
+    # its defaults — config.clj:55-60).
+    merged = deep_merge(DEFAULT_CONFIG, file_cfg)
+    merged = env_overlay(merged, env)
     app_name = (
-        file_cfg.get("ziggurat", {}).get("app-name")
-        if isinstance(file_cfg.get("ziggurat"), Mapping)
+        merged.get("ziggurat", {}).get("app-name")
+        if isinstance(merged.get("ziggurat"), Mapping)
         else None
     )
-    return deep_merge(interpolate(DEFAULT_CONFIG, app_name), file_cfg)
+    return interpolate(merged, app_name)
 
 
 # -- accessors (config.clj:92-121) --------------------------------------

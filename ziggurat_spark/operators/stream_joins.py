@@ -80,7 +80,10 @@ def windowed_join(
             f"join_type must be one of {sorted(JOIN_TYPES)} "
             "(:join-cfg :join-type)"
         )
-    wm = watermark or f"{max(join_window_ms, 1000) // 1000} seconds"
+    # watermark must cover the FULL band: milliseconds verbatim, never
+    # floored to seconds (a 2500ms window with a 2s watermark could
+    # evict in-band state before the band closes)
+    wm = watermark or f"{max(join_window_ms, 1)} milliseconds"
     l = left
     r = right
     if l.isStreaming and not _carries_watermark(l, ts_col):

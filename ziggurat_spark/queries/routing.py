@@ -276,7 +276,7 @@ def x_retry_pump(spark: SparkSession, sf: str) -> DataFrame:
 
     delivered: dict[str, int] = {"n": 0, "s": 0}
 
-    def process(env) -> None:
+    def process(env, channel=None) -> None:
         row = env.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("offset"), F.lit(0)).alias("s"),

@@ -48,6 +48,40 @@ def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
     return df
 
 
+#: Stateful streaming queries PIN their shuffle-partition count into
+#: the state store at the first checkpoint — so it must be sized to
+#: per-micro-batch volume, not to the session default meant for big
+#: batch shuffles. Locally (10k-100k rows/batch) 32 partitions mean
+#: 32 state files + 32 task launches per stateful op per batch with
+#: ~KB of data each — pure overhead (measured 4x wall-clock on the
+#: windowed joins). At real scale a route sets this to match its
+#: throughput (state partitions ~ batch_rows / 1e6, floor 8ish) ONCE
+#: at route creation, because it cannot change without a new
+#: checkpoint. The decorator scopes the setting to the query run and
+#: restores the caller's value.
+_STATE_PARTITIONS = 8
+
+
+def _sized_state(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf):
+        key = "spark.sql.shuffle.partitions"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset conf
+            prev = None
+        spark.conf.set(key, str(_STATE_PARTITIONS))
+        try:
+            return fn(spark, sf)
+        finally:
+            if prev is not None:
+                spark.conf.set(key, prev)
+
+    return wrapped
+
+
 @register(
     "x_stream_tumbling_counts",
     oracle=(
@@ -65,6 +99,7 @@ def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "window"),
 )
+@_sized_state
 def x_stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     src = _stream_events(spark, sf)
     agg = (
@@ -110,6 +145,7 @@ def x_stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "routing", "retry"),
 )
+@_sized_state
 def x_stream_route_outcomes(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.operators.routing import outcome_expr
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
@@ -162,6 +198,7 @@ def x_stream_route_outcomes(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "join", "window"),
 )
+@_sized_state
 def x_stream_windowed_join(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.operators.stream_joins import windowed_join
 
@@ -219,6 +256,7 @@ def x_stream_windowed_join(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "window", "session"),
 )
+@_sized_state
 def x_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     src = _stream_events(spark, sf)
     agg = (
@@ -278,6 +316,7 @@ def x_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "join", "window"),
 )
+@_sized_state
 def x_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.operators.stream_joins import windowed_join
 
@@ -352,6 +391,7 @@ def x_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "join", "window"),
 )
+@_sized_state
 def x_stream_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.operators.stream_joins import windowed_join
 
@@ -423,6 +463,7 @@ def x_stream_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "dedup", "stateful"),
 )
+@_sized_state
 def x_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     src = _stream_events(spark, sf).withWatermark("ts", "1 hour")
     deduped = src.dropDuplicates(["user_id", "event_type"]).select(
@@ -462,6 +503,7 @@ def x_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "window"),
 )
+@_sized_state
 def x_stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     src = _stream_events(spark, sf)
     agg = (
@@ -516,6 +558,7 @@ def x_stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "join", "window"),
 )
+@_sized_state
 def x_stream_join_chain(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.operators.stream_joins import windowed_join_chain
 
@@ -573,6 +616,7 @@ def x_stream_join_chain(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "stateful"),
 )
+@_sized_state
 def x_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.streaming.stateful import keyed_running_counts
 
@@ -632,6 +676,7 @@ def _events_split_dir(spark: SparkSession, sf: str, n: int) -> str:
     ),
     tags=("streaming", "batch-consumer"),
 )
+@_sized_state
 def x_stream_max_poll_batches(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = _events_split_dir(spark, sf, 8)
     schema = spark.read.parquet(src_dir).schema
@@ -687,6 +732,7 @@ _LWW_KEY_DUCK = "printf('%020d#%012d', epoch_us(ts), event_id)"
     ),
     tags=("streaming", "upsert", "cdc"),
 )
+@_sized_state
 def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -770,6 +816,7 @@ def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "poison", "retry"),
 )
+@_sized_state
 def x_stream_poison_shunt(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.functions.middleware import json_value, poison_split
     from ziggurat_spark.tables import load_table
@@ -849,6 +896,7 @@ def x_stream_poison_shunt(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "channels", "routing"),
 )
+@_sized_state
 def x_stream_channel_fanout(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
 
@@ -910,6 +958,7 @@ def x_stream_channel_fanout(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "checkpoint", "recovery"),
 )
+@_sized_state
 def x_stream_exactly_once_restart(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = _events_split_dir(spark, sf, 4)
     schema = spark.read.parquet(src_dir).schema
@@ -973,6 +1022,7 @@ def x_stream_exactly_once_restart(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "watermark"),
 )
+@_sized_state
 def x_stream_window_finalize(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
@@ -1056,6 +1106,7 @@ def x_stream_window_finalize(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("streaming", "metrics", "observe"),
 )
+@_sized_state
 def x_stream_listener_metrics(spark: SparkSession, sf: str) -> DataFrame:
     import time as _time
 

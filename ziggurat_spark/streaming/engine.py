@@ -62,6 +62,9 @@ class Route:
     middleware: tuple[Middleware, ...] = ()
     channels: dict[str, Handler] = field(default_factory=dict)
     retry: RetryConfig = field(default_factory=RetryConfig)
+    #: per-channel retry overrides (config.clj:117-121); falls back
+    #: to the route-level policy for channels not present
+    channel_retry: dict[str, RetryConfig] = field(default_factory=dict)
     oldest_processed_s: int | None = DEFAULT_OLDEST_PROCESSED_S
     timestamp_col: str = "timestamp"
     parallelism: int | None = None
@@ -80,6 +83,7 @@ class BatchStats:
     dead_letter: int = 0
     channel: int = 0
     stale_dropped: int = 0
+    failure: int = 0
     processing_s: float = 0.0
 
 
@@ -134,9 +138,16 @@ class ZigguratEngine:
         total_in = df.count()
         # T2 staleness filter, placed first (streams.clj:185-186);
         # Catalyst pushes it into the scan anyway.
+        n_fresh = total_in
         if route.oldest_processed_s is not None:
             horizon = now - timedelta(seconds=route.oldest_processed_s)
             df = df.filter(F.col(route.timestamp_col) >= F.lit(horizon))
+            # honest staleness accounting: measured AT the filter, not
+            # inferred from handler-output cardinality (which filters/
+            # fan-outs would corrupt); the parent batch is cached so
+            # this is a cheap second count, not a rescan
+            n_fresh = df.count()
+        stats.stale_dropped = total_in - n_fresh
         if route.parallelism:
             # channels-style scale-out (doc/CONCEPTS.md:20-43): decouple
             # worker parallelism from source partition count.
@@ -171,15 +182,22 @@ class ZigguratEngine:
                 rows = out.groupBy("outcome").agg(*aggs).collect()
             except Exception:
                 # R1 catch-Throwable parity (mapper.clj:66-69): failure
-                # metric + the whole delivery goes back through retry.
+                # metric + the whole delivery goes back through retry,
+                # then processing CONTINUES (the reference acks and
+                # moves on; it never crashes the stream thread). Not
+                # re-raising is also what keeps the retry pump from
+                # double-enqueueing a failed redelivery.
                 self.metrics.inc(
-                    route.name, MESSAGE_PROCESSING, "failure", total_in
+                    route.name, MESSAGE_PROCESSING, "failure", n_fresh
                 )
+                stats.failure = n_fresh
                 if route.retry.enabled:
                     self.fabric.enqueue_retry(
                         pre_middleware, route.name, route.retry, now=now
                     )
-                raise
+                stats.processing_s = time.perf_counter() - t0
+                self.stats.append(stats)
+                return stats
             counts = {r["outcome"]: r["n"] for r in rows}
             unknown = [
                 o
@@ -200,12 +218,14 @@ class ZigguratEngine:
                     f"route {route.name}: invalid outcomes {unknown}"
                 )
             stats.total = sum(counts.values())
-            stats.stale_dropped = total_in - stats.total
             stats.success = counts.get("success", 0)
             stats.skip = counts.get("skip", 0)
             stats.retry = counts.get("retry", 0)
             stats.dead_letter = counts.get("dead-letter", 0)
-            self.metrics.inc(route.name, MESSAGE_READ_NS, "read", stats.total)
+            # read = records consumed past the staleness gate (the
+            # reference counts consumed messages, streams.clj:45-64),
+            # independent of how many rows the handler emits
+            self.metrics.inc(route.name, MESSAGE_READ_NS, "read", n_fresh)
             for metric in ("success", "skip", "retry", "dead-letter"):
                 self.metrics.inc(
                     route.name,
@@ -253,6 +273,9 @@ class ZigguratEngine:
         (Spark already decouples parallelism); failures take the
         channel retry path (mapper.clj:71-111)."""
         handler = route.channels[channel]
+        # per-channel retry override (config.clj:117-121) with the
+        # route policy as fallback
+        cfg = route.channel_retry.get(channel, route.retry)
         ns = f"{channel}.{MESSAGE_PROCESSING}"  # mapper.clj:76-86 naming
         try:
             result = handler(rows.drop("outcome"))
@@ -262,27 +285,52 @@ class ZigguratEngine:
                 n_retry = retries.count()
                 if n_retry:
                     self.fabric.enqueue_retry(
-                        retries, route.name, route.retry, channel=channel, now=now
+                        retries, route.name, cfg, channel=channel, now=now
                     )
             self.metrics.inc(route.name, ns, "retry", n_retry)
             self.metrics.inc(route.name, ns, "success", rows.count() - n_retry)
         except Exception:
             self.metrics.inc(route.name, ns, "failure", rows.count())
             self.fabric.enqueue_retry(
-                rows, route.name, route.retry, channel=channel, now=now
+                rows, route.name, cfg, channel=channel, now=now
             )
 
     # -- retry pump -------------------------------------------------------
 
     def pump_retries(self, route_name: str, now: datetime | None = None) -> int:
-        """One pump cycle: re-deliver due retry rows through the route
-        handler (the instant-queue worker, messaging/consumer.clj:122-148)."""
+        """One pump cycle: re-deliver due retry rows through the
+        ROUTE handler (instant-queue worker, messaging/consumer.clj:
+        122-148) or — for channel-attributed rows — through that
+        channel's handler (channel instant queues, 150-186)."""
         route = self.routes[route_name]
 
-        def _process(env: DataFrame) -> None:
-            self.process_batch(route, env, batch_id=-2, now=now)
+        def _process(env: DataFrame, channel: str | None) -> None:
+            if channel is None:
+                self.process_batch(route, env, batch_id=-2, now=now)
+            else:
+                self._deliver_channel(
+                    route, channel, env, now or datetime.now(timezone.utc)
+                )
 
         return self.fabric.pump(route_name, _process, now=now)
+
+    # -- batch routes (S3 poll-cycle equivalent) ---------------------------
+
+    def run_batch_route(
+        self, route_name: str, now: datetime | None = None
+    ) -> BatchStats:
+        """Process a batch route's (non-streaming) source as one
+        bounded batch — the engine's equivalent of one S3 poll cycle
+        (consumer_handler.clj:98-115); drive repeatedly for a poll
+        loop, or register the same route over a streaming source with
+        maxOffsetsPerTrigger for the continuous form."""
+        route = self.routes[route_name]
+        src = route.source()
+        if src.isStreaming:
+            raise ValueError(
+                f"route {route_name}: source is streaming — use start_route"
+            )
+        return self.process_batch(route, src, batch_id=-3, now=now)
 
     # -- streaming lifecycle (R9/R10) --------------------------------------
 

@@ -110,7 +110,11 @@ class ZigguratQueryListener(StreamingQueryListener):
     def __init__(self, registry: MetricsRegistry):
         self.registry = registry
         self._spark: SparkSession | None = None
-        self._seen: set[tuple[str, int]] = set()
+        # last batchId per query id — batches are monotone per query,
+        # so one int per query dedupes re-emitted progress without
+        # the unbounded (query, batch) set a long-running route
+        # would leak
+        self._last_batch: dict[str, int] = {}
 
     def attach(self, spark: SparkSession) -> "ZigguratQueryListener":
         spark.streams.addListener(self)
@@ -130,11 +134,12 @@ class ZigguratQueryListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         # Spark re-emits the last batch's progress (e.g. on idle/stop);
-        # count each (query, batch) once.
-        key = (str(p.id), int(p.batchId))
-        if key in self._seen:
+        # count each (query, batch) once. batchIds are monotone per
+        # query, so the last one seen is a complete dedup record.
+        qid, bid = str(p.id), int(p.batchId)
+        if self._last_batch.get(qid, -1) >= bid:
             return
-        self._seen.add(key)
+        self._last_batch[qid] = bid
         route = p.name or p.id
         self.registry.inc(route, "streaming-query", "batches", 1)
         self.registry.inc(

@@ -60,7 +60,11 @@ class OpsServer:
     # -- dead-set operations (run under the lock) -----------------------
 
     def view(self, route: str, n: int) -> list[dict]:
-        rows = self.engine.fabric.dead_set_view(route, n).collect()
+        # under the lock like replay/delete: those swap the dead-set
+        # directory, and a concurrent swap mid-collect would fail the
+        # scan on vanished part files
+        with self._ds_lock:
+            rows = self.engine.fabric.dead_set_view(route, n).collect()
         return [
             {k: _jsonable(v) for k, v in r.asDict().items()} for r in rows
         ]

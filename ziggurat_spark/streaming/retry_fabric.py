@@ -219,11 +219,18 @@ class RetryFabric:
         process,
         now: datetime | None = None,
     ) -> int:
-        """Deliver due rows to ``process(DataFrame) -> None`` and
-        remove them from the queue (atomic dir swap). Returns the
-        number of rows delivered. ``process`` re-runs the route
-        handler; failures re-enqueue via enqueue_retry, continuing
-        the countdown."""
+        """Deliver due rows to ``process(DataFrame, channel) -> None``
+        and remove them from the queue (atomic dir swap). Returns the
+        number of rows delivered. Rows are delivered PER CHANNEL
+        (channel-prefixed instant queues, messaging/util.clj:5-13):
+        the main route's rows with ``channel=None``, each channel's
+        slice with its name — so channel retries reach the channel
+        handler again, never the main handler. ``process`` re-runs
+        the right handler; its failure handling (metric + continued
+        countdown re-enqueue) happens inside the engine, reference-
+        style — pump only compensates for UNEXPECTED errors, by
+        putting the original rows back verbatim (still due, channel
+        and attempt preserved)."""
         now = now or datetime.now(timezone.utc)
         t = self.retry_table()
         if t is None:
@@ -231,41 +238,46 @@ class RetryFabric:
         due_pred = (F.col("route") == route) & (
             F.col("next_attempt_at") <= F.lit(now)
         )
-        due_rows = t.filter(due_pred).select(*ENVELOPE_COLUMNS)
-        n = due_rows.count()
+        due_full = t.filter(due_pred)
+        n = due_full.count()
         if n == 0:
             return 0
         keep = t.filter(~due_pred)
         # Materialize both sides BEFORE swapping the directory they're
         # read from, then swap FIRST and deliver after: the handler
         # may itself re-enqueue retries into this directory, which a
-        # later swap would wipe. If delivery raises in-process, the
-        # due rows are appended back (no loss). A hard crash between
-        # swap and delivery can lose the in-flight batch — the
-        # parquet-queue tradeoff; production backends (Delta MERGE /
-        # a Kafka retry topic) close that window.
-        due_local = due_rows.persist()
-        due_local.count()
+        # later swap would wipe. A hard crash between swap and
+        # delivery can lose the in-flight batch — the parquet-queue
+        # tradeoff; production backends (Delta MERGE / a Kafka retry
+        # topic) close that window.
+        due_full = due_full.persist()
+        due_full.count()
         keep = keep.persist()
         keep.count()
         try:
             self._replace(keep if keep.isEmpty() is False else None, self.retry_dir)
-            try:
-                process(due_local)
-            except Exception:
-                # compensate: put the undelivered rows back, envelope
-                # only (they re-enter as due on the next pump)
-                self._append(
-                    due_local.withColumn("route", F.lit(route))
-                    .withColumn("channel", F.lit(None).cast("string"))
-                    .withColumn("max_attempts", F.lit(None).cast("int"))
-                    .withColumn("enqueued_at", F.lit(now))
-                    .withColumn("next_attempt_at", F.lit(now)),
-                    self.retry_dir,
-                )
-                raise
+            channels = [
+                r["channel"]
+                for r in due_full.select("channel").distinct().collect()
+            ]
+            for ch in sorted(channels, key=lambda c: (c is not None, c)):
+                slice_df = due_full.filter(
+                    F.col("channel").eqNullSafe(F.lit(ch))
+                ).select(*ENVELOPE_COLUMNS)
+                try:
+                    process(slice_df, ch)
+                except Exception:
+                    # compensate: the original rows go back verbatim
+                    # (they are still due; channel/attempt preserved)
+                    self._append(
+                        due_full.filter(
+                            F.col("channel").eqNullSafe(F.lit(ch))
+                        ),
+                        self.retry_dir,
+                    )
+                    raise
         finally:
-            due_local.unpersist()
+            due_full.unpersist()
             keep.unpersist()
         return n
 
