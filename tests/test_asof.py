@@ -67,3 +67,25 @@ def test_forward_left_rows_always_preserved(spark, sides):
     out = asof_join_forward(left, right, ["k"], "t", "t")
     assert out.count() == left.count()
     assert set(out.columns) == {"k", "t", "lv", "asof_t", "rv"}
+
+
+def test_asof_rejects_column_collisions(spark):
+    """Right payload columns sharing a name with a left column would
+    produce a duplicate-named output — rejected at call time."""
+    import pytest
+
+    from ziggurat_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10, 5)], "k int, lts int, v int")
+    right = spark.createDataFrame([(1, 9, 7)], "k int, rts int, v int")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        asof_join_backward(left, right, ["k"], "lts", "rts")
+    # renamed payload is fine
+    ok = asof_join_backward(
+        left, right.withColumnRenamed("v", "rv"), ["k"], "lts", "rts"
+    )
+    assert ok.columns == ["k", "lts", "v", "asof_rts", "rv"]
+    # reserved internal names rejected
+    bad = spark.createDataFrame([(1, 9, 7)], "k int, rts int, _tag int")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_backward(left, bad, ["k"], "lts", "rts")

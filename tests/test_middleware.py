@@ -97,3 +97,40 @@ def test_protobuf_middleware_gated(spark):
     df = spark.createDataFrame([(b"\x08\x01",)], "value binary")
     with _pytest.raises(Exception):
         mw(df).collect()
+
+
+def test_json_value_malformed_utf8_routes_to_poison(spark):
+    """Invalid UTF-8 bytes must become a NULL payload (poison, R4) —
+    never a thrown MALFORMED_CHARACTER_CODING that kills the query."""
+    from ziggurat_spark.functions.middleware import json_value, poison_split
+
+    df = spark.createDataFrame(
+        [
+            (bytearray(b"\xff\xfe\x01"),),
+            (bytearray(b'{"k": 3}'),),
+        ],
+        "value binary",
+    )
+    out = json_value(schema="k INT")(df)
+    good, poison = poison_split(out)
+    assert good.count() == 1 and good.first()["payload"]["k"] == 3
+    assert poison.count() == 1
+
+
+def test_json_value_scalar_and_array_are_poison(spark):
+    """Valid-but-non-object JSON (bare scalar / array) would parse to
+    an ambiguous all-NULL struct — gated to NULL payload instead."""
+    from ziggurat_spark.functions.middleware import json_value, poison_split
+
+    df = spark.createDataFrame(
+        [
+            (bytearray(b'"scalar"'),),
+            (bytearray(b"[1, 2, 3]"),),
+            (bytearray(b"5"),),
+            (bytearray(b' {"k": 9}'),),
+        ],
+        "value binary",
+    )
+    good, poison = poison_split(json_value(schema="k INT")(df))
+    assert good.count() == 1 and good.first()["payload"]["k"] == 9
+    assert poison.count() == 3

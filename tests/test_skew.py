@@ -71,3 +71,16 @@ def test_salted_agg_on_real_table(spark):
     plain = e.groupBy("event_type").agg(F.count("*").alias("n"))
     salted = salted_agg(e, ["event_type"], {"n": ("count", None)})
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_rejects_outer(skewed):
+    """right/full joins would duplicate the replicated side's
+    unmatched rows once per salt bucket — rejected loudly."""
+    import pytest
+
+    from ziggurat_spark.functions.skew import salted_join
+
+    other = skewed.select("k").distinct()
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(skewed, other, "k", how=how)

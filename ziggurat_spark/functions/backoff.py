@@ -31,8 +31,13 @@ def backoff_ms_expr(
     timeout_ms: int = DEFAULT_QUEUE_TIMEOUT_MS,
     exponential: bool = False,
 ) -> Column:
-    """Backoff in milliseconds for a message that has
-    ``message_retry_count`` retries already consumed."""
+    """Backoff in milliseconds given ``message_retry_count`` =
+    retries REMAINING for the message (the reference computes
+    ``n = min(25, retry-count) - remaining``, producer.clj:204 with
+    mapper.clj:18-26's remaining-count payload — so the delay GROWS
+    as the countdown runs down; the first hop has remaining =
+    max-1 → n=1). Passing consumed-so-far instead would invert the
+    schedule."""
     if not exponential:
         return F.lit(float(timeout_ms))
     n = F.greatest(

@@ -37,7 +37,12 @@ def json_value(
     """
 
     def mw(df: DataFrame) -> DataFrame:
-        decoded = F.decode(F.col(value_col), "UTF-8")
+        # malformed-UTF-8-safe decode: strict decode() THROWS on bad
+        # bytes in Spark 4 (kills the query); the cast interprets
+        # bytes leniently and try_validate_utf8 turns invalid
+        # sequences into NULL — which flows to poison (R4), the nil
+        # contract
+        decoded = F.expr(f"try_validate_utf8(CAST({value_col} AS STRING))")
         if schema is None:
             return df.withColumn(output_col, decoded).withColumn(
                 f"{output_col}_valid", F.try_parse_json(decoded).isNotNull()
@@ -45,12 +50,15 @@ def json_value(
         # from_json PERMISSIVE yields a struct of NULL fields for
         # malformed input, which poison_split could not distinguish
         # from a legitimately-all-null record; gate on JSON validity
-        # so failure is a NULL payload (the nil contract).
+        # AND object-ness (a bare scalar/array parses as valid JSON
+        # but would also yield the ambiguous all-NULL struct) so
+        # failure is a NULL payload (the nil contract).
+        is_object = F.try_parse_json(decoded).isNotNull() & F.ltrim(
+            decoded
+        ).startswith("{")
         return df.withColumn(
             output_col,
-            F.when(
-                F.try_parse_json(decoded).isNotNull(), F.from_json(decoded, schema)
-            ),
+            F.when(is_object, F.from_json(decoded, schema)),
         )
 
     return mw
@@ -63,7 +71,9 @@ def json_field(
     middleware for routes that need a single key)."""
 
     def mw(df: DataFrame) -> DataFrame:
-        col = F.get_json_object(F.decode(F.col(value_col), "UTF-8"), path)
+        col = F.get_json_object(
+            F.expr(f"try_validate_utf8(CAST({value_col} AS STRING))"), path
+        )
         if cast:
             col = col.cast(cast)
         return df.withColumn(alias, col)

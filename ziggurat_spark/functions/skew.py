@@ -55,6 +55,15 @@ def salted_join(
     """
     if salt_buckets < 2:
         raise ValueError("salt_buckets must be >= 2")
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        # the replicated side's unmatched rows would survive once per
+        # salt bucket under right/full joins — silently wrong results
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating "
+            "`other` duplicates its unmatched rows under right/full "
+            "outer joins; salt the other side instead"
+        )
     salted = skewed.withColumn(
         "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )

@@ -169,19 +169,9 @@ def np_word_hashes(texts) -> list:
         ws = [w for w in t.lower().split(" ") if w]
         counts.append(len(ws))
         all_words.extend(ws)
-    hashes = np.empty(0, dtype=np.int64)
-    if all_words:
-        n = len(all_words)
-        lens = np.fromiter((len(w) for w in all_words), np.int64, n)
-        mat = np.zeros((n, int(lens.max())), dtype=np.int64)
-        for i, w in enumerate(all_words):
-            mat[i, : len(w)] = np.frombuffer(
-                w.encode("utf-32-le"), dtype=np.uint32
-            )
-        acc = np.full(n, SEED, dtype=np.int64)
-        for c in range(mat.shape[1]):
-            acc = np.where(lens > c, (acc * BASE + mat[:, c]) % P, acc)
-        hashes = acc
+    hashes = (
+        _horner_fold(all_words) if all_words else np.empty(0, dtype=np.int64)
+    )
     out: list = []
     pos = 0
     for cnt in counts:
@@ -203,21 +193,30 @@ def np_char_fingerprints(texts) -> list:
     out: list = [None] * len(list(texts))
     if not idx:
         return out
-    docs = [texts[i] for i in idx]
-    n = len(docs)
-    lens = np.fromiter((len(t) for t in docs), np.int64, n)
-    mat = np.zeros((n, int(lens.max()) if n else 0), dtype=np.int64)
-    for i, t in enumerate(docs):
-        if t:
-            mat[i, : len(t)] = np.frombuffer(
-                t.encode("utf-32-le"), dtype=np.uint32
-            )
-    acc = np.full(n, SEED, dtype=np.int64)
-    for c in range(mat.shape[1]):
-        acc = np.where(lens > c, (acc * BASE + mat[:, c]) % P, acc)
+    acc = _horner_fold([texts[i] for i in idx])
     for j, i in enumerate(idx):
         out[i] = int(acc[j])
     return out
+
+
+def _horner_fold(strings: list) -> "np.ndarray":
+    """The shared vectorized polynomial core: one padded char-code
+    matrix, ~max_len masked Horner steps — identical modular algebra
+    for word hashes and document fingerprints (a single definition so
+    the two can never drift apart)."""
+    n = len(strings)
+    lens = np.fromiter((len(s) for s in strings), np.int64, n)
+    width = int(lens.max()) if n else 0
+    mat = np.zeros((n, width), dtype=np.int64)
+    for i, s in enumerate(strings):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    acc = np.full(n, SEED, dtype=np.int64)
+    for c in range(width):
+        acc = np.where(lens > c, (acc * BASE + mat[:, c]) % P, acc)
+    return acc
 
 
 def np_shingle_hashes(wh: "np.ndarray", k: int) -> "np.ndarray":

@@ -73,6 +73,11 @@ def lsh_buckets_udf(k: int, bands: int, rows_per_band: int):
     """Per-document LSH bucket keys: band b's key mixes its
     ``rows_per_band`` signature rows as ``(mh0*C1 + mh1) % P``
     (texthash.C1 chaining, same as the oracle's band key)."""
+    if bands * rows_per_band > len(TH.MINHASH_PERMS):
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds the "
+            f"{len(TH.MINHASH_PERMS)}-row minhash signature"
+        )
 
     @F.pandas_udf("array<bigint>")
     def buckets(text: pd.Series) -> pd.Series:

@@ -1,15 +1,16 @@
-"""As-of (backward) join — a relational operator Spark lacks natively.
+"""As-of joins — a relational operator Spark lacks natively.
 
 No reference counterpart (its only joins are the windowed stream
 joins J1-J4, streams.clj:134-179); this is the capability-superset
 operator every event-time pipeline eventually needs: for each left
 row, the latest right row with the same key whose timestamp is at or
-before the left timestamp.
+before the left timestamp (backward), the earliest at or after
+(forward), or the closest in either direction (nearest).
 
 Spark-first implementation (SURVEY §7.2 tier (a): composition of
 built-ins): tag and union both sides, then one window pass per key
-ordered by (ts, tag) taking the last non-null right payload — rights
-sort before lefts at equal timestamps, so the match is inclusive.
+ordered by (ts, tag) taking the last/first non-null right payload —
+tag ordering makes the equal-timestamp match inclusive.
 
 Scale shape: ONE shuffle on the key and ONE sort — state and output
 are O(input), with no join fan-out. The naive spelling (theta-join
@@ -28,6 +29,90 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+_INTERNAL = ("_ats", "_tag", "_r", "_rb", "_rf", "_mb", "_mf", "_mn", "_m")
+
+
+def _resolve_rcols(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    right_ts: str,
+    right_cols: list[str] | None,
+    out_prefix: str,
+) -> list[str]:
+    """Default + validate the right payload columns: no collision
+    with left columns (the output would carry two columns of the
+    same name — AMBIGUOUS_REFERENCE downstream), no use of the
+    operator's internal working names on either side."""
+    rcols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    clash = [c for c in rcols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right column(s) {clash} collide with left columns — pass "
+            "right_cols with renamed/aliased payload columns"
+        )
+    if f"{out_prefix}{right_ts}" in left.columns:
+        raise ValueError(
+            f"output column {out_prefix}{right_ts!r} collides with a "
+            "left column"
+        )
+    reserved = [
+        c
+        for c in _INTERNAL
+        if c in left.columns or c in right.columns
+    ]
+    if reserved:
+        raise ValueError(
+            f"column name(s) {reserved} are reserved by the as-of "
+            "operator — rename them before joining"
+        )
+    return rcols
+
+
+def _directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    rcols: list[str],
+    backward: bool,
+) -> DataFrame:
+    """Shared union+window construction for backward/forward.
+
+    Tag order makes the equal-timestamp match inclusive: backward
+    sorts rights BEFORE lefts (right at left_ts is inside the
+    preceding frame); forward sorts lefts before rights (right at
+    left_ts is inside the following frame)."""
+    r_tag, l_tag = (0, 1) if backward else (1, 0)
+    r_part = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(r_tag).alias("_tag"),
+        F.struct(
+            F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
+        ).alias("_r"),
+    )
+    l_part = left.select(
+        *left.columns, F.col(left_ts).alias("_ats"), F.lit(l_tag).alias("_tag")
+    )
+    u = l_part.unionByName(r_part, allowMissingColumns=True)
+    base = W.partitionBy(*on).orderBy("_ats", "_tag")
+    if backward:
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        picked = F.last("_r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        picked = F.first("_r", ignorenulls=True).over(w)
+    matched = u.withColumn("_m", picked)
+    return matched.filter(F.col("_tag") == l_tag).select(
+        *left.columns,
+        *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
+        *[F.col(f"_m.{c}").alias(c) for c in rcols],
+    )
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -41,32 +126,8 @@ def asof_join_backward(
     columns (NULL when the key has no right row at or before the
     left timestamp). ``right_cols`` defaults to right's non-key,
     non-timestamp columns."""
-    rcols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
-    r_part = right.select(
-        *on,
-        F.col(right_ts).alias("_ats"),
-        F.lit(0).alias("_tag"),
-        F.struct(
-            F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
-        ).alias("_r"),
-    )
-    l_part = left.select(
-        *left.columns, F.col(left_ts).alias("_ats"), F.lit(1).alias("_tag")
-    )
-    u = l_part.unionByName(r_part, allowMissingColumns=True)
-    w = (
-        W.partitionBy(*on)
-        .orderBy("_ats", "_tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-    return matched.filter(F.col("_tag") == 1).select(
-        *left.columns,
-        *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
-        *[F.col(f"_m.{c}").alias(c) for c in rcols],
-    )
+    rcols = _resolve_rcols(left, right, on, right_ts, right_cols, "asof_")
+    return _directional(left, right, on, left_ts, right_ts, rcols, True)
 
 
 def asof_join_forward(
@@ -80,41 +141,10 @@ def asof_join_forward(
     """Forward as-of join: every left row, plus the EARLIEST right
     row with the same key at or after the left timestamp (NULL when
     none). Mirror image of :func:`asof_join_backward` — same
-    union+window plan, with the frame looking forward.
-
-    Tag order makes the match inclusive: lefts sort BEFORE rights at
-    equal timestamps, so a right row at exactly ``left_ts`` is inside
-    the current-row→following frame. Same scale shape: one shuffle on
-    the key, one sort, zero pair fan-out.
-    """
-    rcols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
-    r_part = right.select(
-        *on,
-        F.col(right_ts).alias("_ats"),
-        F.lit(1).alias("_tag"),
-        F.struct(
-            F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
-        ).alias("_r"),
-    )
-    l_part = left.select(
-        *left.columns, F.col(left_ts).alias("_ats"), F.lit(0).alias("_tag")
-    )
-    u = l_part.unionByName(r_part, allowMissingColumns=True)
-    w = (
-        W.partitionBy(*on)
-        .orderBy("_ats", "_tag")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    matched = u.withColumn(
-        "_m", F.first("_r", ignorenulls=True).over(w)
-    )
-    return matched.filter(F.col("_tag") == 0).select(
-        *left.columns,
-        *[F.col(f"_m.{right_ts}").alias(f"asof_{right_ts}")],
-        *[F.col(f"_m.{c}").alias(c) for c in rcols],
-    )
+    union+window plan with the frame looking forward; same scale
+    shape (one shuffle on the key, one sort, zero pair fan-out)."""
+    rcols = _resolve_rcols(left, right, on, right_ts, right_cols, "asof_")
+    return _directional(left, right, on, left_ts, right_ts, rcols, False)
 
 
 def asof_join_nearest(
@@ -139,9 +169,7 @@ def asof_join_nearest(
     include the right row (inclusive match both ways). Union size is
     L + 2R, still O(input) with zero pair fan-out.
     """
-    rcols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    rcols = _resolve_rcols(left, right, on, right_ts, right_cols, "nearest_")
     payload = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
     )

@@ -193,16 +193,19 @@ def sample_frames(
                 "frame_ts_ms": [],
                 "frame": [],
             }
-            for _, row in pdf.iterrows():
-                if row["content"] is None or row["meta"] is None:
+            # zip over columns, not iterrows: no per-row Series boxing
+            for asset_id, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                if content is None or meta is None:
                     continue
-                duration = row["meta"]["duration_ms"] or 0
+                duration = meta["duration_ms"] or 0
                 n = min(max_frames, int(duration // every_ms) + 1)
                 for i in range(n):
-                    out["asset_id"].append(row["asset_id"])
+                    out["asset_id"].append(asset_id)
                     out["frame_idx"].append(i)
                     out["frame_ts_ms"].append(i * every_ms)
-                    out["frame"].append(impl(bytes(row["content"]), i))
+                    out["frame"].append(impl(bytes(content), i))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)

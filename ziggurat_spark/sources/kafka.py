@@ -49,6 +49,8 @@ def kafka_options(
     extra: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Assemble the option map (exactly one of pattern/topics)."""
+    if topics is not None and not topics:
+        raise ValueError("topics must be non-empty when provided")
     if (topic_pattern is None) == (topics is None):
         raise ValueError("exactly one of topic_pattern / topics is required")
     opts = {
