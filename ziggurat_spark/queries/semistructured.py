@@ -252,3 +252,49 @@ def x_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("src_type")
     )
+
+
+@register(
+    "x_generator_null_semantics",
+    oracle=(
+        "WITH s AS (SELECT user_id, "
+        "coalesce(list_sort(list_distinct(list(event_type) "
+        "FILTER (value > 400))), []) AS arr FROM events GROUP BY user_id), "
+        "x AS (SELECT s.user_id, u.x FROM s LEFT JOIN LATERAL "
+        "(SELECT unnest(arr) AS x) u ON true) "
+        "SELECT user_id, count(*) AS n_rows_outer, count(x) AS n_elems, "
+        "coalesce(string_agg(x, ',' ORDER BY x), '') AS elems "
+        "FROM x GROUP BY user_id ORDER BY user_id"
+    ),
+    doc=(
+        "Generator NULL semantics: explode_outer preserves a row "
+        "(with NULL element) for empty/NULL arrays where plain "
+        "explode silently drops the parent row — the difference "
+        "between 'users with no rare events vanish from the report' "
+        "and 'they appear with zero'. DuckDB spells the same "
+        "preservation as LEFT JOIN LATERAL unnest. Graded per user: "
+        "outer row count (=max(1, elems)), element count, and the "
+        "sorted element list. One hash-agg + a Generate node + one "
+        "re-agg; the arrays are bounded by the 5-type domain."
+    ),
+    tags=("semistructured", "generator"),
+)
+def x_generator_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    s = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("value") > 400, F.col("event_type")))
+        ).alias("arr")
+    )
+    x = s.select("user_id", F.explode_outer("arr").alias("x"))
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows_outer"),
+            F.count("x").alias("n_elems"),
+            F.array_join(F.array_sort(F.collect_list("x")), ",").alias(
+                "elems"
+            ),
+        )
+        .orderBy("user_id")
+    )

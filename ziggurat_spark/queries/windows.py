@@ -232,3 +232,52 @@ def x_window_frames(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_range_interval_frame",
+    oracle=(
+        "WITH s AS (SELECT event_id, event_type, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS v100 FROM events) "
+        "SELECT event_id, "
+        "count(*) OVER w AS trailing_n, "
+        "CAST(sum(v100) OVER w AS BIGINT) AS trailing_sum "
+        "FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "Native INTERVAL range frame: the trailing-hour count/sum "
+        "per event using RANGE BETWEEN INTERVAL ... PRECEDING "
+        "directly over the timestamp — the declarative spelling of "
+        "the reference's delay-window metrics, complementing "
+        "x_window_frames' epoch-seconds arithmetic with the engine's "
+        "first-class time-typed frame. Identical frame semantics on "
+        "both engines (tied timestamps share the frame). One shuffle "
+        "on event_type + per-partition sort; frame state is the "
+        "in-window rows — O(events per hour), not O(partition)."
+    ),
+    tags=("window", "range", "time"),
+)
+def x_range_interval_frame(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    over = (
+        "OVER (PARTITION BY event_type ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        e.select(
+            "event_id",
+            F.expr(f"count(*) {over}").alias("trailing_n"),
+            F.expr(f"CAST(sum(v100) {over} AS BIGINT)").alias(
+                "trailing_sum"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
