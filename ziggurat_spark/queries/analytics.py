@@ -275,13 +275,13 @@ def x_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     snr = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
         "s_suppkey", "s_nationkey", "n_name"
     )
-    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(
-            F.broadcast(snr),
+            snr,
             (li.l_suppkey == snr.s_suppkey)
             & (F.col("c_nationkey") == snr.s_nationkey),
         )
@@ -329,7 +329,7 @@ def x_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum(F.expr(_DISC_PRICE)).cast("double") / 10000).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")

@@ -105,6 +105,7 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contrib, "id", "left")
             .select(
@@ -118,6 +119,9 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # release the superseded iteration's checkpoint (bounds
+        # pinned state to 2 copies regardless of iteration count)
+        prev.unpersist()
     return (
         ranks.select(F.col("id").alias("user_id"), F.col("r").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), "user_id")
@@ -253,29 +257,28 @@ def x_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
         "user's ordered event-type sequence is serialized "
         "('view>click>...') and scanned for the contiguous "
         "view→click→purchase pattern (delimiter-framed so tokens "
-        "can't false-match substrings). Spark side builds the "
-        "ordered sequence with a full-frame window collect_list "
-        "(frame order is the window order — the deterministic "
-        "spelling of ordered string_agg) — one user_id shuffle, "
-        "pattern scan is a JVM-side string search."
+        "can't false-match substrings). Spark side builds each "
+        "user's ordered sequence ONCE via hash-aggregated "
+        "collect_list(struct(ts, event_id, type)) + array_sort — "
+        "one user_id shuffle with map-side partials and one array "
+        "per user. (A full-frame window collect_list would copy the "
+        "whole m-element array onto every one of the user's m rows "
+        "before keeping one — O(m²) bytes per user, fatal for a "
+        "million-event user.) Pattern scan is a JVM-side string "
+        "search."
     ),
     tags=("sequence", "pattern", "analytics"),
 )
 def x_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    per_row = e.select(
-        "user_id",
-        F.row_number().over(wn).alias("rn"),
-        F.collect_list("event_type").over(w).alias("seq_arr"),
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, "
+            "event_type))), r -> r.event_type)"
+        ).alias("seq_arr")
     )
     return (
-        per_row.filter(F.col("rn") == 1)
+        per_user
         .select(
             "user_id",
             F.size("seq_arr").cast("bigint").alias("n_events"),

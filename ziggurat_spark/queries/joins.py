@@ -41,7 +41,7 @@ def z10(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .select("o_orderkey", "c_name")
         .orderBy("o_orderkey")
         .limit(1000)

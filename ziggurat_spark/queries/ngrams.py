@@ -43,15 +43,18 @@ from ziggurat_spark.tables import load_table
 )
 def x_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents", fan_out=True)
-    words = F.split("text", " ")
-    # words[i] in Spark SQL lambdas is 0-based element access, so
+    # tokenize ONCE into a projected column: lambda bodies get no
+    # loop-invariant hoisting, so split(text) written inline in the
+    # transform would re-split the document per element — O(L²)
+    # per doc. words[i] is 0-based in Spark lambdas, so
     # sequence(1, size-1) pairs words[i-1] with words[i].
+    tok = d.select(F.split("text", " ").alias("words"))
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat(words[i-1], ' ', words[i]))"
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        tok.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "bigram")

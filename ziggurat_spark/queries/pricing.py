@@ -129,7 +129,7 @@ def x_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     disc_price = F.expr(_DISC_PRICE)
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

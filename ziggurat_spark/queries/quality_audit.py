@@ -152,8 +152,14 @@ def x_referential_audit(spark: SparkSession, sf: str) -> DataFrame:
     for label, child, ck, parent, pk in _FK_EDGES:
         c = load_table(spark, sf, child)
         p = load_table(spark, sf, parent).select(pk)
+        # hint only the provably-bounded parents (nation: 25 rows,
+        # region: 5); customer/part/supplier/orders key projections
+        # grow with the data — the planner's size statistics (static
+        # or AQE) pick broadcast vs shuffled anti-join for those
+        if parent in ("nation", "region"):
+            p = F.broadcast(p)
         orphans = c.join(
-            F.broadcast(p), c[ck] == p[pk], "left_anti"
+            p, c[ck] == p[pk], "left_anti"
         ).agg(F.count("*").alias("n_orphan"))
         total = c.agg(F.count("*").alias("n_child"))
         parts.append(

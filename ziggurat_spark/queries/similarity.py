@@ -76,9 +76,15 @@ def _cosine(a: str, b: str, engine: int) -> str:
 def z28(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = load_table(spark, sf, "embeddings", fan_out=True)
+    e = load_table(spark, sf, "embeddings", fan_out=True).withColumn(
+        # norm ONCE per corpus vector — recomputing the self-dot
+        # inside every pairwise cosine would triple the fold cost
+        "nrm", F.expr(f'sqrt({_dot("embedding", "embedding", 0)})')
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = (
         e.crossJoin(F.broadcast(q))
@@ -86,7 +92,9 @@ def z28(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(_cosine("qe", "embedding", 0)).alias("score"),
+            F.expr(
+                f'({_dot("qe", "embedding", 0)}) / (qnrm * nrm)'
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
@@ -133,25 +141,38 @@ def z28(spark: SparkSession, sf: str) -> DataFrame:
 def x_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = load_table(spark, sf, "embeddings", fan_out=True)
+    e = load_table(spark, sf, "embeddings", fan_out=True).withColumn(
+        "nrm", F.expr(f'sqrt({_dot("embedding", "embedding", 0)})')
+    )
     cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
     )
-    assign0 = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.expr(_cosine("embedding", "ce", 0)).alias("cscore"),
+    # assignment as a map-side-combinable argmax: pairs are generated
+    # but reduced BEFORE any shuffle (max_by partials), and only
+    # (vec_id, cent_id) travels — never the embedding payload through
+    # a window over the full pair expansion. Tie-break matches the
+    # oracle's (cscore DESC, cent_id ASC) via the (score, -cent_id)
+    # ordering struct.
+    cscore = F.expr(f'({_dot("embedding", "ce", 0)}) / (nrm * cnrm)')
+    cell = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", cscore.alias("cscore"), "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(cent_id, struct(cscore, -cent_id))"
+            ).alias("cent_id")
+        )
     )
-    aw = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cent_id")
-    assign = (
-        assign0.withColumn("arnk", F.row_number().over(aw))
-        .filter(F.col("arnk") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    assign = e.join(cell, "vec_id").select(
+        "vec_id", "embedding", "nrm", "cent_id"
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("cent_id").alias("qcell"),
     )
     pairs = (
@@ -163,7 +184,9 @@ def x_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(_cosine("qe", "embedding", 0)).alias("score"),
+            F.expr(
+                f'({_dot("qe", "embedding", 0)}) / (qnrm * nrm)'
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
@@ -212,10 +235,13 @@ KNN_K = 10
 def x_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = load_table(spark, sf, "embeddings", fan_out=True)
+    e = load_table(spark, sf, "embeddings", fan_out=True).withColumn(
+        "nrm", F.expr(f'sqrt({_dot("embedding", "embedding", 0)})')
+    )
     q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("label").alias("true_label"),
     )
     pairs = (
@@ -225,7 +251,9 @@ def x_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
             "query_id",
             "true_label",
             "label",
-            F.expr(_cosine("qe", "embedding", 0)).alias("score"),
+            F.expr(
+                f'({_dot("qe", "embedding", 0)}) / (qnrm * nrm)'
+            ).alias("score"),
             F.col("vec_id").alias("nid"),
         )
     )

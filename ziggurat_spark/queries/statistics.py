@@ -177,15 +177,20 @@ def x_bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
     words = d.select(F.explode(F.split("text", " ")).alias("word"))
     u = words.groupBy("word").agg(F.count("*").alias("nw"))
     tw = words.agg(F.count("*").alias("n_words"))
-    pairs = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(split(text, ' ')[i-1] AS w1, "
-                "split(text, ' ')[i] AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # tokenize once per document (lambda bodies get no hoisting —
+    # an inline split(text) would re-split per element, O(L²)/doc)
+    pairs = (
+        d.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
     tb = pairs.agg(F.count("*").alias("n_bigrams"))
     lift = (
@@ -324,10 +329,13 @@ def _lower_median_cte(src: str, val: str, out: str) -> str:
         "step in integer space (no even-count interpolation, no "
         "floats anywhere): one windowed rank pass picks the median, "
         "deviations join back on the (broadcastable) 5-row median "
-        "table, a second rank pass picks the MAD. At 100 TB the "
-        "per-group sort is the cost — the approx path is "
-        "approx_percentile on |v − approx_median| (x_approx_sketches "
-        "shows the sketch surface); this is the exact oracle "
+        "table, a second rank pass picks the MAD. Scale note: the "
+        "5-value group key collapses each rank pass to ≤5 tasks — "
+        "fine here, but at 100 TB per-group exact medians use the "
+        "distributed-rank spelling x_equidepth_histogram "
+        "demonstrates (range-partition WITHIN each group + "
+        "partition-count offsets), or the approx_percentile sketch "
+        "path (x_approx_sketches); this is their exact oracle "
         "counterpart."
     ),
     tags=("statistics", "robust", "window"),
@@ -369,13 +377,20 @@ def x_mad_exact(spark: SparkSession, sf: str) -> DataFrame:
         "FROM b GROUP BY bucket ORDER BY bucket"
     ),
     doc=(
-        "Equi-depth (quantile-bucket) histogram via ntile(10) over a "
-        "total order — the complement of z19's equi-width buckets and "
-        "the shape optimizers build for selectivity estimation. The "
-        "graded spelling uses one global sort (deterministic "
-        "(v, event_id) order); the 100 TB spelling replaces it with "
-        "approx_percentile bucket BOUNDS + one scan to count per "
-        "range — the exact form is the oracle for that sketch."
+        "Equi-depth (quantile-bucket) histogram — the complement of "
+        "z19's equi-width buckets and the shape optimizers build for "
+        "selectivity estimation. The oracle spells it ntile(10) over "
+        "a total order; the ENGINE computes the identical buckets "
+        "with a DISTRIBUTED global rank: range-partition on the "
+        "(v, event_id) total order, per-partition row_number + "
+        "partition-count offsets (the classic parallel ranking), "
+        "then ntile's closed form — the first r buckets of size "
+        "q+1, the rest q, with q = n div 10, r = n mod 10. A bare "
+        "global-window ntile would move the whole table into ONE "
+        "task's sort (WindowExec warns exactly this); here every "
+        "stage is partition-parallel. Exact at any scale; the "
+        "sketch alternative (approx_percentile bounds + range "
+        "counts) trades exactness for one fewer pass."
     ),
     tags=("statistics", "histogram", "window"),
 )
@@ -383,9 +398,41 @@ def x_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events").select(
         F.expr(_Y).alias("v"), "event_id"
     )
-    w = Window.orderBy("v", "event_id")
+    parts = (
+        e.repartitionByRange("v", "event_id")
+        .sortWithinPartitions("v", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # offsets table is O(partitions) rows — the tiny global window
+    # here is over ≤ shuffle.partitions rows, not the data
+    woff = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    wp = Window.partitionBy("pid").orderBy("v", "event_id")
+    ranked = (
+        parts.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.col("rn") + F.col("off"))
+    )
+    # ntile(10) closed form; when q = 0 (n < 10) the first branch
+    # covers every rank, so the q divisor is never 0 in practice
+    bucket = F.expr(
+        "CASE WHEN rank <= (n_total % 10) * (n_total div 10 + 1) "
+        "THEN (rank - 1) div (n_total div 10 + 1) + 1 "
+        "ELSE (n_total % 10) + "
+        "(rank - (n_total % 10) * (n_total div 10 + 1) - 1) "
+        "div greatest(n_total div 10, 1) + 1 END"
+    )
     return (
-        e.withColumn("bucket", F.ntile(10).over(w))
+        ranked.withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),

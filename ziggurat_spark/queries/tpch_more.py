@@ -114,8 +114,8 @@ def x_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     supp = s.join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy(
             "cust_nation",
@@ -229,7 +229,7 @@ def x_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part").select("p_partkey", "p_type")
     disc = F.expr(_DISC_PRICE)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -280,7 +280,7 @@ def x_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -323,7 +323,7 @@ def x_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+        p, F.col("l_partkey") == p.p_partkey
     )
     pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
         F.sum(F.expr(_c2("l_quantity"))).alias("sq"),
@@ -378,9 +378,9 @@ def x_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = load_table(spark, sf, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(big), li.l_orderkey == big.big_key)
+        li.join(big, li.l_orderkey == big.big_key)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
             (F.sum(F.expr(_c2("l_quantity"))).cast("double") / 100).alias(
@@ -418,7 +418,7 @@ def x_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
 def x_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     p = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")

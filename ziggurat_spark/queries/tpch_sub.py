@@ -87,7 +87,7 @@ def x_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     eligible = ps.join(
-        F.broadcast(asia_sup), ps.l_suppkey == F.col("s_suppkey")
+        asia_sup, ps.l_suppkey == F.col("s_suppkey")
     ).select("l_partkey", "cost", "s_name", "n_name")
     min_cost = eligible.groupBy(F.col("l_partkey").alias("mc_key")).agg(
         F.min("cost").alias("min_cost")
@@ -103,7 +103,7 @@ def x_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
             (eligible.l_partkey == min_cost.mc_key)
             & (eligible.cost == min_cost.min_cost),
         )
-        .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+        .join(p, eligible.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -180,10 +180,10 @@ def x_market_share(spark: SparkSession, sf: str) -> DataFrame:
     )
     vol = F.expr(_DISC_PRICE)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == asia_cust.c_custkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(asia_cust, F.col("o_custkey") == asia_cust.c_custkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
@@ -245,8 +245,8 @@ def x_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         f"{_c2('l_tax')}) AS DECIMAL(38,0))"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg((F.sum(amount).cast("double") / 10000).alias("sum_profit"))
@@ -289,7 +289,7 @@ def x_important_values(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey")
     )
     v = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.expr(_c2("l_extendedprice"))).alias("val"))
     )
@@ -347,8 +347,8 @@ def x_supplier_part_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -394,7 +394,7 @@ def x_promotion_candidates(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     qual = (
-        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        li.join(small, li.l_partkey == small.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.expr(_c2("l_quantity"))).alias("sq"))
         .filter(F.col("sq") > 3000)
@@ -405,7 +405,7 @@ def x_promotion_candidates(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey, "left_semi"
     )
     return (
-        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -463,7 +463,7 @@ def x_waiting_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
     )
     return (
-        l1.join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        l1.join(s, F.col("sk") == s.s_suppkey)
         .join(o, F.col("ok") == o.o_orderkey, "left_semi")
         .join(
             l2,
