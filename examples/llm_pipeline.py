@@ -1,0 +1,59 @@
+"""Runnable end-to-end demo: the LLM training-data pipeline on the
+engine's graded operators (SURVEY §7 north star).
+
+One script walks a document corpus through the stages a pretraining
+data pipeline actually runs, each powered by a query from the
+oracle-checked surface:
+
+  1. curate   — tokenize → language/quality gate → content-hash
+                dedup → deterministic train/valid/test split
+                (x_corpus_pipeline)
+  2. near-dup — MinHash-LSH candidates + exact n-gram Jaccard verify
+                (x_minhash_lsh_pairs / x_ngram_jaccard_pairs)
+  3. cluster  — exact-integer k-means over the embeddings
+                (x_kmeans_exact)
+  4. search   — cosine top-k neighbors, IVF cell-pruned
+                (x_ivf_ann_topk)
+
+Run:  python examples/llm_pipeline.py  [sf_dir]
+
+Every stage is partition-parallel (see SCALE.md §6-7, §10f-g); the
+same calls run unchanged on a cluster against object-store parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from ziggurat_spark.queries import all_queries  # noqa: E402
+from ziggurat_spark.session import get_session  # noqa: E402
+
+
+def main(sf_dir: str) -> None:
+    spark = get_session(app_name="llm_pipeline_example")
+    q = all_queries()
+
+    print(f"== corpus curation (sf_dir={sf_dir}) ==")
+    curated = q["x_corpus_pipeline"].spark(spark, sf_dir)
+    curated.show(20, truncate=False)
+
+    print("== near-duplicate pairs (LSH candidates -> exact Jaccard) ==")
+    cands = q["x_minhash_lsh_pairs"].spark(spark, sf_dir)
+    verified = q["x_ngram_jaccard_pairs"].spark(spark, sf_dir)
+    print(f"LSH candidate pairs: {cands.count()}")
+    verified.show(10, truncate=False)
+
+    print("== embedding clusters (2 exact Lloyd iterations, k=4) ==")
+    q["x_kmeans_exact"].spark(spark, sf_dir).show(truncate=False)
+
+    print("== IVF ANN: top-5 neighbors per query vector ==")
+    q["x_ivf_ann_topk"].spark(spark, sf_dir).show(25, truncate=False)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
