@@ -1162,3 +1162,90 @@ def x_stream_listener_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "n_batches bigint, input_rows bigint, rows_seen bigint, "
         "v100_sum bigint",
     )
+
+
+@register(
+    "x_stream_state_recovery",
+    oracle=(
+        "SELECT date_trunc('day', ts) AS day, count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sv100 FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Stateful state RECOVERY across a restart, graded: a "
+        "windowed day-count aggregation runs to completion on half "
+        "the data, the query STOPS, more files arrive, and a brand-"
+        "new query object on the SAME checkpoint resumes — the "
+        "day totals are correct only if the second run restored the "
+        "first run's aggregation state from the state store and "
+        "merged the new arrivals into it (update-mode emissions are "
+        "per-window LATEST, so a state reset would undercount every "
+        "day straddling the restart). This is R6/R10's strongest "
+        "form: not just offset bookkeeping (x_stream_exactly_once_"
+        "restart) but operator STATE surviving process death — what "
+        "lets a 100 TB streaming job upgrade/crash without "
+        "reprocessing history. State is O(open windows); the graded "
+        "result reads the last update per window."
+    ),
+    tags=("streaming", "state", "recovery"),
+)
+@_sized_state
+def x_stream_state_recovery(spark: SparkSession, sf: str) -> DataFrame:
+    src_all = _events_split_dir(spark, sf, 4)
+    schema = spark.read.parquet(src_all).schema
+    workdir = tempfile.mkdtemp(prefix="zs_stream_recov_")
+    src = os.path.join(workdir, "src")
+    ckpt = os.path.join(workdir, "ck")
+    out_dir = os.path.join(workdir, "upd")
+    os.makedirs(src)
+    files = sorted(
+        f for f in os.listdir(src_all) if f.endswith(".parquet")
+    )
+    import shutil as _sh
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.col("window.start").alias("day"),
+            "n",
+            "sv100",
+            F.lit(batch_id).alias("batch_id"),
+        ).write.mode("append").parquet(out_dir)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.groupBy(F.window("ts", "1 day"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.expr("CAST(round(value * 100) AS BIGINT)")
+                ).alias("sv100"),
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: half the files; then the "process dies", new data lands,
+    # and a NEW query resumes from the same checkpoint (run 2)
+    for f in files[:2]:
+        _sh.copy(os.path.join(src_all, f), os.path.join(src, f))
+    run_once()
+    for f in files[2:]:
+        _sh.copy(os.path.join(src_all, f), os.path.join(src, f))
+    run_once()
+
+    upd = spark.read.parquet(out_dir)
+    return (
+        upd.groupBy("day")
+        .agg(
+            F.expr("max_by(n, batch_id)").alias("n"),
+            F.expr("max_by(sv100, batch_id)").alias("sv100"),
+        )
+        .orderBy("day")
+    )
