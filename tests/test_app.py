@@ -50,7 +50,11 @@ def test_derive_modes_parity():
         "worker",
         "stream-worker",
     ]
-    assert "batch-worker" in derive_modes(None, {"b": {}})
+    assert derive_modes(None, {"b": {}}) == [
+        "management-api",
+        "worker",
+        "batch-worker",
+    ]
     with pytest.raises(ValueError, match="stream_routes or batch_routes"):
         derive_modes(None, None)
 

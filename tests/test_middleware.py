@@ -95,7 +95,9 @@ def test_protobuf_middleware_gated(spark):
 
     mw = protobuf_value("Person", "/tmp/person.desc")
     df = spark.createDataFrame([(b"\x08\x01",)], "value binary")
-    with _pytest.raises(Exception):
+    with _pytest.raises(Exception, match="person.desc"):
+        # the failure must name the missing descriptor — a CLEAR
+        # error, not an arbitrary crash
         mw(df).collect()
 
 

@@ -37,6 +37,7 @@ def test_asset_adapter_schema(assets):
 def test_decode_features_shape_and_determinism(assets):
     out = decode_and_featurize(assets, feature_dim=8)
     rows = out.orderBy("asset_id").collect()
+    assert len(rows) == assets.count() > 0  # all() below is vacuous on []
     assert all(r.decoded_ok for r in rows)
     assert all(len(r.feature) == 8 for r in rows)
     assert all(0.0 <= v < 1.0 for r in rows for v in r.feature)

@@ -131,4 +131,6 @@ def test_dead_set_replay_async(served):
             pass
         time.sleep(0.5)
     assert len(engine.stats) > stats_before  # replay batch processed
+    # the replayed batch must contain exactly the 3 requested rows
+    assert engine.stats[-1].total == 3
     assert final == before

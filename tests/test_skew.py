@@ -84,3 +84,19 @@ def test_salted_join_rejects_outer(skewed):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="salted_join does not support"):
             salted_join(skewed, other, "k", how=how)
+
+
+def test_salted_join_actually_salts(spark, skewed):
+    """The salt mechanics must be real, not a pass-through equi-join:
+    the physical plan joins on (k, _salt) and replicates the build
+    side across salt buckets."""
+    from ziggurat_spark.functions.skew import salted_join
+    from ziggurat_spark.plans import formatted_plan
+
+    other = skewed.select("k").distinct().withColumn(
+        "payload", F.col("k") * 10
+    )
+    out = salted_join(skewed, other, "k", salt_buckets=4)
+    plan = formatted_plan(out)
+    assert "_salt" in plan  # join key carries the salt
+    assert "explode" in plan.lower()  # build side replicated per bucket

@@ -52,15 +52,22 @@ def test_left_join_emits_null_right(spark, sides):
 def test_outer_join_emits_both_sides(spark, sides):
     left, right = sides
     out = windowed_join(left, right, 6000, join_type="outer").collect()
-    got = sorted(
+    pairs = sorted(
         (
             (r.left.v if r.left else None, r.right.v if r.right else None)
             for r in out
-            if r.left is None or r.right is None
         ),
         key=lambda t: (t[0] or "", t[1] or ""),
     )
-    assert got == [(None, "R30"), (None, "Rc"), ("L10", None), ("Lb", None)]
+    # matched pair AND both null sides — an outer join that drops
+    # matches (or unmatched rows) must fail here
+    assert pairs == [
+        (None, "R30"),
+        (None, "Rc"),
+        ("L0", "R3"),
+        ("L10", None),
+        ("Lb", None),
+    ]
 
 
 def test_invalid_join_type_raises(spark, sides):
