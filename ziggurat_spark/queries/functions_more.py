@@ -340,3 +340,51 @@ def x_pattern_predicates(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+# Identical expression text on both engines: interleave the low 8
+# bits of x and y into a 16-bit Morton (Z-order) code with shifts.
+_MORTON = (
+    "("
+    + " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "x_morton_zorder",
+    oracle=(
+        "WITH s AS (SELECT event_id, "
+        "CAST(round(value * 100) AS BIGINT) % 256 AS x, "
+        "event_id % 256 AS y FROM events) "
+        f"SELECT event_id, x, y, {_MORTON} AS morton "
+        "FROM s ORDER BY morton, event_id LIMIT 5000"
+    ),
+    doc=(
+        "Morton (Z-order) codes: interleave the bits of two columns "
+        "into one locality-preserving sort key — the core of "
+        "multi-dimensional data clustering (Delta OPTIMIZE ZORDER, "
+        "Iceberg sort orders): sorting files by the Morton code "
+        "lets min/max statistics prune scans on EITHER column. "
+        "Pure BIGINT shift/mask algebra, identical expression text "
+        "on both engines, exact. The ORDER BY morton is the actual "
+        "layout operation — at 100 TB it becomes "
+        "repartitionByRange(morton) + sortWithinPartitions before "
+        "the write, one range shuffle."
+    ),
+    tags=("functions", "layout", "bitwise"),
+)
+def x_morton_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.expr("CAST(round(value * 100) AS BIGINT)") % 256).alias("x"),
+        (F.col("event_id") % 256).alias("y"),
+    )
+    return (
+        e.select("event_id", "x", "y", F.expr(_MORTON).alias("morton"))
+        .orderBy("morton", "event_id")
+        .limit(5000)
+    )

@@ -338,3 +338,62 @@ def x_binary_file_source(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x_small_file_compaction",
+    oracle=(
+        "SELECT count(*) AS n_rows, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sv100, min(event_id) AS min_id, max(event_id) AS max_id, "
+        "CAST(64 AS INT) AS files_before, CAST(4 AS INT) AS files_after "
+        "FROM events"
+    ),
+    doc=(
+        "Small-file compaction — the table-maintenance op every "
+        "streaming sink needs (micro-batches write a file per "
+        "partition per trigger; a day of 1-minute triggers = "
+        "thousands of KB-files whose open/footer overhead dominates "
+        "scans). events lands as 64 tiny files, then compacts via "
+        "repartition(4) into 4 right-sized ones; the query VERIFIES "
+        "the physical file counts itself (raising on a miss — the "
+        "graded literals are asserted, not decorative) and grades "
+        "byte-level data integrity (count/sum/min/max) from the "
+        "compacted copy against the original table. At 100 TB this "
+        "is the same repartition-write running per partition-folder "
+        "with target_size = maxPartitionBytes; Delta/Iceberg "
+        "OPTIMIZE is this op behind a txn log."
+    ),
+    tags=("sources", "layout", "compaction"),
+)
+def x_small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="zs_compact_")
+    tiny, packed = base + "/tiny", base + "/packed"
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    e.repartition(64).write.parquet(tiny)
+
+    def _count(d: str) -> int:
+        return sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    files_before = _count(tiny)
+    if files_before != 64:
+        raise AssertionError(f"expected 64 tiny files, got {files_before}")
+    spark.read.parquet(tiny).repartition(4).write.parquet(packed)
+    files_after = _count(packed)
+    if files_after != 4:
+        raise AssertionError(f"expected 4 compacted files, got {files_after}")
+    return spark.read.parquet(packed).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v100").alias("sv100"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.lit(files_before).alias("files_before"),
+        F.lit(files_after).alias("files_after"),
+    )
