@@ -199,3 +199,76 @@ def x_chi_square(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("exp_ppm"),
         F.expr(_TERM_PPM).alias("term_ppm"),
     ).orderBy("event_type", "band")
+
+
+@register(
+    "x_grouped_median_scale",
+    oracle=(
+        f"WITH s AS (SELECT event_type, {_V100} AS v, event_id "
+        "FROM events), "
+        "r AS (SELECT event_type, v, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY v, event_id) AS rnk, "
+        "count(*) OVER (PARTITION BY event_type) AS cnt FROM s) "
+        "SELECT event_type, CAST(min(cnt) AS BIGINT) AS n, "
+        "min(v) AS median_v100 "
+        "FROM r WHERE rnk = (cnt + 1) // 2 "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "Per-group exact lower-median at SCALE: the oracle spells "
+        "it as a per-group window rank (which collapses each group "
+        "to one task — fine for DuckDB, fatal for a 5-value group "
+        "key over 100 TB); the ENGINE computes the identical "
+        "medians with the distributed-rank construction: "
+        "range-partition on the (event_type, v, event_id) total "
+        "order, per-partition row_number + partition-count offsets "
+        "→ global rank, then per-group rank = global rank − the "
+        "group's first rank + 1 (a broadcast join against the "
+        "5-row group-bounds table). Every stage partition-parallel "
+        "regardless of group cardinality — the scale path "
+        "x_mad_exact/x_quantiles document, here graded end-to-end."
+    ),
+    tags=("statistics", "median", "distributed-rank"),
+)
+def x_grouped_median_scale(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.expr(_V100).alias("v"), "event_id"
+    )
+    parts = (
+        e.repartitionByRange("event_type", "v", "event_id")
+        .sortWithinPartitions("event_type", "v", "event_id")
+        .withColumn("pid", F.expr("spark_partition_id()"))
+        .localCheckpoint(eager=False)
+    )
+    pcounts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = pcounts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+    )
+    wp = Window.partitionBy("pid").orderBy("event_type", "v", "event_id")
+    ranked = (
+        parts.withColumn("rn", F.row_number().over(wp))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("grank", F.col("rn") + F.col("off"))
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min("grank").alias("first_rank"),
+        F.count("*").alias("n"),
+    )
+    within = (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .withColumn("rnk", F.col("grank") - F.col("first_rank") + 1)
+        .where(F.col("rnk") == F.expr("(n + 1) div 2"))
+    )
+    return (
+        within.groupBy("event_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.min("v").alias("median_v100"),
+        )
+        .orderBy("event_type")
+    )
