@@ -510,3 +510,49 @@ def test_chi_square_remainder_split_identity(rt, ct, n):
     if rt * ct <= 2**63 - 1 and exact <= 2**63 - 1:
         assert q * 1_000_000 <= exact
         assert r * 1_000_000 <= (n - 1) * 1_000_000
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_bijective(x, y):
+    """x_morton_zorder's shift/mask formula is the true bit
+    interleave: recoverable, order-preserving per dimension, and
+    bounded to 16 bits."""
+    from ziggurat_spark.queries.functions_more import _MORTON
+
+    # the SQL expression is also valid Python integer arithmetic
+    code = eval(_MORTON, {"x": x, "y": y})  # noqa: S307 — pure int expr
+    assert 0 <= code < 1 << 16
+    rx = sum(((code >> (2 * b)) & 1) << b for b in range(8))
+    ry = sum(((code >> (2 * b + 1)) & 1) << b for b in range(8))
+    assert (rx, ry) == (x, y)
+
+
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.integers(min_value=1, max_value=5000),
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_closed_form_matches_definition(n, rank):
+    """x_equidepth_histogram's closed-form bucket assignment equals
+    the ntile definition (first n%k buckets get one extra row)."""
+    if rank > n:
+        rank = ((rank - 1) % n) + 1
+    k = 10
+    q, r = divmod(n, k)
+    # reference: sizes are q+1 for buckets 1..r, q for r+1..k
+    sizes = [q + 1] * r + [q] * (k - r)
+    acc, ref = 0, None
+    for b, sz in enumerate(sizes, start=1):
+        acc += sz
+        if rank <= acc:
+            ref = b
+            break
+    if rank <= r * (q + 1):
+        got = (rank - 1) // (q + 1) + 1
+    else:
+        got = r + (rank - r * (q + 1) - 1) // max(q, 1) + 1
+    assert got == ref, (n, rank)
