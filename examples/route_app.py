@@ -122,6 +122,28 @@ def main() -> None:
     pumped = app.engine.pump_retries("events", now=horizon)
     print(f"retry pump:     re-delivered {pumped} records")
 
+    # HTTP ops surface (server/routes.clj:18-23 parity): ping +
+    # dead-set management over real HTTP against the live engine
+    import urllib.request
+
+    from ziggurat_spark.streaming.ops_server import OpsServer
+
+    srv = OpsServer(app.engine).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/ping", timeout=10
+        ) as r:
+            print(f"GET /ping:      {r.status} {r.read().decode()!r}")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}"
+            "/v1/dead_set?count=2&topic-entity=events",
+            timeout=30,
+        ) as r:
+            body = r.read().decode()
+            print(f"GET /v1/dead_set: {r.status}, {len(body)} bytes")
+    finally:
+        srv.stop()
+
     app.stop()
     print("done.")
 
