@@ -531,28 +531,40 @@ def test_morton_interleave_bijective(x, y):
     assert (rx, ry) == (x, y)
 
 
-@given(
-    st.integers(min_value=1, max_value=5000),
-    st.integers(min_value=1, max_value=5000),
-)
-@settings(max_examples=200, deadline=None)
-def test_ntile_closed_form_matches_definition(n, rank):
-    """x_equidepth_histogram's closed-form bucket assignment equals
-    the ntile definition (first n%k buckets get one extra row)."""
-    if rank > n:
-        rank = ((rank - 1) % n) + 1
-    k = 10
+def _ntile_reference(n: int, rank: int, k: int = 10) -> int:
+    """ntile by definition: the first n%k buckets take one extra row."""
     q, r = divmod(n, k)
-    # reference: sizes are q+1 for buckets 1..r, q for r+1..k
     sizes = [q + 1] * r + [q] * (k - r)
-    acc, ref = 0, None
+    acc = 0
     for b, sz in enumerate(sizes, start=1):
         acc += sz
         if rank <= acc:
-            ref = b
-            break
-    if rank <= r * (q + 1):
-        got = (rank - 1) // (q + 1) + 1
-    else:
-        got = r + (rank - r * (q + 1) - 1) // max(q, 1) + 1
-    assert got == ref, (n, rank)
+            return b
+    raise AssertionError((n, rank))
+
+
+def test_ntile_closed_form_matches_definition(spark):
+    """The SHIPPED SQL expression (statistics.NTILE10_BUCKET_SQL —
+    the one x_equidepth_histogram executes) equals the ntile
+    definition over an edge-focused (n, rank) grid, evaluated by
+    Spark itself so formula drift cannot hide."""
+    from ziggurat_spark.queries.statistics import NTILE10_BUCKET_SQL
+
+    ns = [1, 2, 3, 9, 10, 11, 19, 20, 21, 99, 100, 101, 997, 1000]
+    cells = []
+    for n in ns:
+        ranks = {1, 2, n, max(1, n - 1), max(1, n // 2)}
+        q, r = divmod(n, 10)
+        for b in range(1, 11):  # every bucket boundary ± 1
+            edge = (q + 1) * min(b, r) + q * max(0, b - r)
+            ranks.update({edge, edge + 1, max(1, edge - 1)})
+        cells.extend((n, rk) for rk in ranks if 1 <= rk <= n)
+    df = spark.createDataFrame(cells, "n_total long, rank long")
+    got = {
+        (row["n_total"], row["rank"]): row["bucket"]
+        for row in df.withColumn(
+            "bucket", F.expr(NTILE10_BUCKET_SQL).cast("int")
+        ).collect()
+    }
+    for n, rk in cells:
+        assert got[(n, rk)] == _ntile_reference(n, rk), (n, rk)

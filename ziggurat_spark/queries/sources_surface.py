@@ -389,6 +389,11 @@ def x_small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
     files_after = _count(packed)
     if files_after != 4:
         raise AssertionError(f"expected 4 compacted files, got {files_after}")
+    # the returned plan reads only the compacted copy lazily; the 64
+    # tiny files served their purpose — drop them now
+    import shutil
+
+    shutil.rmtree(tiny)
     return spark.read.parquet(packed).agg(
         F.count("*").alias("n_rows"),
         F.sum("v100").alias("sv100"),

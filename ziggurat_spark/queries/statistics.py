@@ -367,6 +367,19 @@ def x_mad_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: ntile(10) closed form — the first n%10 buckets take one extra
+#: row; when q = 0 (n < 10) the first branch covers every rank, so
+#: the q divisor is never 0 in practice. Property-tested in
+#: tests/test_properties.py against the bucket-sizes definition.
+NTILE10_BUCKET_SQL = (
+    "CASE WHEN rank <= (n_total % 10) * (n_total div 10 + 1) "
+    "THEN (rank - 1) div (n_total div 10 + 1) + 1 "
+    "ELSE (n_total % 10) + "
+    "(rank - (n_total % 10) * (n_total div 10 + 1) - 1) "
+    "div greatest(n_total div 10, 1) + 1 END"
+)
+
+
 @register(
     "x_equidepth_histogram",
     oracle=(
@@ -395,44 +408,16 @@ def x_mad_exact(spark: SparkSession, sf: str) -> DataFrame:
     tags=("statistics", "histogram", "window"),
 )
 def x_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions.ranking import global_rank
+
     e = load_table(spark, sf, "events").select(
         F.expr(_Y).alias("v"), "event_id"
     )
-    parts = (
-        e.repartitionByRange("v", "event_id")
-        .sortWithinPartitions("v", "event_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    counts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
-    # offsets table is O(partitions) rows — the tiny global window
-    # here is over ≤ shuffle.partitions rows, not the data
-    woff = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-    )
-    total = counts.agg(F.sum("cnt").alias("n_total"))
-    wp = Window.partitionBy("pid").orderBy("v", "event_id")
-    ranked = (
-        parts.withColumn("rn", F.row_number().over(wp))
-        .join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("rank", F.col("rn") + F.col("off"))
-    )
-    # ntile(10) closed form; when q = 0 (n < 10) the first branch
-    # covers every rank, so the q divisor is never 0 in practice
-    bucket = F.expr(
-        "CASE WHEN rank <= (n_total % 10) * (n_total div 10 + 1) "
-        "THEN (rank - 1) div (n_total div 10 + 1) + 1 "
-        "ELSE (n_total % 10) + "
-        "(rank - (n_total % 10) * (n_total div 10 + 1) - 1) "
-        "div greatest(n_total div 10, 1) + 1 END"
-    )
+    ranked, parts = global_rank(e, ["v", "event_id"], out_col="rank")
+    total = parts.agg(F.count("*").alias("n_total"))
     return (
-        ranked.withColumn("bucket", bucket.cast("int"))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", F.expr(NTILE10_BUCKET_SQL).cast("int"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),

@@ -232,32 +232,26 @@ def x_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     tags=("statistics", "median", "distributed-rank"),
 )
 def x_grouped_median_scale(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions.ranking import global_rank
+
     e = load_table(spark, sf, "events").select(
         "event_type", F.expr(_V100).alias("v"), "event_id"
     )
-    parts = (
-        e.repartitionByRange("event_type", "v", "event_id")
-        .sortWithinPartitions("event_type", "v", "event_id")
-        .withColumn("pid", F.expr("spark_partition_id()"))
-        .localCheckpoint(eager=False)
-    )
-    pcounts = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
-    woff = Window.orderBy("pid").rowsBetween(
+    ranked, parts = global_rank(e, ["event_type", "v", "event_id"])
+    # group bounds from the CHECKPOINTED input, not from `ranked` —
+    # deriving them from ranked would evaluate the window+join
+    # subtree twice. event_type leads the total order, so each
+    # group's first global rank = 1 + Σ counts of preceding groups.
+    gcounts = parts.groupBy("event_type").agg(F.count("*").alias("n"))
+    wprev = Window.orderBy("event_type").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = pcounts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-    )
-    wp = Window.partitionBy("pid").orderBy("event_type", "v", "event_id")
-    ranked = (
-        parts.withColumn("rn", F.row_number().over(wp))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("grank", F.col("rn") + F.col("off"))
-    )
-    bounds = ranked.groupBy("event_type").agg(
-        F.min("grank").alias("first_rank"),
-        F.count("*").alias("n"),
+    bounds = gcounts.select(
+        "event_type",
+        "n",
+        (F.coalesce(F.sum("n").over(wprev), F.lit(0)) + 1).alias(
+            "first_rank"
+        ),
     )
     within = (
         ranked.join(F.broadcast(bounds), "event_type")
