@@ -358,3 +358,77 @@ def x_ewma_exact(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(5000)
     )
+
+
+@register(
+    "x_scd2_point_lookup",
+    oracle=(
+        "WITH changes AS ("
+        "SELECT user_id, event_type, ts, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type FROM events), "
+        "dim AS (SELECT user_id, event_type, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to "
+        "FROM changes WHERE prev_type IS NULL OR prev_type <> event_type), "
+        "probes AS (SELECT unnest(["
+        "TIMESTAMP '2024-01-10 00:00:00', "
+        "TIMESTAMP '2024-01-20 00:00:00', "
+        "TIMESTAMP '2024-01-30 00:00:00']) AS at_ts) "
+        "SELECT p.at_ts, d.event_type AS state, "
+        "count(*) AS n_users, CAST(sum(d.user_id) AS BIGINT) AS user_sum "
+        "FROM probes p JOIN dim d ON d.valid_from <= p.at_ts "
+        "AND (d.valid_to IS NULL OR d.valid_to > p.at_ts) "
+        "GROUP BY p.at_ts, d.event_type ORDER BY p.at_ts, state"
+    ),
+    doc=(
+        "Point-in-time (temporal) lookup against the SCD2 dimension "
+        "x_scd2_history builds: 'what state was every user in AT "
+        "time T' for three report dates — the query every type-2 "
+        "dimension exists to answer, and the batch twin of a "
+        "temporal table join. Interval predicate: valid_from <= T < "
+        "valid_to (NULL = current). Exactly one version matches per "
+        "(user, T) by construction, so the per-date user_sum "
+        "checksum doubles as a no-overlap audit of the dimension "
+        "build itself. Plan: the dim build is one user_id shuffle "
+        "(two stacked windows); the probe join is 3 broadcast "
+        "literals against the dim scan; the aggregate collapses to "
+        "≤15 groups map-side. At 100 TB the dim is materialized "
+        "once and the same lookup rides its storage."
+    ),
+    tags=("scd2", "temporal", "join"),
+)
+def x_scd2_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    probes = spark.createDataFrame(
+        [("2024-01-10",), ("2024-01-20",), ("2024-01-30",)], "d string"
+    ).select(F.to_timestamp("d").alias("at_ts"))
+    j = dim.join(
+        F.broadcast(probes),
+        (F.col("valid_from") <= F.col("at_ts"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("at_ts"))),
+    )
+    return (
+        j.groupBy("at_ts", F.col("event_type").alias("state"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+        )
+        .orderBy("at_ts", "state")
+    )
