@@ -568,3 +568,29 @@ def test_ntile_closed_form_matches_definition(spark):
     }
     for n, rk in cells:
         assert got[(n, rk)] == _ntile_reference(n, rk), (n, rk)
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """functions/ranking.global_rank equals the naive global
+    row_number over a seeded random multi-column order, including
+    duplicate keys resolved by the unique tiebreaker."""
+    from ziggurat_spark.functions.ranking import global_rank
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(rng.integers(0, 7)), int(rng.integers(0, 50)), i)
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "g int, v int, uid long")
+    ranked, parts = global_rank(df, ["g", "v", "uid"])
+    got = {
+        r["uid"]: r["grank"] for r in ranked.collect()
+    }
+    want = {
+        uid: rank
+        for rank, (g, v, uid) in enumerate(
+            sorted(rows, key=lambda t: (t[0], t[1], t[2])), start=1
+        )
+    }
+    assert got == want
+    assert parts.count() == len(rows)  # checkpointed input intact
