@@ -364,3 +364,85 @@ def x_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     return s.select("user_id", "wv", "w", twa.alias("twa_c_ppm")).orderBy(
         "user_id"
     )
+
+
+@register(
+    "x_interval_overlap_join",
+    oracle=(
+        "WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + 1800000000 AS e FROM events "
+        "WHERE event_type = 'view'), "
+        "b AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + 7200000000 AS e FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT a.user_id % 16 AS ub, count(*) AS n_pairs, "
+        "CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) "
+        "AS overlap_us_sum "
+        "FROM a JOIN b ON a.user_id = b.user_id "
+        "AND a.s < b.e AND b.s < a.e AND a.event_id <> b.event_id "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "Interval OVERLAP join — the fourth temporal-join shape "
+        "(after as-of, range-containment x_range_join, and the ±w "
+        "band J1): view sessions [ts, ts+30m) against purchase "
+        "windows [ts, ts+2h) on the same user, pairs where the "
+        "intervals intersect (a.s < b.e AND b.s < a.e), graded with "
+        "the exact integer-µs total overlap length — attribution's "
+        "core computation ('how much viewing time fell inside a "
+        "purchase window'). Spark side bucketizes like Z11: the "
+        "join key carries b's start-hour bucket and a explodes only "
+        "across the hours its padded interval spans, so fan-out is "
+        "window-local and per-user volume never goes quadratic; "
+        "each overlapping pair matches in exactly one bucket. At "
+        "100 TB this is the streaming-state-sized spelling of "
+        "PostgreSQL's range && operator."
+    ),
+    tags=("timeseries", "join", "interval"),
+)
+def x_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    A_LEN = 1800 * 1000000  # 30 min in µs
+    B_LEN = 7200 * 1000000  # 2 h in µs
+    HOUR = 3600 * 1000000
+    a_base = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.unix_micros("ts").alias("a_s"),
+        (F.unix_micros("ts") + A_LEN).alias("a_e"),
+    )
+    # overlap requires b.s in (a.s - 2h, a.e): explode a across the
+    # hour buckets that padded span covers (~3 buckets)
+    a = a_base.select(
+        "*",
+        F.explode(
+            F.sequence(
+                ((F.col("a_s") - B_LEN) / HOUR).cast("bigint"),
+                (F.col("a_e") / HOUR).cast("bigint"),
+            )
+        ).alias("hb"),
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.unix_micros("ts").alias("b_s"),
+        (F.unix_micros("ts") + B_LEN).alias("b_e"),
+        (F.unix_micros("ts") / HOUR).cast("bigint").alias("b_hb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("hb") == F.col("b_hb"))
+        & (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        & (F.col("a_id") != F.col("b_id")),
+    )
+    overlap = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+    return (
+        pairs.groupBy((F.col("user_id") % 16).alias("ub"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(overlap).cast("bigint").alias("overlap_us_sum"),
+        )
+        .orderBy("ub")
+    )
