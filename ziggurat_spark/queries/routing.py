@@ -24,6 +24,17 @@ from ziggurat_spark.queries.registry import register
 from ziggurat_spark.tables import load_table
 
 
+def _sized_state(fn):
+    """Engine-driven micro-batch queries pin shuffle/state partitions
+    at checkpoint time — size them to batch volume like the streaming
+    surface does (see queries/streaming_surface.py)."""
+    from ziggurat_spark.queries.streaming_surface import (
+        _sized_state as _impl,
+    )
+
+    return _impl(fn)
+
+
 @register(
     "z07_outcome_dispatch",
     oracle=(
@@ -176,6 +187,7 @@ def x_route_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("routing", "retry", "streaming"),
 )
+@_sized_state
 def x_deadset_replay(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
@@ -250,6 +262,7 @@ def x_deadset_replay(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("routing", "retry", "streaming"),
 )
+@_sized_state
 def x_retry_pump(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
     from datetime import datetime, timedelta, timezone
