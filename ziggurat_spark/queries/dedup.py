@@ -231,9 +231,9 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return _jaccard_pairs(spark, sf).orderBy("a", "b")
 
 
-def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Unordered (a, b, jaccard) pairs above JACCARD_THRESHOLD, over
-    the stop-shingle-filtered universe (SHINGLE_DF_CAP)."""
+def _shingle_index(spark: SparkSession, sf: str):
+    """(ex, sizes): the capped exploded 5-gram shingle index and the
+    per-doc set sizes — shared by the exact-verify spellings."""
     d = load_table(spark, sf, "documents", fan_out=True).select(
         "doc_id", THU.shingles_udf(JACCARD_SHINGLE_K)("text").alias("sh")
     )
@@ -250,6 +250,13 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         eager=False
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return ex, sizes
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered (a, b, jaccard) pairs above JACCARD_THRESHOLD, over
+    the stop-shingle-filtered universe (SHINGLE_DF_CAP)."""
+    ex, sizes = _shingle_index(spark, sf)
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -707,4 +714,148 @@ def x_minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("matching_rows"),
         )
         .orderBy("a", "b")
+    )
+
+
+_EST_GATE = 5  # matching signature rows (of 8) to justify exact verify
+
+
+@register(
+    "x_neardup_staged",
+    oracle=(
+        _duck_shingle_cte(MINHASH_SHINGLE_K)
+        + ", sh5 AS (SELECT doc_id, "
+        f"{TH.shingle_hashes('whash', JACCARD_SHINGLE_K)[1]} AS sh FROM wh), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(
+            f"{TH.minhash('sh', j)[1]} AS mh{j}" for j in range(N_HASHES)
+        )
+        + " FROM sh), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, ({_duck_band_key(b)}) AS bucket FROM sh"
+            for b in range(BANDS)
+        )
+        + "), cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id "
+        "WHERE a.bucket IS NOT NULL), "
+        "est AS (SELECT cand.a, cand.b FROM cand "
+        "JOIN sig sa ON sa.doc_id = cand.a "
+        "JOIN sig sb ON sb.doc_id = cand.b "
+        "WHERE ("
+        + " + ".join(
+            f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(N_HASHES)
+        )
+        + f") >= {_EST_GATE}), "
+        "ex0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh5), "
+        "keep AS (SELECT s FROM ex0 GROUP BY s "
+        f"HAVING count(*) <= {SHINGLE_DF_CAP}), "
+        "ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 "
+        "JOIN keep ON keep.s = ex0.s), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id), "
+        "inter AS (SELECT e.a, e.b, count(*) AS i FROM est e "
+        "JOIN ex xa ON xa.doc_id = e.a JOIN ex xb ON xb.doc_id = e.b "
+        "AND xa.s = xb.s GROUP BY e.a, e.b), "
+        "ver AS (SELECT inter.a, inter.b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = inter.a "
+        "JOIN sizes sb ON sb.doc_id = inter.b "
+        f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}) "
+        "SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates, "
+        "CAST((SELECT count(*) FROM est) AS BIGINT) AS n_estimate_pass, "
+        "CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified, "
+        "CAST((SELECT coalesce(sum(a * 100000 + b), 0) FROM ver) "
+        "AS BIGINT) AS pair_checksum"
+    ),
+    doc=(
+        "The STAGED near-dup pipeline as one graded dataflow — "
+        "exactly how production dedup spends its budget: LSH "
+        "candidates (cheap, sketch-only) → MinHash Jaccard "
+        "estimate gate (≥5/8 matching rows ≈ J ≥ 0.6, still "
+        "sketch-only) → exact shingle-set verification ONLY for "
+        "survivors. Graded funnel counts at every stage plus a "
+        "verified-pair checksum. The cost shape is the whole "
+        "point: at 100 TB the exact verify (inverted-index join) "
+        "runs on the estimate-gated fraction of candidates, not "
+        "all of them — the estimate gate is a codegen'd bit-count "
+        "over already-computed signatures, marginal cost ~zero."
+    ),
+    tags=("dedup", "pipeline", "staged"),
+)
+def x_neardup_staged(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = (
+        load_table(spark, sf, "documents", fan_out=True)
+        .select(
+            "doc_id",
+            THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text").alias("mhs"),
+            THU.lsh_buckets_udf(MINHASH_SHINGLE_K, BANDS, ROWS_PER_BAND)(
+                "text"
+            ).alias("bks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode("bks").alias("band", "bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("mhs").alias("ma"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("mhs").alias("mb"))
+    est = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            F.expr(
+                "aggregate(zip_with(ma, mb, (x, y) -> CAST(x = y AS INT)), "
+                f"0, (acc, v) -> acc + v) >= {_EST_GATE}"
+            )
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    # exact verify restricted to the estimate-gated pairs: join the
+    # gated pair list against both docs' shingle sets — the full
+    # all-candidates inverted-index self-join never runs
+    ex, sizes = _shingle_index(spark, sf)
+    xa = ex.select(F.col("doc_id").alias("a"), F.col("s"))
+    xb = ex.select(F.col("doc_id").alias("b2"), F.col("s").alias("s2"))
+    inter = (
+        est.join(xa, "a")
+        .join(
+            xb,
+            (F.col("b") == F.col("b2")) & (F.col("s") == F.col("s2")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    )
+    ver = (
+        inter.join(sza, "a")
+        .join(szb, "b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+    n_cand = cand.count()
+    n_est = est.count()
+    return ver.agg(
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        F.lit(n_est).cast("bigint").alias("n_estimate_pass"),
+        F.count("*").alias("n_verified"),
+        F.coalesce(
+            F.sum(F.col("a") * 100000 + F.col("b")), F.lit(0)
+        ).cast("bigint").alias("pair_checksum"),
     )

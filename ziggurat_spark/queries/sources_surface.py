@@ -402,3 +402,51 @@ def x_small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(files_before).alias("files_before"),
         F.lit(files_after).alias("files_after"),
     )
+
+
+@register(
+    "x_parquet_merge_schema",
+    oracle=(
+        "SELECT count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN event_id % 2 = 0 THEN "
+        "CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sv100, "
+        "CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_typed, "
+        "CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_valued "
+        "FROM events"
+    ),
+    doc=(
+        "Parquet schema evolution on read (mergeSchema): two file "
+        "batches with DIFFERENT column sets — an old producer wrote "
+        "(event_id, v100), an upgraded one writes (event_id, "
+        "event_type) — land in one dataset; the merged read "
+        "reconciles the union schema and null-fills each side's "
+        "missing column. Graded: total rows plus per-side presence "
+        "counts and the value sum, which only balance if no row "
+        "lost a column it had or gained a phantom value. The "
+        "file-level twin of x_union_by_name's relational union — "
+        "how a year of drifting producers reads as ONE table at "
+        "100 TB (with the footer-merge cost paid once at listing)."
+    ),
+    tags=("sources", "parquet", "schema-evolution"),
+)
+def x_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_mergeschema_") + "/data"
+    e = load_table(spark, sf, "events")
+    old = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    new = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type"
+    )
+    old.write.parquet(out)
+    new.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v100").alias("sv100"),
+        F.count("event_type").alias("n_typed"),
+        F.count("v100").alias("n_valued"),
+    )
