@@ -450,3 +450,115 @@ def x_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
         F.count("event_type").alias("n_typed"),
         F.count("v100").alias("n_valued"),
     )
+
+
+@register(
+    "x_json_permissive_corrupt",
+    oracle=(
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CASE WHEN event_id % 89 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_bad, "
+        "CAST(sum(CASE WHEN event_id % 89 <> 0 THEN "
+        "CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sv100_good "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    doc=(
+        "JSON-lines PERMISSIVE malformed-record capture — the T6 "
+        "middleware's file-source twin of x_csv_permissive_corrupt: "
+        "every 89th record is written with truncated JSON (an "
+        "unclosed object); the reader under mode=PERMISSIVE parses "
+        "the good lines, nulls the bad one's typed fields and "
+        "preserves the raw line in columnNameOfCorruptRecord. "
+        "Graded per type: row conservation, corrupt counts and the "
+        "good-row value sum. Note the JSON reader (unlike CSV) "
+        "nulls ALL typed columns of a corrupt line, so the type "
+        "key is carried via the file layout (partitioned write) "
+        "instead — which also demonstrates corrupt-capture and "
+        "partition columns composing."
+    ),
+    tags=("sources", "json", "poison"),
+)
+def x_json_permissive_corrupt(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_json_perm_") + "/data"
+    e = load_table(spark, sf, "events")
+    line = F.when(
+        F.col("event_id") % 89 == 0,
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+            )
+        )
+    )
+    e.select("event_type", line.alias("value")).write.partitionBy(
+        "event_type"
+    ).text(out)
+    parsed = (
+        spark.read.schema(
+            "event_id LONG, v100 LONG, _corrupt STRING, event_type STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_corrupt").alias("n_bad"),
+            F.sum("v100").alias("sv100_good"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x_csv_quoted_multiline",
+    oracle=(
+        "SELECT count(*) AS n_rows, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100, "
+        "CAST(sum(length(event_type) + 7) AS BIGINT) AS payload_chars "
+        "FROM events"
+    ),
+    doc=(
+        "CSV quoting round-trip with embedded delimiters AND "
+        "newlines: each row carries a payload field containing a "
+        "comma and a line break ('<type>, no.\\n<nl>'), written with "
+        "standard quoting and read back with multiLine=true — the "
+        "parser capability that separates a real CSV reader from "
+        "split(','). Graded: row conservation, value sum, and the "
+        "exact payload character count (delimiter + newline "
+        "included). multiLine caveat documented: quoted-newline "
+        "files are not line-splittable, so at 100 TB this mode "
+        "costs per-FILE parallelism — keep newline payloads in "
+        "parquet/JSON instead; this grades that the engine handles "
+        "them correctly when inherited."
+    ),
+    tags=("sources", "csv", "quoting"),
+)
+def x_csv_quoted_multiline(spark: SparkSession, sf: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="zs_csv_quote_") + "/data"
+    e = load_table(spark, sf, "events")
+    # newline kept interior: the CSV writer's default
+    # ignoreTrailingWhiteSpace would trim a trailing one
+    payload = F.concat(
+        F.col("event_type"), F.lit(", no.\n!")
+    )
+    e.select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        payload.alias("payload"),
+    ).write.option("header", "true").csv(out)
+    back = (
+        spark.read.schema("event_id LONG, v100 LONG, payload STRING")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v100").alias("sv100"),
+        F.sum(F.length("payload")).cast("bigint").alias("payload_chars"),
+    )
