@@ -592,3 +592,14 @@ def test_topology_grid_single_scan(spark, specs):
     the single real scan)."""
     schemas = scan_read_schemas(q(specs, "x_topology_grid", spark))
     assert len(schemas) <= 1
+
+
+def test_theta_band_join_is_broadcast_nl(spark, specs):
+    """x_theta_band_join: a pure theta join against the 4-row bands
+    table must run as a broadcast nested-loop — never a shuffle of
+    the fact side."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_theta_band_join", spark))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -554,3 +554,58 @@ def x_join_pair_delay(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("ub")
     )
+
+
+@register(
+    "x_theta_band_join",
+    oracle=(
+        "WITH bands(lo, hi, label) AS (VALUES "
+        "(0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), "
+        "(150.0, 300.0, 'high'), (300.0, 1000.0, 'extreme')) "
+        "SELECT b.label, count(*) AS n, "
+        "CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sv100 "
+        "FROM events e JOIN bands b "
+        "ON e.value >= b.lo AND e.value < b.hi "
+        "GROUP BY b.label ORDER BY b.label"
+    ),
+    doc=(
+        "Pure theta join (no equi component): events banded against "
+        "an inline (lo, hi, label) bounds table via value >= lo AND "
+        "value < hi — the join strategy surface Spark serves with "
+        "BroadcastNestedLoopJoin when one side is tiny (pinned in "
+        "test_plan_quality). The declared-band lookup is how routed "
+        "metrics map onto histogram buckets with DATA-DRIVEN bounds "
+        "— z19's static floor() bucketing can't express bands that "
+        "live in a config table. Scale rule: BNLJ is O(n·bands) — "
+        "fine while the bands side stays broadcast-size; for large "
+        "band tables, bucketize to recover an equi key (Z11's "
+        "trick)."
+    ),
+    tags=("joins", "theta"),
+)
+def x_theta_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [
+            (0.0, 50.0, "low"),
+            (50.0, 150.0, "mid"),
+            (150.0, 300.0, "high"),
+            (300.0, 1000.0, "extreme"),
+        ],
+        "lo double, hi double, label string",
+    )
+    j = e.join(
+        F.broadcast(bands),
+        (e["value"] >= bands["lo"]) & (e["value"] < bands["hi"]),
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "sv100"
+            ),
+        )
+        .orderBy("label")
+    )
