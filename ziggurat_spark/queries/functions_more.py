@@ -446,3 +446,58 @@ def x_collated_grouping(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@register(
+    "x_try_arithmetic",
+    oracle=(
+        "WITH s AS (SELECT event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS v100, "
+        "CASE WHEN event_id % 211 = 0 "
+        "THEN 9223372036854775807 ELSE event_id END AS big "
+        "FROM events) "
+        "SELECT event_id, "
+        "CASE WHEN big > 9223372036854775807 - v100 THEN NULL "
+        "ELSE big + v100 END AS safe_add, "
+        "CASE WHEN big > 9223372036854775807 / greatest(v100, 1) "
+        "THEN NULL ELSE big * v100 END AS safe_mul, "
+        "v100 / nullif(event_id % 7, 0) AS safe_div "
+        "FROM s ORDER BY event_id LIMIT 5000"
+    ),
+    doc=(
+        "ANSI-safe arithmetic: try_add / try_multiply / try_divide "
+        "return NULL where plain operators would THROW under ANSI "
+        "mode (on by default in Spark 4 — an engineered int64 "
+        "overflow every 211th row would otherwise kill the whole "
+        "job). This is the poison-message discipline (R4) applied "
+        "to arithmetic: never throw in the hot path, route NULLs. "
+        "The oracle spells the same totality with explicit overflow "
+        "guards. Codegen'd per-row expressions; one scan + the "
+        "top-k sort."
+    ),
+    tags=("functions", "ansi", "null"),
+)
+def x_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    s = e.select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        F.when(
+            F.col("event_id") % 211 == 0,
+            F.lit(9223372036854775807).cast("bigint"),
+        )
+        .otherwise(F.col("event_id"))
+        .alias("big"),
+    )
+    return (
+        s.select(
+            "event_id",
+            F.expr("try_add(big, v100)").alias("safe_add"),
+            F.expr("try_multiply(big, v100)").alias("safe_mul"),
+            F.expr("try_divide(v100, nullif(event_id % 7, 0))").alias(
+                "safe_div"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(5000)
+    )
