@@ -420,10 +420,18 @@ def x_morton_zorder(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_collated_grouping(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
+    # capitalized spelling built EXACTLY like the oracle (first char
+    # uppered, rest verbatim) — initcap would diverge on multi-word
+    # or interior-case values
     noisy = (
         F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
         .when(F.col("event_id") % 3 == 1, F.col("event_type"))
-        .otherwise(F.initcap("event_type"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substr(event_type, 2)"),
+            )
+        )
     )
     s = e.select(
         noisy.alias("noisy"),
