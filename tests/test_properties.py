@@ -594,3 +594,57 @@ def test_global_rank_matches_single_partition_window(spark):
     }
     assert got == want
     assert parts.count() == len(rows)  # checkpointed input intact
+
+
+def test_bucketized_band_join_equals_brute_force(spark):
+    """The hour-bucketization trick (Z11 / x_join_pair_delay /
+    x_interval_overlap_join): exploding the left side across the
+    hours its padded window spans and joining on (key, bucket) must
+    find EXACTLY the brute-force band pairs — no duplicates (each
+    pair matches in one bucket) and no misses (bucket arithmetic
+    covers the band), including band-edge timestamps."""
+    import itertools
+
+    rng = np.random.default_rng(23)
+    W = 3600  # +/- 1h band, seconds
+    rows = [
+        (int(rng.integers(0, 4)), int(rng.integers(0, 6 * 3600)), i)
+        for i in range(300)
+    ]
+    # force exact band-edge collisions too
+    rows += [(9, 1000, 1000), (9, 1000 + W, 1001), (9, 1000 + W + 1, 1002)]
+    brute = {
+        (i, j)
+        for (k1, t1, i), (k2, t2, j) in itertools.combinations(rows, 2)
+        if k1 == k2 and abs(t1 - t2) <= W and i < j
+    }
+    df = spark.createDataFrame(rows, "k int, t long, uid long")
+    a = df.select(
+        F.col("k"),
+        F.col("t").alias("ta"),
+        F.col("uid").alias("ua"),
+        F.explode(
+            F.sequence(
+                ((F.col("t") - W) / 3600).cast("bigint"),
+                ((F.col("t") + W) / 3600).cast("bigint"),
+            )
+        ).alias("hb"),
+    )
+    b = df.select(
+        F.col("k").alias("kb"),
+        F.col("t").alias("tb"),
+        F.col("uid").alias("ub"),
+        (F.col("t") / 3600).cast("bigint").alias("bhb"),
+    )
+    matched = a.join(
+        b,
+        (F.col("k") == F.col("kb"))
+        & (F.col("hb") == F.col("bhb"))
+        & (F.col("ua") < F.col("ub"))
+        & (F.abs(F.col("ta") - F.col("tb")) <= W),
+    ).collect()
+    got = {(r["ua"], r["ub"]) for r in matched}
+    assert got == brute
+    # each qualifying pair matches in EXACTLY one bucket — a set
+    # comparison alone couldn't catch double-bucket matches
+    assert len(matched) == len(brute)
