@@ -446,3 +446,90 @@ def x_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("ub")
     )
+
+
+@register(
+    "x_max_drawdown",
+    oracle=(
+        "WITH s AS (SELECT user_id, ts, event_id, "
+        "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+        "r AS (SELECT user_id, v, "
+        "max(v) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak "
+        "FROM s) "
+        "SELECT user_id, CAST(max(peak - v) AS BIGINT) AS max_drawdown, "
+        "CAST(max(peak) AS BIGINT) AS peak_v100, count(*) AS n "
+        "FROM r GROUP BY user_id ORDER BY user_id"
+    ),
+    doc=(
+        "Maximum drawdown per user — the classic risk statistic "
+        "(largest drop from a running peak), all-integer over the "
+        "centi-scaled value series in (ts, event_id) order: one "
+        "running-max window + one aggregate. The monitoring twin of "
+        "the reference's delay histogram: 'how far below its best "
+        "has this series fallen'. One user_id shuffle, one sort, "
+        "O(1) window state per row; at 100 TB identical — running "
+        "max needs no frame buffer."
+    ),
+    tags=("timeseries", "window", "risk"),
+)
+def x_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = e.select("user_id", "v", F.max("v").over(w).alias("peak"))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("v")).cast("bigint").alias(
+                "max_drawdown"
+            ),
+            F.max("peak").cast("bigint").alias("peak_v100"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x_weekly_resample",
+    oracle=(
+        "SELECT date_trunc('week', ts) AS week_start, "
+        "count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv100, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    doc=(
+        "ISO-week resampling: date_trunc('week') (Monday start on "
+        "both engines) rolls the event stream up to weekly bars with "
+        "count / value sum / distinct users — the reporting "
+        "granularity between z05's daily and x_ohlc_downsample's "
+        "6-hourly. One map-side-combined agg; the distinct rides "
+        "the same shuffle (partial sets bounded by per-week users)."
+    ),
+    tags=("timeseries", "calendar"),
+)
+def x_weekly_resample(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("week", "ts").alias("week_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "sv100"
+            ),
+            F.countDistinct("user_id").cast("bigint").alias("users"),
+        )
+        .orderBy("week_start")
+    )
