@@ -57,3 +57,41 @@ def global_rank(
         .drop("_pid", "_rn", "_off")
     )
     return ranked, parts.drop("_pid")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed running total over a total order — the cumulative
+    twin of :func:`global_rank`: per-partition running sums plus
+    partition-SUM offsets, so no single task ever sorts or scans the
+    whole input. Returns ``(with_cumsum, parts)`` like global_rank."""
+    parts = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.expr("spark_partition_id()"))
+        .localCheckpoint(eager=False)
+    )
+    totals = parts.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(woff), F.lit(0)).alias("_off"),
+    )
+    wrun = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        parts.withColumn("_run", F.sum(value_col).over(wrun))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_run") + F.col("_off"))
+        .drop("_pid", "_run", "_off")
+    )
+    return out, parts.drop("_pid")

@@ -266,3 +266,68 @@ def x_grouped_median_scale(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_pareto_share",
+    oracle=(
+        "WITH base AS (SELECT p_partkey, "
+        "CAST(round(p_retailprice * 100) AS BIGINT) AS rev FROM part), "
+        "r AS (SELECT p_partkey, rev, "
+        "row_number() OVER (ORDER BY rev DESC, p_partkey) AS rnk, "
+        "sum(rev) OVER (ORDER BY rev DESC, p_partkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "FROM base), "
+        "t AS (SELECT count(*) AS n, CAST(sum(rev) AS BIGINT) AS total "
+        "FROM base) "
+        "SELECT CAST((rnk - 1) * 10 // t.n AS INT) AS decile, "
+        "count(*) AS n_parts, "
+        "CAST(max(cum) * 1000000 // t.total AS BIGINT) AS cum_share_ppm "
+        "FROM r, t GROUP BY 1, t.n, t.total ORDER BY 1"
+    ),
+    doc=(
+        "Pareto (80/20) concentration curve over part retail value: "
+        "parts ranked by price descending, cumulative revenue share "
+        "in ppm at each decile boundary — 'the top 10% of parts "
+        "hold X% of the value'. The ENGINE computes BOTH the global "
+        "rank and the global running total with the distributed "
+        "partition-offset construction (functions/ranking.py: "
+        "global_rank + global_cumsum) — the oracle's "
+        "single-partition windows would serialize the whole table "
+        "through one task. All-integer: cents, floor-division "
+        "deciles, ppm shares."
+    ),
+    tags=("statistics", "pareto", "distributed-rank"),
+)
+def x_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions.ranking import global_cumsum, global_rank
+
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("rev"),
+        (-F.expr("CAST(round(p_retailprice * 100) AS BIGINT)")).alias(
+            "negrev"
+        ),
+    )
+    ranked, parts = global_rank(p, ["negrev", "p_partkey"], out_col="rnk")
+    with_cum, _ = global_cumsum(
+        ranked, ["negrev", "p_partkey"], "rev", out_col="cum"
+    )
+    totals = parts.agg(
+        F.count("*").alias("n_total"),
+        F.sum("rev").cast("bigint").alias("rev_total"),
+    )
+    return (
+        with_cum.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "decile", F.expr("CAST((rnk - 1) * 10 div n_total AS INT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.expr(
+                "CAST(max(cum) * 1000000 div max(rev_total) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
