@@ -118,6 +118,31 @@ class ZigguratEngine:
 
     # -- the per-batch dataflow ------------------------------------------
 
+    def _marker_path(self, route_name: str, batch_id: int) -> str:
+        return os.path.join(
+            self.workdir, "commits", route_name, f"{batch_id}.done"
+        )
+
+    def _is_committed(self, route_name: str, batch_id: int) -> bool:
+        return os.path.exists(self._marker_path(route_name, batch_id))
+
+    def _mark_committed(self, route_name: str, batch_id: int) -> None:
+        """Atomic (write-then-rename) completion marker — the standard
+        foreachBatch idempotence pattern. Spark's checkpoint commits a
+        micro-batch only AFTER foreachBatch returns; a kill inside the
+        body makes the restart replay the same batch_id, so every side
+        effect (stats, metrics, fabric appends, channel delivery) must
+        be guarded by this marker to get effectively-once delivery on
+        top of the source's at-least-once replay (R6; the reference is
+        at-least-once by design — mapper.clj acks after process — this
+        is the stronger Spark-native spelling)."""
+        path = self._marker_path(route_name, batch_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("1")
+        os.replace(tmp, path)
+
     def process_batch(
         self,
         route: Route,
@@ -129,6 +154,13 @@ class ZigguratEngine:
         t0 = time.perf_counter()
         now = now or datetime.now(timezone.utc)
         stats = BatchStats(route=route.name, batch_id=batch_id)
+        # Replayed micro-batch (killed after the body ran but before
+        # Spark committed the offset range): every side effect already
+        # happened — skip, don't double-deliver. Only real streaming
+        # batch ids participate (pump/batch-route calls use negative
+        # sentinels and manage their own redelivery semantics).
+        if batch_id >= 0 and self._is_committed(route.name, batch_id):
+            return stats
 
         # Persist the raw batch: total_in and the outcome pass would
         # otherwise EACH rescan the source (2x read amplification per
@@ -197,6 +229,8 @@ class ZigguratEngine:
                     )
                 stats.processing_s = time.perf_counter() - t0
                 self.stats.append(stats)
+                if batch_id >= 0:
+                    self._mark_committed(route.name, batch_id)
                 return stats
             counts = {r["outcome"]: r["n"] for r in rows}
             unknown = [
@@ -264,6 +298,8 @@ class ZigguratEngine:
             batch.unpersist()
         stats.processing_s = time.perf_counter() - t0
         self.stats.append(stats)
+        if batch_id >= 0:
+            self._mark_committed(route.name, batch_id)
         return stats
 
     def _deliver_channel(
