@@ -16,6 +16,10 @@ classes.
 
 from __future__ import annotations
 
+# module-level so pandas_udf type-hint resolution ('pd.Series' under
+# postponed annotations) finds it in __globals__
+import pandas as pd  # noqa: F401
+
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -116,6 +120,99 @@ def protobuf_value(
     return mw
 
 
+def protobuf_value_py(
+    desc,
+    spark_schema: str,
+    value_col: str = "value",
+    output_col: str = "payload",
+) -> Middleware:
+    """T4/T5 executable proto middleware: pure-Python wire-format
+    decode (functions/protowire.py — the public encoding spec; no
+    spark-protobuf jar needed) in an Arrow-batched Pandas UDF that
+    emits a canonical JSON string, typed JVM-side by ``from_json``.
+    Parse failure → NULL payload (the nil + metric contract,
+    middleware/default.clj:36-77); Struct fields arrive recursively
+    flattened to plain maps/lists/scalars (default.clj:9-34).
+
+    Scale note: the Python hop is one wire→JSON transform per record,
+    Arrow-batched; everything downstream (typing, projection,
+    filtering) stays in the JVM. With the spark-protobuf jar present,
+    ``protobuf_value`` is the zero-Python spelling of the same
+    middleware.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ziggurat_spark.functions import protowire
+
+    @pandas_udf("string")
+    def _decode(vals: pd.Series) -> pd.Series:
+        out = []
+        for raw in vals:
+            if raw is None:
+                out.append(None)
+                continue
+            try:
+                msg = protowire.decode(bytes(raw), desc)
+                out.append(protowire.to_canonical_json(msg, desc))
+            except Exception:
+                out.append(None)  # poison → NULL payload
+        return pd.Series(out, dtype=object)
+
+    def mw(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            output_col, F.from_json(_decode(F.col(value_col)), spark_schema)
+        )
+
+    return mw
+
+
+def protobuf_encode_py(desc, struct_col: str, output_col: str = "value"):
+    """Inverse of ``protobuf_value_py`` for producing proto payloads
+    (K1 producer-side serde): struct column → wire bytes. Struct-typed
+    ("google.protobuf.Struct") fields are carried as JSON strings in
+    the input struct; bytes fields as base64 strings."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ziggurat_spark.functions import protowire
+
+    def _pythonify(obj: dict) -> dict:
+        import base64
+
+        out = {}
+        for f in desc.fields:
+            v = obj.get(f.name)
+            if v is None:
+                out[f.name] = None
+            elif f.type == "bytes":
+                out[f.name] = base64.b64decode(v)
+            elif f.type == "struct" and isinstance(v, str):
+                out[f.name] = _json.loads(v)
+            else:
+                out[f.name] = v
+        return out
+
+    @pandas_udf("binary")
+    def _encode(col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if row is None
+                else protowire.encode(_pythonify(_json.loads(row)), desc)
+                for row in col
+            ],
+            dtype=object,
+        )
+
+    def mw(df: DataFrame) -> DataFrame:
+        return df.withColumn(output_col, _encode(F.to_json(F.col(struct_col))))
+
+    return mw
+
+
 def protobuf_key_value(
     key_message: str,
     value_message: str,
@@ -127,6 +224,20 @@ def protobuf_key_value(
     def mw(df: DataFrame) -> DataFrame:
         df = protobuf_value(key_message, desc_file_path, "key", "key_payload")(df)
         return protobuf_value(value_message, desc_file_path, "value", "payload")(df)
+
+    return mw
+
+
+def protobuf_key_value_py(
+    key_desc, key_schema: str, value_desc, value_schema: str
+) -> Middleware:
+    """T7 executable batch deserializer: both key and value decoded by
+    the pure-Python wire codec (batch_proto_deserializer.clj:4-21
+    deserializes :key and :value with separate proto classes)."""
+
+    def mw(df: DataFrame) -> DataFrame:
+        df = protobuf_value_py(key_desc, key_schema, "key", "key_payload")(df)
+        return protobuf_value_py(value_desc, value_schema, "value", "payload")(df)
 
     return mw
 

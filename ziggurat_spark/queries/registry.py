@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ml_cluster,
         ngrams,
         pricing,
+        protobuf_surface,
         quality_audit,
         routing,
         semistructured,
