@@ -158,3 +158,26 @@ def test_channel_metrics(engine, envelope_df):
         engine.metrics.counter("myapp.events.audit.message-processing.success")
         == stats.channel
     )
+
+
+def test_prometheus_text_format():
+    """Exposition parity with prometheus_exporter.clj:20-31: counters
+    export as gauges, histograms as summaries with _count/_sum (plus
+    the registry's bounded _min/_max), names sanitized to the
+    exposition grammar."""
+    reg = MetricsRegistry(service_name="svc")
+    reg.inc("route_a", "message-processing", "success", 7)
+    reg.report_histogram("route_a", "message-received-delay-histogram", 250.0, n=2)
+    text = reg.prometheus_text()
+    assert "# TYPE svc_route_a_message_processing_success gauge" in text
+    assert "svc_route_a_message_processing_success 7" in text
+    # bare-namespace twin (multi-ns convention)
+    assert "\nmessage_processing_success 7" in text
+    assert "# TYPE svc_route_a_message_received_delay_histogram summary" in text
+    assert "svc_route_a_message_received_delay_histogram_count 2" in text
+    assert "svc_route_a_message_received_delay_histogram_sum 500.0" in text
+    assert "svc_route_a_message_received_delay_histogram_min 250.0" in text
+    assert "svc_route_a_message_received_delay_histogram_max 250.0" in text
+    # every line is a comment or `name value`
+    for line in text.strip().splitlines():
+        assert line.startswith("# TYPE ") or len(line.split(" ")) == 2

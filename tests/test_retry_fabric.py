@@ -237,3 +237,65 @@ def test_dead_set_ops_touch_only_chosen_partitions(spark, fabric):
     assert fabric.dead_set_delete("r1", 2) == 2
     assert _snapshot_files(old_dirs[0]) == before
     assert fabric.dead_set_table().count() == 5
+
+
+def test_publish_bounded_retry_and_message_loss(spark, tmp_path):
+    """producer.clj:128-156 parity: recoverable failures retry until
+    success; non-recoverable failures retry non_recoverable_count
+    times then drop the payload and count message_loss."""
+    from ziggurat_spark.streaming.metrics import MetricsRegistry
+    from ziggurat_spark.streaming.retry_fabric import PublishRetryConfig
+
+    reg = MetricsRegistry(service_name="svc")
+    fab = RetryFabric(
+        spark,
+        os.path.join(str(tmp_path), "pub"),
+        metrics=reg,
+        publish_retry=PublishRetryConfig(
+            back_off_ms=1, non_recoverable_back_off_ms=1, non_recoverable_count=3
+        ),
+        recoverable=lambda exc: isinstance(exc, TimeoutError),
+    )
+    # recoverable: fails twice, then lands — no loss
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("broker hiccup")
+
+    assert fab._publish(flaky, "r1") is True
+    assert calls["n"] == 3
+    assert reg.counter("svc.r1.rabbitmq.publish.message_loss") == 0
+
+    # non-recoverable: bounded retries then drop + message_loss
+    hard = {"n": 0}
+
+    def broken():
+        hard["n"] += 1
+        raise ValueError("schema rejected")
+
+    assert fab._publish(broken, "r1") is False
+    assert hard["n"] == 4  # initial + 3 bounded retries
+    assert reg.counter("svc.r1.rabbitmq.publish.message_loss") == 1
+    assert reg.counter("rabbitmq.publish.message_loss") == 1
+    # publish-time histogram observed every attempt
+    assert reg.histograms["svc.r1.fabric-publish-time"].count == 7
+
+
+def test_enqueue_routes_through_publish_wrapper(spark, tmp_path, monkeypatch):
+    """enqueue_retry/enqueue_dead writes go through _publish (the
+    bounded-retry seam), not bare df.write."""
+    fab = RetryFabric(spark, os.path.join(str(tmp_path), "seam"))
+    seen = []
+    orig = RetryFabric._publish
+
+    def spy(self, write_fn, route):
+        seen.append(route)
+        return orig(self, write_fn, route)
+
+    monkeypatch.setattr(RetryFabric, "_publish", spy)
+    cfg = RetryConfig(max_attempts=5, timeout_ms=1000)
+    fab.enqueue_retry(make_env(spark, n=2), "r9", cfg, now=NOW)
+    fab.enqueue_dead(make_env(spark, n=1), "r9", now=NOW)
+    assert seen == ["r9", "r9"]

@@ -99,11 +99,13 @@ class ZigguratEngine:
     ):
         self.spark = spark
         self.workdir = workdir
-        self.fabric = RetryFabric(spark, workdir)
         self.routes: dict[str, Route] = {}
         self.queries: dict[str, object] = {}
         self.stats: list[BatchStats] = []
         self.metrics = metrics or MetricsRegistry(service_name=app_name)
+        # fabric writes report publish-time / message_loss here
+        # (producer.clj:128-156 parity)
+        self.fabric = RetryFabric(spark, workdir, metrics=self.metrics)
         os.makedirs(workdir, exist_ok=True)
 
     # -- registration ---------------------------------------------------

@@ -100,6 +100,50 @@ class MetricsRegistry:
                 out[f"{name}.mean"] = h.mean
             return out
 
+    def prometheus_text(self) -> str:
+        """Prometheus text exposition (v0.0.4) of the registry — the
+        engine's spelling of the reference's standalone metrics server
+        (prometheus_exporter.clj:34-48). Parity details: counters are
+        exposed as gauges (update-counter registers prometheus/gauge,
+        prometheus_exporter.clj:20-25); histograms expose _count and
+        _sum like a prometheus histogram (report-histogram :26-31)
+        plus bounded _min/_max gauges (the summary this registry
+        keeps). Dots/dashes in ziggurat namespaces sanitize to
+        underscores per the exposition grammar."""
+        with self._lock:
+            lines: list[str] = []
+            for name in sorted(self.counters):
+                pname = _prom_name(name)
+                lines.append(f"# TYPE {pname} gauge")
+                lines.append(f"{pname} {self.counters[name]}")
+            for name in sorted(self.histograms):
+                h = self.histograms[name]
+                pname = _prom_name(name)
+                lines.append(f"# TYPE {pname} summary")
+                lines.append(f"{pname}_count {h.count}")
+                lines.append(f"{pname}_sum {_prom_float(h.total)}")
+                lines.append(f"{pname}_min {_prom_float(h.min)}")
+                lines.append(f"{pname}_max {_prom_float(h.max)}")
+            return "\n".join(lines) + "\n"
+
+
+def _prom_name(name: str) -> str:
+    """Sanitize to the exposition grammar [a-zA-Z_:][a-zA-Z0-9_:]*."""
+    import re
+
+    out = re.sub(r"[^a-zA-Z0-9_:]", "_", name)
+    if out and out[0].isdigit():
+        out = "_" + out
+    return out
+
+
+def _prom_float(v: float) -> str:
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
+    return repr(v) if isinstance(v, float) else str(v)
+
 
 class ZigguratQueryListener(StreamingQueryListener):
     """Streaming-side taps: per-query input rows, processing rate and

@@ -4,6 +4,10 @@ Endpoint parity with the reference's Jetty server (server.clj:28-48;
 routes server/routes.clj:18-23; handlers resource/dead_set.clj:40-94):
 
     GET    /ping                    → 200 "pong"
+    GET    /metrics                 → Prometheus text exposition of the
+                                      engine registry (the reference's
+                                      standalone exporter server,
+                                      prometheus_exporter.clj:34-48)
     GET    /v1/dead_set?count=N&topic-entity=R[&channel=C]  → messages
     POST   /v1/dead_set/replay?...  → triggers replay (async, like the
                                       reference's `future`)
@@ -145,6 +149,15 @@ def _make_handler(ops: OpsServer):
             path = urlparse(self.path).path
             if path == "/ping":
                 self._send(200, "pong", content_type="text/plain")
+                return
+            if path == "/metrics":
+                # Prometheus scrape endpoint (prometheus_exporter.clj:
+                # 34-48 standalone server, collapsed onto the ops port)
+                self._send(
+                    200,
+                    ops.engine.metrics.prometheus_text(),
+                    content_type="text/plain; version=0.0.4",
+                )
                 return
             if path == "/v1/dead_set":
                 params = self._dead_set_params()

@@ -70,6 +70,19 @@ DEFAULT_BUCKET_MS = 3_600_000
 
 
 @dataclass(frozen=True)
+class PublishRetryConfig:
+    """Publish-retry policy (config.clj:31-34 defaults): recoverable
+    errors retry forever with back_off_ms; non-recoverable errors
+    retry a bounded count (when enabled), then the payload is dropped
+    and ``message_loss`` is counted (producer.clj:128-156)."""
+
+    back_off_ms: int = 5000
+    non_recoverable_enabled: bool = True
+    non_recoverable_back_off_ms: int = 5000
+    non_recoverable_count: int = 5
+
+
+@dataclass(frozen=True)
 class RetryConfig:
     """Mirror of the reference's :retry / :rabbit-mq config defaults
     (config.clj:40, 45-46; producer.clj:20)."""
@@ -88,6 +101,9 @@ class RetryFabric:
         spark: SparkSession,
         workdir: str,
         bucket_ms: int = DEFAULT_BUCKET_MS,
+        metrics=None,
+        publish_retry: PublishRetryConfig = PublishRetryConfig(),
+        recoverable=None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -95,7 +111,63 @@ class RetryFabric:
         self.retry_dir = os.path.join(workdir, "retry")
         self.dead_dir = os.path.join(workdir, "dead_set")
         self.inflight_dir = os.path.join(workdir, "inflight")
+        #: optional MetricsRegistry for publish-time / message_loss
+        self.metrics = metrics
+        self.publish_retry = publish_retry
+        #: exception classifier ≈ the reference's :retry vs
+        #: :retry-with-counter split (producer.clj:80-99). Default:
+        #: nothing is "recoverable forever" — Spark task retries
+        #: already absorb transient executor faults, so a
+        #: driver-visible write failure takes the bounded path.
+        self._recoverable = recoverable or (lambda exc: False)
         os.makedirs(workdir, exist_ok=True)
+
+    # -- publish with bounded retry (producer.clj:106-156) --------------
+
+    def _publish(self, write_fn, route: str) -> bool:
+        """Run ``write_fn`` with the reference's publish-retry state
+        machine: recoverable → sleep back_off_ms and retry forever;
+        non-recoverable → bounded retries when enabled, then DROP the
+        payload and count ``message_loss`` (producer.clj:139-156, tag
+        parity with ["rabbitmq" "publish"] "message_loss"). Returns
+        True when the write landed. Each attempt's wall time reports
+        to the publish-time histogram (producer.clj:132-135)."""
+        import time as _time
+
+        cfg = self.publish_retry
+        counter = 0
+        while True:
+            t0 = _time.perf_counter()
+            try:
+                write_fn()
+                if self.metrics is not None:
+                    self.metrics.report_histogram(
+                        route,
+                        "fabric-publish-time",
+                        (_time.perf_counter() - t0) * 1000.0,
+                    )
+                return True
+            except Exception as exc:
+                if self.metrics is not None:
+                    self.metrics.report_histogram(
+                        route,
+                        "fabric-publish-time",
+                        (_time.perf_counter() - t0) * 1000.0,
+                    )
+                if self._recoverable(exc):
+                    _time.sleep(cfg.back_off_ms / 1000.0)
+                    counter += 1
+                    continue
+                if (
+                    cfg.non_recoverable_enabled
+                    and counter < cfg.non_recoverable_count
+                ):
+                    _time.sleep(cfg.non_recoverable_back_off_ms / 1000.0)
+                    counter += 1
+                    continue
+                if self.metrics is not None:
+                    self.metrics.inc(route, "rabbitmq.publish", "message_loss")
+                return False
 
     # -- reads ---------------------------------------------------------
 
@@ -137,32 +209,35 @@ class RetryFabric:
 
     # -- writes --------------------------------------------------------
 
-    def _append_retry(self, df: DataFrame) -> None:
-        """Append retry rows, partitioned by (route, delay bucket)."""
-        (
-            df.withColumn(
-                "bucket",
-                (
-                    F.unix_millis(F.col("next_attempt_at"))
-                    / F.lit(self.bucket_ms)
-                ).cast("long"),
-            )
-            .write.mode("append")
+    def _append_retry(self, df: DataFrame, route: str) -> None:
+        """Append retry rows, partitioned by (route, delay bucket),
+        through the bounded publish-retry wrapper."""
+        out = df.withColumn(
+            "bucket",
+            (
+                F.unix_millis(F.col("next_attempt_at"))
+                / F.lit(self.bucket_ms)
+            ).cast("long"),
+        )
+        self._publish(
+            lambda: out.write.mode("append")
             .partitionBy("route", "bucket")
-            .parquet(self.retry_dir)
+            .parquet(self.retry_dir),
+            route,
         )
 
-    def _append_dead(self, df: DataFrame) -> None:
-        (
-            df.withColumn(
-                "dbucket",
-                (
-                    F.unix_millis(F.col("died_at")) / F.lit(self.bucket_ms)
-                ).cast("long"),
-            )
-            .write.mode("append")
+    def _append_dead(self, df: DataFrame, route: str) -> None:
+        out = df.withColumn(
+            "dbucket",
+            (
+                F.unix_millis(F.col("died_at")) / F.lit(self.bucket_ms)
+            ).cast("long"),
+        )
+        self._publish(
+            lambda: out.write.mode("append")
             .partitionBy("route", "dbucket")
-            .parquet(self.dead_dir)
+            .parquet(self.dead_dir),
+            route,
         )
 
     def _replace_partition(self, df: DataFrame | None, path: str) -> None:
@@ -199,7 +274,7 @@ class RetryFabric:
         env = ensure_envelope(failed).select(*ENVELOPE_COLUMNS)
         if not cfg.enabled:
             self._append_dead(
-                self._as_dead(env, route, channel, now, poison=False)
+                self._as_dead(env, route, channel, now, poison=False), route
             )
             return
         attempt = F.col("attempt")
@@ -214,7 +289,8 @@ class RetryFabric:
         to_dead = env.filter(F.col("_remaining") < 0).drop("_remaining")
         if to_dead.isEmpty() is False:
             self._append_dead(
-                self._as_dead(to_dead, route, channel, now, poison=False)
+                self._as_dead(to_dead, route, channel, now, poison=False),
+                route,
             )
         to_retry = env.filter(F.col("_remaining") >= 0)
         # The reference passes the REMAINING count into the formula
@@ -239,7 +315,7 @@ class RetryFabric:
             .drop("_remaining")
         )
         if retry_rows.isEmpty() is False:
-            self._append_retry(retry_rows)
+            self._append_retry(retry_rows, route)
 
     def enqueue_dead(
         self,
@@ -253,7 +329,7 @@ class RetryFabric:
         failures shunted as-is (messaging/consumer.clj:28-48)."""
         now = now or datetime.now(timezone.utc)
         env = ensure_envelope(rows).select(*ENVELOPE_COLUMNS)
-        self._append_dead(self._as_dead(env, route, channel, now, poison))
+        self._append_dead(self._as_dead(env, route, channel, now, poison), route)
 
     @staticmethod
     def _as_dead(
@@ -400,7 +476,7 @@ class RetryFabric:
             rows = rows.persist()
             k = rows.count()
             if k:
-                self._append_retry(rows)
+                self._append_retry(rows, route)
                 recovered += k
             rows.unpersist()
             shutil.rmtree(tdir, ignore_errors=True)
