@@ -134,3 +134,35 @@ def test_dead_set_replay_async(served):
     # the replayed batch must contain exactly the 3 requested rows
     assert engine.stats[-1].total == 3
     assert final == before
+
+
+def test_metrics_scrape(served):
+    """GET /metrics serves the engine registry in Prometheus text
+    format: the processed batch's counters and the consume-delay
+    histogram are scrapeable (prometheus_exporter.clj:34-48)."""
+    engine, server = served
+    status, body = call(server.port, "GET", "/metrics")
+    assert status == 200
+    lines = body.strip().splitlines()
+    metrics = {
+        ln.split(" ")[0]: ln.split(" ")[1]
+        for ln in lines
+        if not ln.startswith("#")
+    }
+    # batch counters from the processed 40-row batch (20 even ks dead)
+    assert metrics["ziggurat_spark_events_message_read"] == "40"
+    assert (
+        metrics["ziggurat_spark_events_message_processing_success"] == "20"
+    )
+    assert (
+        metrics["ziggurat_spark_events_message_processing_dead_letter"]
+        == "20"
+    )
+    # bare-namespace twins (multi-ns convention, metrics.clj:113-115)
+    assert metrics["message_processing_success"] == "20"
+    # the consume-delay histogram summary
+    assert (
+        metrics["ziggurat_spark_events_message_received_delay_histogram_count"]
+        == "40"
+    )
+    assert "# TYPE ziggurat_spark_events_message_processing_success gauge" in body
