@@ -24,3 +24,19 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-surface oracle sweep at sf0.01 (-m slow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # slow tests run only when explicitly selected (-m slow)
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
