@@ -190,6 +190,9 @@ def kafka_properties(
         if k in NON_KAFKA_CONFIG_KEYS or v is None:
             continue
         prop = mapping_table.get(k, k).replace("-", ".")
+        # normalize-value parity: Clojure (str true) = "true"
+        if isinstance(v, bool):
+            v = "true" if v else "false"
         out[prop] = str(v).strip()
     return out
 
@@ -211,11 +214,17 @@ def create_jaas_properties(
     return f"{login_module} required{parts};"
 
 
-def _apply_auth(props: dict[str, str], auth: dict) -> dict[str, str]:
+def _apply_auth(
+    props: dict[str, str], auth: dict, mapping: dict[str, str] | None = None
+) -> dict[str, str]:
     """Shared SASL/SSL assembly (config.clj:215-231 + 233-300):
     JAAS from the nested :jaas map, then mechanism / protocol /
-    login-callback-handler (first-wins like putIfAbsent), then every
-    remaining key as an ordinary property."""
+    login-callback-handler under their canonical Kafka names
+    (putIfAbsent = first-wins), then the WHOLE map through the
+    section's set-property (reduce-kv in the reference — which also
+    re-sets mechanism/protocol/login-callback-handler under their raw
+    dotted names, faithfully reproduced; the Kafka client ignores
+    unknown keys)."""
     jaas = auth.get("jaas")
     if jaas is not None:
         props["sasl.jaas.config"] = create_jaas_properties(
@@ -228,26 +237,49 @@ def _apply_auth(props: dict[str, str], auth: dict) -> dict[str, str]:
     ):
         if auth.get(key) is not None:
             props.setdefault(prop, str(auth[key]))
-    for k, v in auth.items():
-        if k in ("enabled", "jaas", "mechanism", "protocol",
-                 "login-callback-handler"):
-            continue
-        props.update(kafka_properties({}, {k: v}))
+    props.update(kafka_properties(mapping or {}, auth))
     return props
 
 
-def build_ssl_properties(props: dict[str, str], ssl_config: dict | None):
-    """config.clj:233-263 — applied only when :enabled is true."""
+def build_ssl_properties(
+    props: dict[str, str],
+    ssl_config: dict | None,
+    mapping: dict[str, str] | None = None,
+):
+    """config.clj:233-263 — applied only when :enabled is true
+    (boolean true or the string \"true\")."""
     if not ssl_config or ssl_config.get("enabled") not in (True, "true"):
         return props
-    return _apply_auth(props, ssl_config)
+    return _apply_auth(props, ssl_config, mapping)
 
 
-def build_sasl_properties(props: dict[str, str], sasl_config: dict | None):
+def build_sasl_properties(
+    props: dict[str, str],
+    sasl_config: dict | None,
+    mapping: dict[str, str] | None = None,
+):
     """config.clj:265-300 — applied only when :enabled is true."""
     if not sasl_config or sasl_config.get("enabled") not in (True, "true"):
         return props
-    return _apply_auth(props, sasl_config)
+    return _apply_auth(props, sasl_config, mapping)
+
+
+def build_properties(
+    mapping_table: dict[str, str],
+    config_map: dict,
+    ssl_config: dict | None = None,
+    sasl_config: dict | None = None,
+) -> dict[str, str]:
+    """config.clj:300-322 build-properties: SSL first, SASL second,
+    then the section config-map — so a section may override auth
+    properties, exactly the documented precedence. Use with
+    CONSUMER/PRODUCER/STREAMS_CONFIG_MAPPING for the three
+    build-*-config-properties partials (config.clj:324-331)."""
+    props: dict[str, str] = {}
+    build_ssl_properties(props, ssl_config, mapping_table)
+    build_sasl_properties(props, sasl_config, mapping_table)
+    props.update(kafka_properties(mapping_table, config_map))
+    return props
 
 
 def as_spark_kafka_options(props: dict[str, str]) -> dict[str, str]:
