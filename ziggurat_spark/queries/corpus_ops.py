@@ -1,0 +1,241 @@
+"""Training-corpus operations beyond dedup: decontamination, mixture
+planning, quantized ANN.
+
+These extend the LLM-data-pipeline surface (north star §"beyond the
+reference") with three ops every large corpus build needs:
+
+- **benchmark decontamination** — find training documents that share
+  character shingles with a held-out eval set (the n-gram-overlap
+  check used to scrub test-set leakage). Scale shape: shingle
+  inverted index with a stop-shingle df-cap BEFORE the join (same
+  O(df²) defense as queries/dedup.py), eval side is the small
+  broadcast side.
+- **mixture weights** — per-source token counts → integer-ppm
+  sampling weights to rebalance toward a uniform source mix (the
+  planning step of domain-weighted sampling). One aggregation pass.
+- **SQ8 quantized ANN** — scalar-quantize embeddings to an int8 grid
+  and rank neighbors by integer dot product: the memory-bound ANN
+  trick (4× smaller vectors, SIMD-friendly integer math). Integer
+  scores are engine-exact, so the oracle hash-matches with no float
+  tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+#: shingle geometry: 20-char windows at stride 8 (stride bounds the
+#: blowup to ~L/8 shingles per doc; both engines use the identical
+#: definition so the oracle is exact)
+SH_W, SH_STRIDE = 20, 8
+EVAL_MOD = 50  # doc_id % 50 == 0 → held-out "benchmark" docs
+DF_CAP = 200  # stop-shingle cap: drop shingles in > 200 train docs
+
+_SPARK_SHINGLES = (
+    f"explode(transform(sequence(1, greatest(length(text) - {SH_W - 1}, 1),"
+    f" {SH_STRIDE}), i -> substring(text, i, {SH_W})))"
+)
+_DUCK_SHINGLES = (
+    f"unnest(list_transform(range(1, greatest(length(text) - {SH_W - 1}, 1)"
+    f" + 1, {SH_STRIDE}), i -> substring(text, i, {SH_W})))"
+)
+
+
+@register(
+    "x_decontaminate_overlap",
+    oracle=(
+        f"WITH ev AS (SELECT DISTINCT doc_id, {_DUCK_SHINGLES} AS sh "
+        f"FROM documents WHERE doc_id % {EVAL_MOD} = 0), "
+        f"tr AS (SELECT DISTINCT doc_id, {_DUCK_SHINGLES} AS sh "
+        f"FROM documents WHERE doc_id % {EVAL_MOD} <> 0), "
+        f"idx AS (SELECT sh, doc_id FROM tr WHERE sh IN ("
+        f"SELECT sh FROM tr GROUP BY sh "
+        f"HAVING count(DISTINCT doc_id) <= {DF_CAP})), "
+        f"hits AS (SELECT ev.doc_id AS eval_doc, "
+        f"count(DISTINCT idx.doc_id) AS contaminated_docs "
+        f"FROM ev JOIN idx ON idx.sh = ev.sh GROUP BY ev.doc_id) "
+        f"SELECT d.doc_id AS eval_doc, "
+        f"COALESCE(h.contaminated_docs, 0) AS contaminated_docs "
+        f"FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} = 0) d "
+        f"LEFT JOIN hits h ON h.eval_doc = d.doc_id ORDER BY eval_doc"
+    ),
+    doc=(
+        "Benchmark decontamination: per held-out eval doc, how many "
+        "training docs share any 20-char shingle (stride 8). The "
+        "train-side inverted index is df-capped before the join — "
+        "boilerplate shingles can't explode the candidate set — and "
+        "the eval side is the small broadcast side. Zero-overlap "
+        "eval docs are kept (left join) so the audit is complete."
+    ),
+    tags=("corpus", "dedup"),
+)
+def x_decontaminate_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = (
+        docs.filter(is_eval)
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.expr(_SPARK_SHINGLES).alias("sh"),
+        )
+        .distinct()
+    )
+    tr = (
+        docs.filter(~is_eval)
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            F.expr(_SPARK_SHINGLES).alias("sh"),
+        )
+        .distinct()
+    )
+    # stop-shingle df-cap BEFORE the join (kills O(df²) blowup)
+    keep = (
+        tr.groupBy("sh")
+        .agg(F.count_distinct("train_doc").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("sh")
+    )
+    idx = tr.join(keep, "sh")
+    hits = (
+        F.broadcast(ev)
+        .join(idx, "sh")
+        .groupBy("eval_doc")
+        .agg(F.count_distinct("train_doc").alias("contaminated_docs"))
+    )
+    all_eval = docs.filter(is_eval).select(F.col("doc_id").alias("eval_doc"))
+    return (
+        all_eval.join(hits, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            F.coalesce("contaminated_docs", F.lit(0)).alias(
+                "contaminated_docs"
+            ),
+        )
+        .orderBy("eval_doc")
+    )
+
+
+@register(
+    "x_sampling_mix_weights",
+    oracle=(
+        "WITH per AS (SELECT source, count(*) AS n_docs, "
+        "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+        " AS n_tokens FROM documents GROUP BY source), "
+        "tot AS (SELECT per.*, sum(n_tokens) OVER () AS total_tokens, "
+        "count(*) OVER () AS n_sources FROM per) "
+        "SELECT source, n_docs, n_tokens, "
+        "CAST((1000000 * total_tokens) // (n_sources * n_tokens) AS BIGINT)"
+        " AS weight_ppm FROM tot ORDER BY source"
+    ),
+    doc=(
+        "Domain-mixture planning: per-source doc/token counts and the "
+        "integer-ppm up/down-sampling weight that equalizes the token "
+        "share across sources (weight = target_share / actual_share). "
+        "Pure integer math end-to-end — engine-exact. One aggregation "
+        "pass + one tiny window; at 100 TB the groupBy(source) "
+        "partial-aggregates map-side to a handful of rows."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_sampling_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    per = (
+        load_table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    w = W.partitionBy()
+    return (
+        per.withColumn("total_tokens", F.sum("n_tokens").over(w))
+        .withColumn("n_sources", F.count("*").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "CAST((1000000 * total_tokens) div (n_sources * n_tokens)"
+                " AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: SQ8 grid: floor(x * 127) over float32→float64-exact inputs
+_SPARK_QUANT = (
+    "transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+)
+_DUCK_QUANT = (
+    "list_transform({col}, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+)
+SQ_QUERY_MOD = 100
+SQ_TOP_K = 5
+
+
+@register(
+    "x_sq8_ann_topk",
+    oracle=(
+        f"WITH qv AS (SELECT vec_id AS query_id, "
+        f"{_DUCK_QUANT.format(col='embedding')} AS qq "
+        f"FROM embeddings WHERE vec_id % {SQ_QUERY_MOD} = 0), "
+        f"cv AS (SELECT vec_id, "
+        f"{_DUCK_QUANT.format(col='embedding')} AS cq FROM embeddings), "
+        f"pairs AS (SELECT qv.query_id, cv.vec_id AS neighbor_id, "
+        f"CAST(list_sum(list_transform(list_zip(qq, cq), s -> s[1] * s[2]))"
+        f" AS BIGINT) AS qscore "
+        f"FROM qv, cv WHERE cv.vec_id <> qv.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY qscore DESC, neighbor_id) AS rnk FROM pairs) "
+        f"SELECT query_id, neighbor_id, rnk, qscore FROM ranked "
+        f"WHERE rnk <= {SQ_TOP_K} ORDER BY query_id, rnk"
+    ),
+    doc=(
+        "Scalar-quantized (SQ8) ANN: embeddings collapse to an int8 "
+        "grid (floor(x*127)) and neighbors rank by INTEGER dot "
+        "product — 4× smaller vectors, integer SIMD math, and "
+        "engine-exact scores (no float tolerance). Broadcast query "
+        "set, one corpus scan, per-query window rank; compose with "
+        "the IVF cell pruning (x_ivf_ann_topk) for the full "
+        "memory-and-compute-bound ANN stack at 100 TB."
+    ),
+    tags=("similarity", "corpus"),
+)
+def x_sq8_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf, "embeddings", fan_out=True).select(
+        "vec_id", F.expr(_SPARK_QUANT.format(col="embedding")).alias("cq")
+    )
+    q = e.filter(F.col("vec_id") % SQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("cq").alias("qq")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qq, cq, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("qscore"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SQ_TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "qscore")
+        .orderBy("query_id", "rnk")
+    )

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         aggs,
         analytics,
         behavior,
+        corpus_ops,
         dedup,
         envelope,
         functions_more,
