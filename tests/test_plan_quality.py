@@ -603,3 +603,29 @@ def test_theta_band_join_is_broadcast_nl(spark, specs):
     plan = formatted_plan(q(specs, "x_theta_band_join", spark))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sq8_ann_broadcasts_queries_no_cartesian(spark, specs):
+    """x_sq8_ann_topk: the quantized query set broadcasts onto one
+    corpus scan; no cartesian product materializes."""
+    df = q(specs, "x_sq8_ann_topk", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_decontaminate_broadcasts_eval_side(spark, specs):
+    """x_decontaminate_overlap: the eval shingle set (2% of docs) is
+    the broadcast side of the contamination join; the train inverted
+    index never cartesians."""
+    df = q(specs, "x_decontaminate_overlap", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_mix_weights_single_scan_pruned(spark, specs):
+    """x_sampling_mix_weights: one documents scan reading only
+    (source, text) — the aggregation collapses map-side to a
+    handful of per-source rows."""
+    schemas = scan_read_schemas(q(specs, "x_sampling_mix_weights", spark))
+    assert len(schemas) == 1
+    assert "doc_id" not in schemas[0] and "lang" not in schemas[0]
