@@ -166,3 +166,44 @@ def test_metrics_scrape(served):
         == "40"
     )
     assert "# TYPE ziggurat_spark_events_message_processing_success gauge" in body
+
+
+def test_error_middleware_answers_500(served, monkeypatch):
+    """wrap-errors parity (server/middleware.clj:29-36): an uncaught
+    handler exception becomes a 500 with an Error body, not a dropped
+    connection."""
+    engine, server = served
+
+    def boom(*a, **k):
+        raise RuntimeError("storage exploded")
+
+    monkeypatch.setattr(engine.fabric, "dead_set_view", boom)
+    status, body = call(
+        server.port, "GET", "/v1/dead_set?count=1&topic-entity=events"
+    )
+    assert status == 500
+    assert "Error" in body and "storage exploded" in body
+
+
+def test_request_metrics_counter(served):
+    """wrap-with-metrics parity (middleware.clj:38-44): every request
+    increments a requests-served counter labeled by bounded uri +
+    status."""
+    engine, server = served
+    before = engine.metrics.counter(
+        "ziggurat-spark.ops.http-server.requests-served./ping.200"
+    )
+    call(server.port, "GET", "/ping")
+    call(server.port, "GET", "/nope")
+    assert (
+        engine.metrics.counter(
+            "ziggurat-spark.ops.http-server.requests-served./ping.200"
+        )
+        == before + 1
+    )
+    assert (
+        engine.metrics.counter(
+            "ziggurat-spark.ops.http-server.requests-served.other.404"
+        )
+        >= 1
+    )

@@ -100,11 +100,17 @@ def _jsonable(v):
 
 
 def _make_handler(ops: OpsServer):
+    #: bounded label set for the request counter (arbitrary URIs would
+    #: leak unbounded metric names)
+    KNOWN_PATHS = {"/ping", "/metrics", "/v1/dead_set", "/v1/dead_set/replay"}
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *_a) -> None:  # quiet
             pass
 
         def _send(self, status: int, body, content_type="application/json"):
+            # wrap-default-content-type-json parity (server/middleware
+            # .clj:15-21): JSON unless the handler says otherwise
             data = (
                 body.encode()
                 if isinstance(body, str)
@@ -115,6 +121,25 @@ def _make_handler(ops: OpsServer):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+            # wrap-with-metrics parity (middleware.clj:38-44):
+            # requests-served counter tagged by (bounded) uri + status
+            path = urlparse(self.path).path
+            label = path if path in KNOWN_PATHS else "other"
+            ops.engine.metrics.inc(
+                "ops", f"http-server.requests-served.{label}", str(status)
+            )
+
+        def handle_one_request(self) -> None:
+            # wrap-errors parity (middleware.clj:29-36): an uncaught
+            # handler exception answers 500 with an error body instead
+            # of dropping the connection
+            try:
+                super().handle_one_request()
+            except Exception as exc:  # noqa: BLE001
+                try:
+                    self._send(500, {"Error": repr(exc)})
+                except Exception:  # noqa: BLE001 — socket already gone
+                    pass
 
         def _dead_set_params(self):
             """Shared validation (dead_set.clj:17-38): positive count,
