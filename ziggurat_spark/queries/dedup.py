@@ -473,27 +473,34 @@ def x_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 CC_MAX_ITERS = 15
 
 
+#: shared recursive-CTE prefix: exact-Jaccard pair graph → reach
+#: (used by both the component labeling and the keep-best step)
+_CC_ORACLE_PREFIX = (
+    _duck_shingle_cte(JACCARD_SHINGLE_K).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    + ", ex0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh), keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000), ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep ON keep.s = ex0.s), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+    "  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "  GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS (SELECT inter.a, inter.b "
+    "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
+    "  JOIN sizes sb ON sb.doc_id = inter.b "
+    f"  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
+    "edges AS (SELECT a AS s, b AS t FROM pairs "
+    "  UNION ALL SELECT b AS s, a AS t FROM pairs), "
+    "reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents "
+    "  UNION "
+    "  SELECT e.t AS id, r.comp FROM reach r JOIN edges e ON e.s = r.id)"
+)
+
+
 @register(
     "x_dedup_components",
     oracle=(
-        _duck_shingle_cte(JACCARD_SHINGLE_K).replace(
-            "WITH ", "WITH RECURSIVE ", 1
-        )
-        + ", ex0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh), keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000), ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep ON keep.s = ex0.s), "
-        "sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id), "
-        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
-        "  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id "
-        "  GROUP BY a.doc_id, b.doc_id), "
-        "pairs AS (SELECT inter.a, inter.b "
-        "  FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
-        "  JOIN sizes sb ON sb.doc_id = inter.b "
-        f"  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}), "
-        "edges AS (SELECT a AS s, b AS t FROM pairs "
-        "  UNION ALL SELECT b AS s, a AS t FROM pairs), "
-        "reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents "
-        "  UNION "
-        "  SELECT e.t AS id, r.comp FROM reach r JOIN edges e ON e.s = r.id) "
-        "SELECT id AS doc_id, min(comp) AS component, "
+        _CC_ORACLE_PREFIX
+        + " SELECT id AS doc_id, min(comp) AS component, "
         "min(comp) = id AS is_keeper "
         "FROM reach GROUP BY id ORDER BY doc_id"
     ),
@@ -858,4 +865,53 @@ def x_neardup_staged(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(
             F.sum(F.col("a") * 100000 + F.col("b")), F.lit(0)
         ).cast("bigint").alias("pair_checksum"),
+    )
+
+
+@register(
+    "x_dedup_keep_best",
+    oracle=(
+        _CC_ORACLE_PREFIX
+        + ", cc AS (SELECT id AS doc_id, min(comp) AS component "
+        "FROM reach GROUP BY id), "
+        "j AS (SELECT cc.doc_id, cc.component, d.n_chars FROM cc "
+        "JOIN documents d ON d.doc_id = cc.doc_id), "
+        "k AS (SELECT component, "
+        "arg_max(doc_id, n_chars * 10000000 - doc_id) AS keeper_doc "
+        "FROM j GROUP BY component) "
+        "SELECT j.doc_id, j.component, k.keeper_doc, "
+        "j.doc_id = k.keeper_doc AS keep "
+        "FROM j JOIN k ON k.component = j.component ORDER BY j.doc_id"
+    ),
+    doc=(
+        "The dedup ACTION step (round 2): after connected-components "
+        "clustering, pick the canonical document per cluster by "
+        "content quality — longest text wins, doc_id breaks ties — "
+        "and emit per-doc keep/drop decisions. This is the policy "
+        "layer real pipelines bolt onto is_keeper (which hard-codes "
+        "min-id): one max_by per component + one broadcast-size join "
+        "back, so the added cost over CC is two tiny aggregations. "
+        "The composite max_by key is integer (n_chars*1e7 - doc_id), "
+        "engine-exact."
+    ),
+    tags=("dedup", "clustering"),
+)
+def x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    comp = x_dedup_components(spark, sf).select("doc_id", "component")
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    k = j.groupBy("component").agg(
+        F.expr("max_by(doc_id, n_chars * 10000000 - doc_id)").alias(
+            "keeper_doc"
+        )
+    )
+    return (
+        j.join(k, "component")
+        .select(
+            "doc_id",
+            "component",
+            "keeper_doc",
+            (F.col("doc_id") == F.col("keeper_doc")).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
