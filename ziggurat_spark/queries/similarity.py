@@ -276,3 +276,93 @@ def x_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "x_ivf_sq8_topk",
+    oracle=(
+        f"WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce "
+        f"FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0), "
+        f"assign0 AS (SELECT e.vec_id, e.embedding, c.cent_id, "
+        f"{_cosine('e.embedding', 'ce', 1)} AS cscore "
+        f"FROM embeddings e, cent c), "
+        f"assign AS (SELECT vec_id, embedding, cent_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY cscore DESC, cent_id) AS arnk FROM assign0) t "
+        f"WHERE arnk = 1), "
+        f"qv AS (SELECT vec_id AS query_id, cent_id AS qcell, "
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* 127.0) AS BIGINT)) AS qq FROM assign WHERE vec_id < {N_QUERIES}), "
+        f"cv AS (SELECT vec_id, cent_id, "
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* 127.0) AS BIGINT)) AS cq FROM assign), "
+        f"pairs AS (SELECT qv.query_id, cv.vec_id AS neighbor_id, "
+        f"CAST(list_sum(list_transform(list_zip(qq, cq), s -> s[1] * s[2]))"
+        f" AS BIGINT) AS qscore "
+        f"FROM qv JOIN cv ON cv.cent_id = qv.qcell "
+        f"AND cv.vec_id <> qv.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY qscore DESC, neighbor_id) AS rnk FROM pairs) "
+        f"SELECT query_id, neighbor_id, rnk, qscore FROM ranked "
+        f"WHERE rnk <= {TOP_K} ORDER BY query_id, rnk"
+    ),
+    doc=(
+        "The full ANN stack composed (round 2): IVF cell pruning "
+        "(broadcast centroids, one assignment pass, search restricted "
+        "to the query's cell) + SQ8 scalar quantization (int8 grid, "
+        "INTEGER dot-product ranking). Compute touches O(n/cells) "
+        "candidates per query at a quarter of the memory bandwidth — "
+        "the production memory-and-compute shape; scores are "
+        "engine-exact integers."
+    ),
+    tags=("similarity", "ann"),
+)
+def x_ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    quant = (
+        "transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+    )
+    e = load_table(spark, sf, "embeddings", fan_out=True).withColumn(
+        "nrm", F.expr(f'sqrt({_dot("embedding", "embedding", 0)})')
+    )
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cscore = F.expr(f'({_dot("embedding", "ce", 0)}) / (nrm * cnrm)')
+    cell = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", cscore.alias("cscore"), "cent_id")
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cent_id, struct(cscore, -cent_id))").alias("cent_id"))
+    )
+    assign = e.join(cell, "vec_id").select(
+        "vec_id", F.expr(quant).alias("cq"), "cent_id"
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cq").alias("qq"),
+        F.col("cent_id").alias("qcell"),
+    )
+    pairs = assign.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(qq, cq, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("qscore"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("qscore").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "qscore")
+        .orderBy("query_id", "rnk")
+    )
