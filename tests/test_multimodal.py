@@ -82,3 +82,24 @@ def test_frame_sampling_fanout(assets):
     assert [f.frame_ts_ms for f in one] == [0, 100, 200, 300]
     # distinct frames from the same content (codec mixes the index)
     assert len({bytes(f.frame) for f in one}) == 4
+
+
+def test_chunk_waveform_geometry(spark):
+    """Framing math: window/hop/cap/trailing-partial, byte-exact."""
+    from ziggurat_spark.operators.multimodal import chunk_waveform
+
+    rows = [(1, bytes(range(10))), (2, b"abc"), (3, None), (4, b"")]
+    df = spark.createDataFrame(rows, "asset_id LONG, content BINARY")
+    out = chunk_waveform(df, win_bytes=4, hop_bytes=3, max_chunks=3).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # asset 1: len 10, hop 3 → starts 0,3,6 (cap 3 of 4 natural)
+    a1 = sorted(by_asset[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_byte"], r["n_bytes"]) for r in a1] == [(0, 4), (3, 4), (6, 4)]
+    assert bytes(a1[1]["chunk"]) == bytes([3, 4, 5, 6])
+    # asset 2: one short chunk, trailing partial kept
+    a2 = by_asset[2]
+    assert len(a2) == 1 and a2[0]["n_bytes"] == 3
+    # null / empty content → no rows
+    assert 3 not in by_asset and 4 not in by_asset

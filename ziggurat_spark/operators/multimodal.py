@@ -226,3 +226,59 @@ def documents_as_assets(documents: DataFrame, modality: str = "image") -> DataFr
             (F.length("text").cast("long") * 10).alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+CHUNK_SCHEMA = (
+    "asset_id LONG, chunk_idx INT, start_byte LONG, n_bytes INT, "
+    "chunk BINARY"
+)
+
+
+def chunk_waveform(
+    df: DataFrame,
+    win_bytes: int,
+    hop_bytes: int,
+    max_chunks: int = 64,
+) -> DataFrame:
+    """Audio chunking: raw waveform bytes → overlapping windows of
+    ``win_bytes`` every ``hop_bytes`` (the speech-pipeline framing
+    step: PCM → model-sized segments with overlap). Unlike decode,
+    framing is pure byte arithmetic — this path is REAL in this
+    environment, no codec seam. One video/audio row fans out to N
+    chunk rows (data-dependent row count → mapInPandas, not a scalar
+    UDF). The trailing partial window is kept (ASR pipelines pad it
+    model-side); rows cap at ``max_chunks``.
+
+    Scale: chunks leave this operator ~win/hop× the input bytes —
+    size ``spark.sql.files.maxPartitionBytes`` for the INPUT so the
+    fan-out stays within executor memory, and let downstream
+    repartition by chunk count if feature extraction follows.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "chunk_idx": [],
+                "start_byte": [],
+                "n_bytes": [],
+                "chunk": [],
+            }
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                if content is None:
+                    continue
+                b = bytes(content)
+                if not b:
+                    continue
+                n = min(max_chunks, (len(b) - 1) // hop_bytes + 1)
+                for i in range(n):
+                    s = i * hop_bytes
+                    ch = b[s : s + win_bytes]
+                    out["asset_id"].append(asset_id)
+                    out["chunk_idx"].append(i)
+                    out["start_byte"].append(s)
+                    out["n_bytes"].append(len(ch))
+                    out["chunk"].append(ch)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=CHUNK_SCHEMA)

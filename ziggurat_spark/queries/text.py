@@ -648,3 +648,52 @@ def x_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "x_audio_chunks",
+    oracle=(
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS bs "
+        "FROM documents WHERE length(text) > 0), "
+        "c AS (SELECT doc_id, bs, "
+        "unnest(range(0, least(16, (length(bs) - 1) // 128 + 1))) AS i "
+        "FROM b) "
+        "SELECT doc_id AS asset_id, CAST(i AS INT) AS chunk_idx, "
+        "CAST(i * 128 AS BIGINT) AS start_byte, "
+        "CAST(length(substring(bs, 1 + i * 128, 256)) AS INT) AS n_bytes, "
+        "md5(substring(bs, 1 + i * 128, 256)) AS chunk_md5 "
+        "FROM c ORDER BY asset_id, chunk_idx"
+    ),
+    doc=(
+        "Audio framing plumbing (round 2): waveform bytes → "
+        "overlapping 256-byte windows every 128 bytes (speech-segment "
+        "framing), capped at 16 chunks, trailing partial kept — run "
+        "through the REAL chunk_waveform operator (byte slicing needs "
+        "no codec). The stand-in waveform is the document's hex "
+        "bytes so the DuckDB oracle can replicate byte slicing with "
+        "string windows (hex is ASCII: chars ≡ bytes); chunk "
+        "identity is md5-checked."
+    ),
+    tags=("multimodal", "audio"),
+)
+def x_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.multimodal import chunk_waveform
+
+    assets = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode(
+                F.hex(F.encode(F.col("text"), "utf-8")), "utf-8"
+            ).alias("content"),
+        )
+    )
+    chunks = chunk_waveform(assets, win_bytes=256, hop_bytes=128, max_chunks=16)
+    return chunks.select(
+        "asset_id",
+        "chunk_idx",
+        "start_byte",
+        "n_bytes",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    ).orderBy("asset_id", "chunk_idx")
