@@ -236,8 +236,8 @@ def x_proto_struct_flatten(spark: SparkSession, sf: str) -> DataFrame:
     "x_proto_batch_kv",
     oracle=(
         "SELECT status, count(*) AS n, CAST(sum(total_cents) AS BIGINT)"
-        " AS cents FROM ("
-        "  SELECT o_orderstatus AS status,"
+        " AS cents, CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM ("
+        "  SELECT o_orderkey, o_orderstatus AS status,"
         "         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents"
         "  FROM orders) GROUP BY status ORDER BY status"
     ),
@@ -300,6 +300,10 @@ def x_proto_batch_kv(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("payload")["total_cents"]).alias("cents"),
+            # consuming the decoded KEY keeps Catalyst from pruning
+            # the key-deserializer path out of the plan — T7's whole
+            # point is that BOTH sides decode
+            F.sum(F.col("key_payload")["order_id"]).alias("key_sum"),
         )
         .orderBy("status")
     )
