@@ -697,3 +697,144 @@ def x_audio_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "n_bytes",
         F.md5(F.col("chunk")).alias("chunk_md5"),
     ).orderBy("asset_id", "chunk_idx")
+
+
+@register(
+    "x_repetition_filter",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+        "words AS (SELECT doc_id, unnest(ws) AS w FROM toks), "
+        "bi AS (SELECT doc_id, unnest(list_transform("
+        "range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1]))"
+        " AS bg FROM toks), "
+        "wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(max(c) AS BIGINT) AS top_word_n FROM ("
+        "SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)"
+        " GROUP BY doc_id), "
+        "bstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct FROM bi "
+        "GROUP BY doc_id) "
+        "SELECT w.doc_id, w.n_tokens, b.n_bigrams, "
+        "CAST((1000000 * (b.n_bigrams - b.n_distinct)) // b.n_bigrams "
+        "AS BIGINT) AS dup_bigram_ppm, "
+        "CAST((1000000 * w.top_word_n) // w.n_tokens AS BIGINT) "
+        "AS top_word_ppm "
+        "FROM wstats w JOIN bstats b ON b.doc_id = w.doc_id "
+        "ORDER BY w.doc_id"
+    ),
+    doc=(
+        "Gopher-style repetition filters (quality gate for LLM "
+        "corpora): per doc, the duplicate word-bigram fraction and "
+        "the most-frequent-word share, both integer ppm. One explode "
+        "+ two hash aggregations keyed on doc_id — partial-aggregates "
+        "map-side, no cross-doc shuffle beyond the doc key."
+    ),
+    tags=("text", "quality", "corpus"),
+)
+def x_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    toks = load_table(spark, sf, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)), "
+                "i -> concat(ws[i-1], ' ', ws[i]))"
+            )
+        ).alias("bg"),
+    )
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    bstats = bi.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.count_distinct("bg").alias("n_distinct"),
+    )
+    return (
+        wstats.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bigrams",
+            F.expr(
+                "CAST((1000000 * (n_bigrams - n_distinct)) div n_bigrams"
+                " AS BIGINT)"
+            ).alias("dup_bigram_ppm"),
+            F.expr(
+                "CAST((1000000 * top_word_n) div n_tokens AS BIGINT)"
+            ).alias("top_word_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_K = 10
+
+
+@register(
+    "x_oov_rate",
+    oracle=(
+        "WITH words AS (SELECT doc_id, unnest(string_split_regex("
+        "trim(text), '\\s+')) AS w FROM documents), "
+        f"vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM words "
+        f"GROUP BY w ORDER BY c DESC, w LIMIT {VOCAB_K})), "
+        "scored AS (SELECT words.doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS oov FROM words LEFT JOIN vocab ON vocab.w = words.w "
+        "GROUP BY words.doc_id) "
+        "SELECT doc_id, n_tokens, oov, "
+        "CAST((1000000 * oov) // n_tokens AS BIGINT) AS oov_ppm "
+        "FROM scored ORDER BY doc_id"
+    ),
+    doc=(
+        "Out-of-vocabulary rate (quality/language-drift signal): the "
+        "corpus-global top-K word vocabulary (count desc, word asc "
+        "tie-break) broadcasts onto one token pass; per doc the OOV "
+        "token share in integer ppm. The vocabulary is a top-K "
+        "aggregate — tiny at any corpus scale — so the scoring join "
+        "is always a broadcast hash join."
+    ),
+    tags=("text", "quality", "corpus"),
+)
+def x_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    words = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(VOCAB_K)
+        .select("w")
+    )
+    scored = (
+        words.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "oov",
+        F.expr("CAST((1000000 * oov) div n_tokens AS BIGINT)").alias(
+            "oov_ppm"
+        ),
+    ).orderBy("doc_id")
