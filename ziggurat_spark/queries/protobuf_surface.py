@@ -456,3 +456,83 @@ def x_proto_poison_shunt(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "x_route_proto_pipeline",
+    oracle=(
+        "WITH routed AS (SELECT CASE "
+        "WHEN c_custkey % 10 = 0 THEN 'dead-letter' "  # corrupted bytes
+        "WHEN c_acctbal < 0 THEN 'retry' "
+        "WHEN c_custkey % 3 = 0 THEN 'skip' ELSE 'success' END AS o "
+        "FROM customer) "
+        "SELECT CAST(count(*) AS BIGINT) AS total, "
+        "CAST(sum(CASE WHEN o = 'success' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS success, "
+        "CAST(sum(CASE WHEN o = 'skip' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS skip, "
+        "CAST(sum(CASE WHEN o = 'retry' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS retry_queued, "
+        "CAST(sum(CASE WHEN o = 'dead-letter' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS dead_lettered FROM routed"
+    ),
+    doc=(
+        "The reference's DEFAULT dataflow, end-to-end in the engine: "
+        "proto-encoded payloads (every 10th corrupted) run through a "
+        "real engine route whose middleware is the wire-codec proto "
+        "deserializer (T4), the handler dispatches on DECODED fields "
+        "(R1: negative balance → retry, custkey%3 → skip, NULL "
+        "payload → dead-letter, the R4 poison path), and the graded "
+        "counts come from the retry/dead-set FABRIC TABLES plus batch "
+        "stats — proving middleware, dispatch, and side effects "
+        "together, not just the column math."
+    ),
+    tags=("protobuf", "routing", "pipeline"),
+)
+def x_route_proto_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ziggurat_spark.envelope import ensure_envelope
+    from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+    from ziggurat_spark.streaming.retry_fabric import RetryConfig
+
+    cust = load_table(spark, sf, "customer")
+    good = _encode_person(cust.filter(F.col("c_custkey") % 10 != 0))
+    poison = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.expr("X'12C8'").alias("value"))
+    )
+    env_src = ensure_envelope(good.unionByName(poison))
+
+    p = F.col("payload")
+    handler = lambda df: df.withColumn(  # noqa: E731
+        "outcome",
+        F.when(p.isNull(), "dead-letter")
+        .when(p["characters"]["balance"] < 0, "retry")
+        .when(p["id"] % 3 == 0, "skip")
+        .otherwise("success"),
+    )
+    workdir = tempfile.mkdtemp(prefix="zs_proto_route_")
+    engine = ZigguratEngine(spark, workdir, app_name="proto_route_query")
+    engine.register_route(
+        Route(
+            name="proto_route",
+            source=lambda: env_src,
+            middleware=(protobuf_value_py(PERSON, PERSON_SCHEMA),),
+            handler=handler,
+            retry=RetryConfig(max_attempts=3, timeout_ms=60_000),
+            oldest_processed_s=None,
+        )
+    )
+    stats = engine.run_batch_route("proto_route")
+    rt = engine.fabric.retry_table()
+    dt = engine.fabric.dead_set_table()
+    retry_queued = 0 if rt is None else rt.count()
+    dead_lettered = 0 if dt is None else dt.count()
+    return spark.range(1).select(
+        F.lit(stats.total).cast("bigint").alias("total"),
+        F.lit(stats.success).cast("bigint").alias("success"),
+        F.lit(stats.skip).cast("bigint").alias("skip"),
+        F.lit(retry_queued).cast("bigint").alias("retry_queued"),
+        F.lit(dead_lettered).cast("bigint").alias("dead_lettered"),
+    )
