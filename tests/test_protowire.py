@@ -147,3 +147,27 @@ def test_struct_roundtrip_property(obj):
 def test_message_roundtrip_property(i, s, b, scores, ok):
     m = {"id": i, "path": s, "image": b, "tags": [], "scores": scores, "ok": ok}
     assert decode(encode(m, PHOTO), PHOTO) == m
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_decode_arbitrary_bytes_never_hangs_or_crashes(data):
+    """Poison-payload contract: decoding arbitrary bytes either
+    returns a dict or raises a clean ValueError/UnicodeDecodeError —
+    never an unbounded loop or another exception type (the middleware
+    maps those to NULL payloads, R4)."""
+    try:
+        out = decode(data, PHOTO)
+        assert isinstance(out, dict)
+    except (ValueError, UnicodeDecodeError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=64))
+def test_decode_struct_arbitrary_bytes(data):
+    try:
+        out = decode_struct(data)
+        assert isinstance(out, dict)
+    except (ValueError, UnicodeDecodeError):
+        pass
