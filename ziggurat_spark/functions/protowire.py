@@ -118,6 +118,12 @@ def _unzigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
+def _unpack(fmt: str, data: bytes, pos: int, size: int):
+    if pos + size > len(data):
+        raise ValueError("truncated fixed-width field")
+    return _struct.unpack_from(fmt, data, pos)[0]
+
+
 def _to_signed(value: int, bits: int) -> int:
     if value >= 1 << (bits - 1):
         value -= 1 << bits
@@ -274,17 +280,17 @@ def _decode_scalar(data: bytes, pos: int, t: str) -> tuple[object, int]:
         v, pos = _read_varint(data, pos)
         return bool(v), pos
     if t == "double":
-        return _struct.unpack_from("<d", data, pos)[0], pos + 8
+        return _unpack("<d", data, pos, 8), pos + 8
     if t == "float":
-        return _struct.unpack_from("<f", data, pos)[0], pos + 4
+        return _unpack("<f", data, pos, 4), pos + 4
     if t == "fixed64":
-        return _struct.unpack_from("<Q", data, pos)[0], pos + 8
+        return _unpack("<Q", data, pos, 8), pos + 8
     if t == "sfixed64":
-        return _struct.unpack_from("<q", data, pos)[0], pos + 8
+        return _unpack("<q", data, pos, 8), pos + 8
     if t == "fixed32":
-        return _struct.unpack_from("<I", data, pos)[0], pos + 4
+        return _unpack("<I", data, pos, 4), pos + 4
     if t == "sfixed32":
-        return _struct.unpack_from("<i", data, pos)[0], pos + 4
+        return _unpack("<i", data, pos, 4), pos + 4
     raise TypeError(f"not a scalar type: {t}")  # pragma: no cover
 
 
@@ -293,13 +299,17 @@ def _skip(data: bytes, pos: int, wire: int) -> int:
         _, pos = _read_varint(data, pos)
         return pos
     if wire == 1:
-        return pos + 8
-    if wire == 2:
+        end = pos + 8
+    elif wire == 2:
         ln, pos = _read_varint(data, pos)
-        return pos + ln
-    if wire == 5:
-        return pos + 4
-    raise ValueError(f"cannot skip unknown wire type {wire}")
+        end = pos + ln
+    elif wire == 5:
+        end = pos + 4
+    else:
+        raise ValueError(f"cannot skip unknown wire type {wire}")
+    if end > len(data):
+        raise ValueError("truncated skipped field")
+    return end
 
 
 # -- google.protobuf.Struct (well-known type) --------------------------------
@@ -400,7 +410,7 @@ def _decode_value(data: bytes):
             _, pos = _read_varint(data, pos)
             result = None
         elif num == 2 and wire == 1:  # number_value
-            result = _struct.unpack_from("<d", data, pos)[0]
+            result = _unpack("<d", data, pos, 8)
             pos += 8
         elif num == 3 and wire == 2:  # string_value
             ln, pos = _read_varint(data, pos)
