@@ -120,29 +120,39 @@ class ZigguratEngine:
 
     # -- the per-batch dataflow ------------------------------------------
 
-    def _marker_path(self, route_name: str, batch_id: int) -> str:
-        return os.path.join(
-            self.workdir, "commits", route_name, f"{batch_id}.done"
-        )
+    def _marker_path(self, route_name: str) -> str:
+        return os.path.join(self.workdir, "commits", route_name)
+
+    def _last_committed(self, route_name: str) -> int:
+        try:
+            with open(self._marker_path(route_name)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def _is_committed(self, route_name: str, batch_id: int) -> bool:
-        return os.path.exists(self._marker_path(route_name, batch_id))
+        return batch_id <= self._last_committed(route_name)
 
     def _mark_committed(self, route_name: str, batch_id: int) -> None:
-        """Atomic (write-then-rename) completion marker — the standard
-        foreachBatch idempotence pattern. Spark's checkpoint commits a
-        micro-batch only AFTER foreachBatch returns; a kill inside the
-        body makes the restart replay the same batch_id, so every side
-        effect (stats, metrics, fabric appends, channel delivery) must
-        be guarded by this marker to get effectively-once delivery on
-        top of the source's at-least-once replay (R6; the reference is
-        at-least-once by design — mapper.clj acks after process — this
-        is the stronger Spark-native spelling)."""
-        path = self._marker_path(route_name, batch_id)
+        """Atomic (write-then-rename) completion high-watermark — the
+        standard foreachBatch idempotence pattern. Spark's checkpoint
+        commits a micro-batch only AFTER foreachBatch returns; a kill
+        inside the body makes the restart replay the same batch_id, so
+        every side effect (stats, metrics, fabric appends, channel
+        delivery) must be guarded by this marker to get
+        effectively-once delivery on top of the source's at-least-once
+        replay (R6; the reference is at-least-once by design —
+        mapper.clj acks after process — this is the stronger
+        Spark-native spelling). Batch ids are monotone within a route's
+        single query, so one O(1) watermark file suffices — no
+        per-batch marker accumulation over a long-running route."""
+        if batch_id <= self._last_committed(route_name):
+            return
+        path = self._marker_path(route_name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp"
         with open(tmp, "w") as f:
-            f.write("1")
+            f.write(str(batch_id))
         os.replace(tmp, path)
 
     def process_batch(
