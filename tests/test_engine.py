@@ -339,3 +339,32 @@ def test_stale_accounting_independent_of_handler_cardinality(
     stats = engine.process_batch(route, envelope_df.limit(20), now=NOW)
     assert stats.stale_dropped == 0  # nothing was actually stale
     assert stats.total == 5  # handler's own cardinality, separate
+
+
+def test_handler_sees_rabbitmq_retry_count(spark, engine, envelope_df):
+    """create-user-payload parity (mapper.clj:18-26): the handler
+    observes retries-consumed = configured − remaining; 0 on first
+    delivery, positive on pump re-delivery."""
+    seen = []
+
+    def handler(df):
+        seen.append(
+            {r["retry_count"] for r in df.select("retry_count").collect()}
+        )
+        return df.withColumn("outcome", F.lit("retry"))
+
+    route = Route(
+        name="rcount",
+        source=lambda: None,
+        handler=handler,
+        retry=RetryConfig(max_attempts=5, timeout_ms=0),
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    engine.process_batch(route, envelope_df.limit(3), now=NOW)
+    assert seen[0] == {0}  # first delivery: nothing consumed yet
+    from datetime import timedelta
+
+    engine.pump_retries("rcount", now=NOW + timedelta(seconds=1))
+    # after one failed delivery the countdown is 4 → consumed = 1
+    assert seen[1] == {1}

@@ -196,6 +196,16 @@ class ZigguratEngine:
             # channels-style scale-out (doc/CONCEPTS.md:20-43): decouple
             # worker parallelism from source partition count.
             df = df.repartition(route.parallelism)
+        # create-user-payload parity (mapper.clj:18-26): the handler
+        # sees how many retries this delivery has consumed —
+        # configured − remaining; first delivery (NULL attempt) = 0.
+        if "attempt" in df.columns:
+            configured = route.retry.max_attempts if route.retry.enabled else 0
+            df = df.withColumn(
+                "retry_count",
+                F.lit(configured)
+                - F.coalesce(F.col("attempt"), F.lit(configured)),
+            )
         pre_middleware = df
         for mw in route.middleware:
             df = mw(df)
