@@ -239,3 +239,71 @@ def x_sq8_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk", "qscore")
         .orderBy("query_id", "rnk")
     )
+
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "x_sequence_packing",
+    oracle=(
+        "WITH toks AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR))"
+        " AS k, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        " AS n_tok FROM documents), "
+        "cum AS (SELECT source, doc_id, n_tok, "
+        "sum(n_tok) OVER (PARTITION BY source ORDER BY k, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok "
+        "FROM toks), "
+        f"binned AS (SELECT source, doc_id, n_tok, "
+        f"CAST((cum_tok - n_tok) // {PACK_BUDGET} AS BIGINT) AS bin "
+        f"FROM cum) "
+        "SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS tokens, "
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+        "FROM binned GROUP BY source, bin ORDER BY source, bin"
+    ),
+    doc=(
+        "Training-sequence packing: documents shuffle deterministically "
+        "(md5 of doc_id), then fill fixed token-budget bins by running "
+        "cumulative sum — bin = floor(tokens_before / budget), the "
+        "contiguous-fill packing rule. Partitioned BY SOURCE so the "
+        "running sum is a per-shard window, never a single global "
+        "sort — each domain packs independently, which is also what a "
+        "sharded corpus build wants. Integer-exact end to end."
+    ),
+    tags=("corpus", "packing"),
+)
+def x_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    toks = load_table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = toks.withColumn("cum_tok", F.sum("n_tok").over(w)).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"CAST((cum_tok - n_tok) div {PACK_BUDGET} AS BIGINT)"
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "bin")
+    )
