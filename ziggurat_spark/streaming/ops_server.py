@@ -111,6 +111,16 @@ def _make_handler(ops: OpsServer):
         def _send(self, status: int, body, content_type="application/json"):
             # wrap-default-content-type-json parity (server/middleware
             # .clj:15-21): JSON unless the handler says otherwise
+            # wrap-with-metrics parity (middleware.clj:38-44):
+            # requests-served counter tagged by (bounded) uri + status.
+            # Counted BEFORE the body flushes: the client unblocks the
+            # moment the response lands, and the metric must already
+            # be visible then.
+            path = urlparse(self.path).path
+            label = path if path in KNOWN_PATHS else "other"
+            ops.engine.metrics.inc(
+                "ops", f"http-server.requests-served.{label}", str(status)
+            )
             data = (
                 body.encode()
                 if isinstance(body, str)
@@ -121,13 +131,6 @@ def _make_handler(ops: OpsServer):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
-            # wrap-with-metrics parity (middleware.clj:38-44):
-            # requests-served counter tagged by (bounded) uri + status
-            path = urlparse(self.path).path
-            label = path if path in KNOWN_PATHS else "other"
-            ops.engine.metrics.inc(
-                "ops", f"http-server.requests-served.{label}", str(status)
-            )
 
         def handle_one_request(self) -> None:
             # wrap-errors parity (middleware.clj:29-36): an uncaught
