@@ -126,6 +126,9 @@ def _encode_person(df: DataFrame) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
         )
     )
+    # spread the Python codec across cores (single source file
+    # otherwise serializes the whole Arrow chain into one task)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.select(enc(payload).alias("value"))
 
 
@@ -257,37 +260,39 @@ def x_proto_batch_kv(spark: SparkSession, sf: str) -> DataFrame:
 
     from ziggurat_spark.functions import protowire
 
-    @pandas_udf("binary")
-    def enc_key(col: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                protowire.encode({"order_id": int(v)}, ORDER_KEY)
-                for v in col
-            ],
-            dtype=object,
-        )
-
-    @pandas_udf("binary")
-    def enc_val(col: pd.Series) -> pd.Series:
-        return pd.Series(
-            [protowire.encode(json.loads(row), ORDER_VAL) for row in col],
-            dtype=object,
-        )
-
-    orders = load_table(spark, sf, "orders")
-    encoded = orders.select(
-        enc_key(F.col("o_orderkey")).alias("key"),
-        enc_val(
-            F.to_json(
-                F.struct(
-                    F.col("o_orderstatus").alias("status"),
-                    F.round(F.col("o_totalprice") * 100)
-                    .cast("long")
-                    .alias("total_cents"),
-                    F.col("o_orderpriority").alias("priority"),
-                )
+    @pandas_udf("key binary, value binary")
+    def enc_kv(col: pd.Series) -> pd.DataFrame:
+        # one Arrow pass encodes both sides — two separate UDFs would
+        # double the Python transfer for test-data synthesis
+        keys, vals = [], []
+        for row in col:
+            m = json.loads(row)
+            keys.append(
+                protowire.encode({"order_id": int(m.pop("order_id"))}, ORDER_KEY)
             )
-        ).alias("value"),
+            vals.append(protowire.encode(m, ORDER_VAL))
+        return pd.DataFrame({"key": keys, "value": vals})
+
+    # one parquet file would run the whole Python codec chain in a
+    # single task; spread the Arrow batches across the cores (the
+    # Kafka source this stands in for has partition parallelism)
+    orders = load_table(spark, sf, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    kv = enc_kv(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("total_cents"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+    )
+    encoded = orders.select(kv.alias("kv")).select(
+        F.col("kv.key").alias("key"), F.col("kv.value").alias("value")
     )
     decoded = protobuf_key_value_py(
         ORDER_KEY,
@@ -368,7 +373,9 @@ def x_proto_nested_repeated(spark: SparkSession, sf: str) -> DataFrame:
             out.append(protowire.encode(msg, PHOTO))
         return pd.Series(out, dtype=object)
 
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     encoded = docs.select(
         enc(
             F.to_json(
