@@ -307,3 +307,158 @@ def x_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+#: Bloom geometry: 2^16 positions packed 63 per signed-64-bit word
+#: (shift ≤ 62 — DuckDB raises on signed 1<<63), 3 hash functions
+#: drawn from the texthash universal-hash family — both engines
+#: compute positions bit-identically, so the filter (and its
+#: measured false-positive rate) is exactly reproducible.
+BLOOM_BITS = 65536
+BLOOM_K = 3
+
+
+def _bloom_sql(engine: int) -> dict[str, str]:
+    """Shared SQL fragments (0 = Spark, 1 = DuckDB)."""
+    from ziggurat_spark.functions.texthash import (
+        MINHASH_PERMS,
+        P,
+        shingle_hashes,
+        tokens,
+        word_hashes,
+    )
+
+    tok = tokens("text")[engine]
+    wh = word_hashes("toks")[engine]
+    sh = shingle_hashes("whs", 3)[engine]
+    perms = MINHASH_PERMS[:BLOOM_K]
+    pos = [
+        f"((s * {a} + {b}) % {P}) % {BLOOM_BITS}" for a, b in perms
+    ]
+    return {"tok": tok, "wh": wh, "sh": sh, "pos": pos}
+
+
+def _bloom_oracle() -> str:
+    f = _bloom_sql(1)
+    pos_rows = " UNION ALL ".join(
+        f"SELECT sh, ({p.replace('s *', 'sh *')}) AS pos FROM cand_keys"
+        for p in f["pos"]
+    )
+    ev_pos_rows = " UNION ALL ".join(
+        f"SELECT ({p.replace('s *', 'sh *')}) AS pos FROM ev_keys"
+        for p in f["pos"]
+    )
+    return (
+        "WITH ev_sh AS (SELECT doc_id, "
+        f"{f['sh'].replace('whs', f['wh'].replace('toks', f['tok']))} AS shs "
+        f"FROM documents WHERE doc_id % {EVAL_MOD} = 0), "
+        "ev_keys AS (SELECT DISTINCT unnest(shs) AS sh FROM ev_sh), "
+        "tr_sh AS (SELECT doc_id, "
+        f"{f['sh'].replace('whs', f['wh'].replace('toks', f['tok']))} AS shs "
+        f"FROM documents WHERE doc_id % {EVAL_MOD} <> 0), "
+        "cand_keys AS (SELECT DISTINCT unnest(shs) AS sh FROM tr_sh), "
+        f"ev_pos AS ({ev_pos_rows}), "
+        "bloom AS (SELECT pos // 63 AS w, "
+        "bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits "
+        "FROM ev_pos GROUP BY pos // 63), "
+        f"cand_pos AS ({pos_rows}), "
+        "tested AS (SELECT cand_pos.sh, "
+        "sum(CASE WHEN bloom.bits IS NOT NULL AND "
+        "(bloom.bits & (CAST(1 AS BIGINT) << CAST(cand_pos.pos % 63 AS INT)))"
+        " <> 0 THEN 1 ELSE 0 END) AS hits "
+        "FROM cand_pos LEFT JOIN bloom ON bloom.w = cand_pos.pos // 63 "
+        "GROUP BY cand_pos.sh), "
+        f"passed AS (SELECT sh FROM tested WHERE hits = {BLOOM_K}), "
+        "truth AS (SELECT passed.sh, "
+        "CASE WHEN ev_keys.sh IS NULL THEN 0 ELSE 1 END AS real "
+        "FROM passed LEFT JOIN ev_keys ON ev_keys.sh = passed.sh) "
+        "SELECT CAST((SELECT count(*) FROM cand_keys) AS BIGINT) "
+        "AS candidates, "
+        "CAST((SELECT count(*) FROM passed) AS BIGINT) AS bloom_passed, "
+        "CAST((SELECT coalesce(sum(real), 0) FROM truth) AS BIGINT) "
+        "AS true_hits, "
+        "CAST((SELECT count(*) - coalesce(sum(real), 0) FROM truth) "
+        "AS BIGINT) AS false_positives"
+    )
+
+
+@register(
+    "x_bloom_prefilter",
+    oracle=_bloom_oracle(),
+    doc=(
+        "Exact-reproducible Bloom pre-gate (the scale prefilter for "
+        "dedup / decontamination): eval-set shingle hashes populate a "
+        "2^16-bit filter stored RELATIONALLY as (word, bits) rows — "
+        "1024 rows, always broadcastable; train shingles test k=3 "
+        "positions against it with integer bit math, and only "
+        "bloom-passed keys reach the exact verify join. Graded: "
+        "candidate count, bloom-pass count, true hits, and the "
+        "filter's actual false-positive count — both engines build "
+        "bit-identical filters from the shared universal-hash "
+        "family, so even the FPR hash-matches."
+    ),
+    tags=("corpus", "dedup", "bloom"),
+)
+def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    f = _bloom_sql(0)
+    docs = load_table(spark, sf, "documents")
+    shs_expr = f["sh"].replace("whs", f["wh"].replace("toks", f["tok"]))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev_keys = (
+        docs.filter(is_eval)
+        .select(F.explode(F.expr(shs_expr)).alias("sh"))
+        .distinct()
+    )
+    cand_keys = (
+        docs.filter(~is_eval)
+        .select(F.explode(F.expr(shs_expr)).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    pos_exprs = [p.replace("s *", "sh *") for p in f["pos"]]
+    ev_pos = None
+    for p in pos_exprs:
+        part = ev_keys.select(F.expr(p).alias("pos"))
+        ev_pos = part if ev_pos is None else ev_pos.unionAll(part)
+    bloom = ev_pos.groupBy(
+        F.expr("pos div 63").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))"
+        ).alias("bits")
+    )
+    cand_pos = None
+    for p in pos_exprs:
+        part = cand_keys.select("sh", F.expr(p).alias("pos"))
+        cand_pos = part if cand_pos is None else cand_pos.unionAll(part)
+    tested = (
+        cand_pos.join(F.broadcast(bloom), F.expr("w = pos div 63"), "left")
+        .groupBy("sh")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "bits IS NOT NULL AND (bits & "
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(pos % 63 AS INT))) <> 0"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    passed = tested.filter(F.col("hits") == BLOOM_K).select("sh")
+    truth = passed.join(
+        ev_keys.withColumn("real", F.lit(1)), "sh", "left"
+    ).select(F.coalesce("real", F.lit(0)).alias("real"))
+    n_cand = cand_keys.count()
+    row = truth.agg(
+        F.count("*").alias("p"), F.coalesce(F.sum("real"), F.lit(0)).alias("h")
+    ).collect()[0]
+    cand_keys.unpersist()
+    return spark.range(1).select(
+        F.lit(n_cand).cast("bigint").alias("candidates"),
+        F.lit(row["p"]).cast("bigint").alias("bloom_passed"),
+        F.lit(row["h"]).cast("bigint").alias("true_hits"),
+        F.lit(row["p"] - row["h"]).cast("bigint").alias("false_positives"),
+    )
