@@ -629,3 +629,23 @@ def test_mix_weights_single_scan_pruned(spark, specs):
     schemas = scan_read_schemas(q(specs, "x_sampling_mix_weights", spark))
     assert len(schemas) == 1
     assert "doc_id" not in schemas[0] and "lang" not in schemas[0]
+
+
+def test_proto_roundtrip_single_python_stage(spark, specs):
+    """x_proto_roundtrip_person: encode and decode UDFs fuse into
+    Arrow-batched Python stages (never row-at-a-time BatchEvalPython),
+    and everything downstream of from_json stays JVM-side."""
+    from ziggurat_spark.plans import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_proto_roundtrip_person", spark))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # no pickled row-at-a-time UDFs
+
+
+def test_bloom_prefilter_broadcasts_filter(spark, specs):
+    """x_bloom_prefilter: the (word, bits) bloom table broadcasts onto
+    the candidate position stream — it is 1024 rows at ANY corpus
+    scale, so a shuffle join here would always be the wrong plan."""
+    df = q(specs, "x_bloom_prefilter", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)

@@ -413,7 +413,6 @@ def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(~is_eval)
         .select(F.explode(F.expr(shs_expr)).alias("sh"))
         .distinct()
-        .persist()
     )
     pos_exprs = [p.replace("s *", "sh *") for p in f["pos"]]
     ev_pos = None
@@ -451,14 +450,16 @@ def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     truth = passed.join(
         ev_keys.withColumn("real", F.lit(1)), "sh", "left"
     ).select(F.coalesce("real", F.lit(0)).alias("real"))
-    n_cand = cand_keys.count()
-    row = truth.agg(
-        F.count("*").alias("p"), F.coalesce(F.sum("real"), F.lit(0)).alias("h")
-    ).collect()[0]
-    cand_keys.unpersist()
-    return spark.range(1).select(
-        F.lit(n_cand).cast("bigint").alias("candidates"),
-        F.lit(row["p"]).cast("bigint").alias("bloom_passed"),
-        F.lit(row["h"]).cast("bigint").alias("true_hits"),
-        F.lit(row["p"] - row["h"]).cast("bigint").alias("false_positives"),
+    # fully lazy: one plan carries the three stage counts (no eager
+    # collect — the whole funnel stays inspectable and optimizable)
+    cand_n = cand_keys.agg(F.count("*").alias("candidates"))
+    funnel = truth.agg(
+        F.count("*").alias("p"),
+        F.coalesce(F.sum("real"), F.lit(0)).alias("h"),
+    )
+    return cand_n.crossJoin(funnel).select(
+        F.col("candidates").cast("bigint").alias("candidates"),
+        F.col("p").cast("bigint").alias("bloom_passed"),
+        F.col("h").cast("bigint").alias("true_hits"),
+        (F.col("p") - F.col("h")).cast("bigint").alias("false_positives"),
     )
