@@ -400,25 +400,34 @@ def _bloom_oracle() -> str:
     tags=("corpus", "dedup", "bloom"),
 )
 def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions import texthash_udfs as THU
+
     f = _bloom_sql(0)
-    docs = load_table(spark, sf, "documents")
-    shs_expr = f["sh"].replace("whs", f["wh"].replace("toks", f["tok"]))
+    # Arrow-batched shingle hashing (texthash_udfs) — the SQL lambda
+    # spelling is the oracle's; Spark evaluates higher-order folds
+    # interpreted, which is ~40x slower on the corpus pass
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     ev_keys = (
         docs.filter(is_eval)
-        .select(F.explode(F.expr(shs_expr)).alias("sh"))
+        .select(F.explode(THU.shingles_udf(3)("text")).alias("sh"))
         .distinct()
     )
     cand_keys = (
         docs.filter(~is_eval)
-        .select(F.explode(F.expr(shs_expr)).alias("sh"))
+        .select(F.explode(THU.shingles_udf(3)("text")).alias("sh"))
         .distinct()
     )
     pos_exprs = [p.replace("s *", "sh *") for p in f["pos"]]
-    ev_pos = None
-    for p in pos_exprs:
-        part = ev_keys.select(F.expr(p).alias("pos"))
-        ev_pos = part if ev_pos is None else ev_pos.unionAll(part)
+    pos_array = "array(" + ", ".join(pos_exprs) + ")"
+    # the distinct key sets are small (shingle-hash cardinality) and
+    # feed 2+ plan branches each — cache them; positions come from ONE
+    # explode pass, never a k-way union re-reading the corpus
+    ev_keys = ev_keys.persist()
+    cand_keys = cand_keys.persist()
+    ev_pos = ev_keys.select(F.explode(F.expr(pos_array)).alias("pos"))
     bloom = ev_pos.groupBy(
         F.expr("pos div 63").alias("w")
     ).agg(
@@ -426,10 +435,9 @@ def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))"
         ).alias("bits")
     )
-    cand_pos = None
-    for p in pos_exprs:
-        part = cand_keys.select("sh", F.expr(p).alias("pos"))
-        cand_pos = part if cand_pos is None else cand_pos.unionAll(part)
+    cand_pos = cand_keys.select(
+        "sh", F.explode(F.expr(pos_array)).alias("pos")
+    )
     tested = (
         cand_pos.join(F.broadcast(bloom), F.expr("w = pos div 63"), "left")
         .groupBy("sh")
