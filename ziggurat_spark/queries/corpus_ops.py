@@ -471,3 +471,150 @@ def x_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
         F.col("h").cast("bigint").alias("true_hits"),
         (F.col("p") - F.col("h")).cast("bigint").alias("false_positives"),
     )
+
+
+@register(
+    "x_corpus_pipeline_v2",
+    oracle=(
+        # tokenize
+        "WITH toks AS (SELECT doc_id, source, text, "
+        "string_split_regex(trim(text), '\\s+') AS ws FROM documents), "
+        "words AS (SELECT doc_id, unnest(ws) AS w FROM toks), "
+        "bi AS (SELECT doc_id, unnest(list_transform("
+        "range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1])) "
+        "AS bg FROM toks), "
+        "wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(max(c) AS BIGINT) AS topw FROM ("
+        "SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2) "
+        "GROUP BY doc_id), "
+        "bstats AS (SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS nd "
+        "FROM bi GROUP BY doc_id), "
+        # repetition / concentration quality gate
+        "gated AS (SELECT t.doc_id, t.source, t.text, w.n_tokens "
+        "FROM toks t JOIN wstats w ON w.doc_id = t.doc_id "
+        "JOIN bstats b ON b.doc_id = t.doc_id "
+        "WHERE (1000000 * (b.nb - b.nd)) // b.nb <= 40000 "
+        "AND (1000000 * w.topw) // w.n_tokens <= 120000), "
+        # exact content dedup (keep min doc_id per digest)
+        "deduped AS (SELECT * FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn "
+        "FROM gated) WHERE rn = 1), "
+        # decontamination: drop train docs sharing shingles with eval
+        f"ev AS (SELECT DISTINCT {_DUCK_SHINGLES} AS sh FROM documents "
+        f"WHERE doc_id % {EVAL_MOD} = 0), "
+        f"doc_sh AS (SELECT DISTINCT doc_id, {_DUCK_SHINGLES} AS sh "
+        f"FROM deduped WHERE doc_id % {EVAL_MOD} <> 0), "
+        "dirty AS (SELECT DISTINCT doc_id FROM doc_sh "
+        "WHERE sh IN (SELECT sh FROM ev)), "
+        f"clean AS (SELECT d.* FROM deduped d "
+        f"WHERE d.doc_id % {EVAL_MOD} <> 0 "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM dirty)), "
+        # per-source packing into fixed token-budget bins
+        "cum AS (SELECT source, doc_id, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct "
+        "FROM clean), "
+        f"packed AS (SELECT source, doc_id, n_tokens, "
+        f"(ct - n_tokens) // {PACK_BUDGET} AS bin FROM cum) "
+        "SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum "
+        "FROM packed GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "The round-2 flagship curation path as ONE graded dataflow: "
+        "tokenize → Gopher-style repetition/concentration gates → "
+        "exact content-hash dedup (min doc_id per digest) → "
+        "benchmark decontamination (drop survivors sharing shingles "
+        "with the held-out eval set) → per-source sequence packing → "
+        "per-source bin/doc/token accounting with an id checksum "
+        "proving WHICH documents survived. Wide edges: one doc-keyed "
+        "agg pair for the gates, one digest shuffle for dedup, one "
+        "shingle anti-join (eval side broadcast), one per-source "
+        "window — the whole stack a 100 TB curation run executes."
+    ),
+    tags=("corpus", "pipeline", "flagship"),
+)
+def x_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+    )
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)), "
+                "i -> concat(ws[i-1], ' ', ws[i]))"
+            )
+        ).alias("bg"),
+    )
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("topw"))
+    )
+    bstats = bi.groupBy("doc_id").agg(
+        F.count("*").alias("nb"), F.count_distinct("bg").alias("nd")
+    )
+    gated = (
+        toks.join(wstats, "doc_id")
+        .join(bstats, "doc_id")
+        .filter(
+            (F.expr("(1000000 * (nb - nd)) div nb") <= 40000)
+            & (F.expr("(1000000 * topw) div n_tokens") <= 120000)
+        )
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    digest = F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
+    wd = W.partitionBy(digest).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.expr(_SPARK_SHINGLES).alias("sh"))
+        .distinct()
+    )
+    doc_sh = (
+        deduped.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+        .distinct()
+    )
+    dirty = doc_sh.join(F.broadcast(ev), "sh").select("doc_id").distinct()
+    clean = (
+        deduped.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(dirty, "doc_id", "left_anti")
+    )
+    wp = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = clean.withColumn("ct", F.sum("n_tokens").over(wp)).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(ct - n_tokens) div {PACK_BUDGET}").alias("bin"),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count_distinct("bin").alias("n_bins"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
