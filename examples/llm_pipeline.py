@@ -54,6 +54,23 @@ def main(sf_dir: str) -> None:
     print("== IVF ANN: top-5 neighbors per query vector ==")
     q["x_ivf_ann_topk"].spark(spark, sf_dir).show(25, truncate=False)
 
+    print("== IVF x SQ8: cell-pruned int8 ANN (the production stack) ==")
+    q["x_ivf_sq8_topk"].spark(spark, sf_dir).show(10, truncate=False)
+
+    print("== benchmark decontamination (bloom pre-gate funnel) ==")
+    q["x_bloom_prefilter"].spark(spark, sf_dir).show(truncate=False)
+    q["x_decontaminate_overlap"].spark(spark, sf_dir).show(5, truncate=False)
+
+    print("== quality gates (Gopher repetition / OOV) ==")
+    q["x_repetition_filter"].spark(spark, sf_dir).show(5, truncate=False)
+
+    print("== sequence packing + mixture weights ==")
+    q["x_sequence_packing"].spark(spark, sf_dir).show(10, truncate=False)
+    q["x_sampling_mix_weights"].spark(spark, sf_dir).show(truncate=False)
+
+    print("== the whole curation path, end-to-end (v2 flagship) ==")
+    q["x_corpus_pipeline_v2"].spark(spark, sf_dir).show(truncate=False)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
