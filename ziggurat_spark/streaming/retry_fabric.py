@@ -493,6 +493,13 @@ class RetryFabric:
         buckets = self._list_buckets(self.dead_dir, route, "dbucket")
         if not buckets:
             return None, {}
+        if len(buckets) == 1:
+            # nothing to prune — skip the per-bucket count jobs
+            b = next(iter(buckets))
+            df = self.spark.read.option("basePath", self.dead_dir).parquet(
+                buckets[b]
+            )
+            return df, dict(buckets)
         chosen_paths: dict[int, str] = {}
         total = 0
         for b in sorted(buckets, reverse=True):
