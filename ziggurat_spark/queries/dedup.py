@@ -915,3 +915,63 @@ def x_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Compose the two registered oracles (DuckDB allows WITH inside
+    subqueries) into the recall measurement."""
+    from ziggurat_spark.queries.registry import _REGISTRY
+
+    lsh = _REGISTRY["x_minhash_lsh_pairs"].oracle
+    jac = _REGISTRY["x_ngram_jaccard_pairs"].oracle
+    return (
+        f"WITH cand AS (SELECT a, b FROM ({lsh})), "
+        f"ex AS (SELECT a, b FROM ({jac})), "
+        "hit AS (SELECT ex.a, ex.b FROM ex "
+        "JOIN cand ON cand.a = ex.a AND cand.b = ex.b) "
+        "SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS exact_pairs, "
+        "CAST((SELECT count(*) FROM cand) AS BIGINT) AS candidate_pairs, "
+        "CAST((SELECT count(*) FROM hit) AS BIGINT) AS recalled_pairs, "
+        "CAST(CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1000000 "
+        "ELSE (1000000 * (SELECT count(*) FROM hit)) "
+        "// (SELECT count(*) FROM ex) END AS BIGINT) AS recall_ppm"
+    )
+
+
+@register(
+    "x_lsh_recall_eval",
+    oracle=_lsh_recall_oracle(),
+    doc=(
+        "LSH parameterization EVALUATION (round 2): how many of the "
+        "exact above-threshold Jaccard pairs does the banded MinHash "
+        "candidate set recall? The tuning loop every near-dup "
+        "pipeline runs before committing band/row counts at scale — "
+        "recall too low means missed duplicates, candidates too high "
+        "means wasted verify compute. Composes the two graded stages "
+        "(one signature pass + one inverted-index pass) and reports "
+        "integer-ppm recall; both sides reuse the engine-parity hash "
+        "family so the measurement itself is engine-exact."
+    ),
+    tags=("dedup", "minhash", "lsh", "evaluation"),
+)
+def x_lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    cand = x_minhash_lsh_pairs(spark, sf).select("a", "b")
+    exact = _jaccard_pairs(spark, sf).select("a", "b")
+    hit = exact.join(cand, ["a", "b"])
+    ex_n = exact.agg(F.count("*").alias("exact_pairs"))
+    cand_n = cand.agg(F.count("*").alias("candidate_pairs"))
+    hit_n = hit.agg(F.count("*").alias("recalled_pairs"))
+    return (
+        ex_n.crossJoin(cand_n)
+        .crossJoin(hit_n)
+        .select(
+            "exact_pairs",
+            "candidate_pairs",
+            "recalled_pairs",
+            F.expr(
+                "CAST(CASE WHEN exact_pairs = 0 THEN 1000000 "
+                "ELSE (1000000 * recalled_pairs) div exact_pairs END"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
