@@ -975,3 +975,89 @@ def x_lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+#: x_simhash_hamming_pairs: hamming radius and the pigeonhole band
+#: count — distance ≤ 3 over 4 byte-bands guarantees ≥ 1 exact-match
+#: band (Manku/Jain/Sarma '07 crawl-dedup retrieval).
+HAMMING_MAX = 3
+SIMHASH_BANDS = 4
+
+
+def _simhash_cte_duck() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        f"{TH.tokens('text')[1]} AS words FROM documents), "
+        f"wh AS (SELECT doc_id, {TH.word_hashes('words')[1]} AS whash "
+        "FROM tok), "
+        f"sims AS (SELECT doc_id, {TH.simhash32('whash')[1]} AS h FROM wh)"
+    )
+
+
+@register(
+    "x_simhash_hamming_pairs",
+    oracle=(
+        _simhash_cte_duck()
+        + ", bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, h, {b} AS band, (h >> {8 * b}) & 255 AS byte "
+            f"FROM sims"
+            for b in range(SIMHASH_BANDS)
+        )
+        + "), cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, "
+        "a.h AS ha, b.h AS hb FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id) "
+        f"SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX} "
+        "ORDER BY a, b"
+    ),
+    doc=(
+        "SimHash near-dup RETRIEVAL (round 2, Manku '07 crawl-dedup): "
+        "split each 32-bit fingerprint into 4 byte-bands — any pair "
+        "within Hamming distance 3 must agree exactly on ≥ 1 band "
+        "(pigeonhole) — self-equi-join on (band, byte) for "
+        "candidates, then one integer bit_count(xor) verify. "
+        "O(candidates) via the banded join, never all-pairs; the "
+        "exact retrieval shape that indexes billions of fingerprints."
+    ),
+    tags=("dedup", "simhash", "lsh"),
+)
+def x_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sims = (
+        load_table(spark, sf, "documents", fan_out=True)
+        .select("doc_id", THU.simhash_udf()("text").alias("h"))
+        # the 4 band projections reuse one signature pass
+        .localCheckpoint(eager=False)
+    )
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        part = sims.select(
+            "doc_id",
+            "h",
+            F.lit(b).alias("band"),
+            F.expr(f"(h >> {8 * b}) & 255").alias("byte"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
