@@ -618,3 +618,74 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x_shard_balance_audit",
+    oracle=(
+        "WITH toks AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR))"
+        " AS k, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        " AS n_tok FROM documents), "
+        "cum AS (SELECT source, doc_id, n_tok, "
+        "sum(n_tok) OVER (PARTITION BY source ORDER BY k, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct "
+        "FROM toks), "
+        f"bins AS (SELECT source, (ct - n_tok) // {PACK_BUDGET} AS bin, "
+        "CAST(sum(n_tok) AS BIGINT) AS btok "
+        "FROM cum GROUP BY source, (ct - n_tok) // " f"{PACK_BUDGET}) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_bins, "
+        "CAST(min(btok) AS BIGINT) AS min_tok, "
+        "CAST(max(btok) AS BIGINT) AS max_tok, "
+        "CAST((1000000 * (max(btok) - min(btok))) // max(btok) AS BIGINT)"
+        " AS imbalance_ppm "
+        "FROM bins GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "Shard-balance audit over the sequence-packing output: "
+        "per-source bin token min/max and the integer-ppm imbalance "
+        "(max−min)/max — the health check a shard build runs before "
+        "training starts (a hot shard = a hot data-loader worker). "
+        "Two doc-keyed aggregations on top of the per-shard packing "
+        "window; nothing global."
+    ),
+    tags=("corpus", "packing", "audit"),
+)
+def x_shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    toks = load_table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bins = (
+        toks.withColumn("ct", F.sum("n_tok").over(w))
+        .select(
+            "source",
+            F.expr(f"(ct - n_tok) div {PACK_BUDGET}").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("source", "bin")
+        .agg(F.sum("n_tok").alias("btok"))
+    )
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.min("btok").alias("min_tok"),
+            F.max("btok").alias("max_tok"),
+            F.expr(
+                "CAST((1000000 * (max(btok) - min(btok))) div max(btok)"
+                " AS BIGINT)"
+            ).alias("imbalance_ppm"),
+        )
+        .orderBy("source")
+    )
