@@ -225,8 +225,10 @@ def decode(data: bytes, desc: Descriptor) -> dict:
         if f is None:
             pos = _skip(data, pos, wire)
             continue
-        if wire == 2 and _WIRE_BY_TYPE[f.type] in (0, 1, 5):
-            # packed repeated scalars
+        if f.repeated and wire == 2 and _WIRE_BY_TYPE[f.type] in (0, 1, 5):
+            # packed repeated scalars (packed encoding is only legal
+            # for repeated fields; a singular scalar arriving with
+            # wire 2 falls through to the mismatch ValueError below)
             ln, pos = _read_varint(data, pos)
             end = pos + ln
             if end > len(data):
