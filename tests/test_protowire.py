@@ -171,3 +171,14 @@ def test_decode_struct_arbitrary_bytes(data):
         assert isinstance(out, dict)
     except (ValueError, UnicodeDecodeError):
         pass
+
+
+def test_singular_scalar_with_wire2_raises_cleanly():
+    """Regression: packed encoding is only legal for REPEATED fields;
+    a singular int32 arriving length-delimited must raise the clean
+    wire-mismatch ValueError (→ NULL payload via middleware), not
+    crash on the scalar default."""
+    # field 1 (int32, singular) with wire type 2, length 1, one byte
+    data = bytes([1 << 3 | 2, 1, 5])
+    with pytest.raises(ValueError):
+        decode(data, T_INT)
