@@ -1,0 +1,67 @@
+"""Regression pins for degenerate document shapes.
+
+ADVICE round 2: the bigram fan-out `sequence(1, size(ws)-1)` is
+DESCENDING ([1, 0]) when a doc has a single token, so `ws[i-1]`
+indexes ws[-1] — INVALID_ARRAY_INDEX under the session's ANSI mode
+(and phantom NULL-bigram rows with ANSI off, which the DuckDB oracle
+omits). The fix guards the fan-out with `if(size(ws) < 2, array(),
+...)` at text.py (x_repetition_filter), corpus_ops.py
+(x_corpus_pipeline_v2) and ngrams.py (x_top_bigrams). These tests
+run those queries over a corpus that actually CONTAINS 1-token and
+empty docs — the shipped test data does not.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "solo", "en", "web", 4),
+    (2, "", "en", "web", 0),
+    (3, "two tokens", "en", "web", 10),
+    (4, "a a a a a a", "en", "books", 11),
+    (5, "   ", "en", "web", 3),  # whitespace-only → trim → [""]
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf(spark, tmp_path_factory):
+    import pandas as pd
+
+    # load_table expects {sf}/documents.parquet to be a single FILE
+    # (it reads the footer with pyarrow for the nanos check), so
+    # write it with pandas, not Spark's directory layout.
+    d = tmp_path_factory.mktemp("edge_docs")
+    pd.DataFrame(
+        DOCS, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_filter_single_token_docs(spark, edge_sf):
+    from ziggurat_spark.queries.registry import all_queries
+
+    rows = all_queries()["x_repetition_filter"].spark(spark, edge_sf).collect()
+    # Must not raise INVALID_ARRAY_INDEX; 1-token docs contribute no
+    # bigrams but still get word stats.
+    ids = {r["doc_id"] for r in rows}
+    assert 1 in ids or len(rows) >= 0  # executed without ANSI crash
+
+
+def test_top_bigrams_single_token_docs(spark, edge_sf):
+    from ziggurat_spark.queries.registry import all_queries
+
+    rows = all_queries()["x_top_bigrams"].spark(spark, edge_sf).collect()
+    bigrams = {r["bigram"] for r in rows}
+    # doc 3 has exactly one bigram; docs 1/2/5 contribute none.
+    assert "two tokens" in bigrams
+    assert all(b is not None for b in bigrams)
+
+
+def test_corpus_pipeline_v2_single_token_docs(spark, edge_sf):
+    from ziggurat_spark.queries.registry import all_queries
+
+    # Flagship composite uses the same bigram fan-out internally —
+    # must execute end-to-end over the degenerate corpus.
+    all_queries()["x_corpus_pipeline_v2"].spark(spark, edge_sf).collect()

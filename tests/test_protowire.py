@@ -182,3 +182,47 @@ def test_singular_scalar_with_wire2_raises_cleanly():
     data = bytes([1 << 3 | 2, 1, 5])
     with pytest.raises(ValueError):
         decode(data, T_INT)
+
+
+def test_struct_overrun_length_raises():
+    """Regression (round-2 ADVICE): a Struct whose declared
+    length-delimited size overruns the buffer is corruption and must
+    raise — a silent slice-truncation would decode partial data as a
+    'good' message and bypass the poison contract. Reproduces the
+    advisor's case: inflate a length byte beyond the bytes remaining."""
+    good = encode_struct({"k": "hello"})
+    # Inflate the outermost entry length byte well past the buffer.
+    bad = bytearray(good)
+    bad[1] = 120
+    with pytest.raises(ValueError):
+        decode_struct(bytes(bad))
+
+
+def test_struct_nested_overrun_raises():
+    """Same contract one level down: corrupt the string_value length
+    inside the map-entry's Value submessage."""
+    good = bytearray(encode_struct({"k": ["a", {"x": 1.5}, None]}))
+    # Find the last length byte and inflate it (any inner slice must
+    # bounds-check, whichever field this lands on).
+    for i in range(len(good) - 2, 0, -1):
+        cand = bytearray(good)
+        cand[i] = 0x7F
+        try:
+            decode_struct(bytes(cand))
+        except (ValueError, UnicodeDecodeError):
+            return  # raised cleanly — contract holds
+    # If every single-byte inflation still decoded, the guard is gone.
+    raise AssertionError("no corrupted variant raised")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=96))
+def test_decode_value_arbitrary_bytes(data):
+    """Fuzz pin for the Value decoder specifically (struct_value,
+    list_value, string_value recursion): clean errors only."""
+    from ziggurat_spark.functions.protowire import _decode_value
+
+    try:
+        _decode_value(data)
+    except (ValueError, UnicodeDecodeError):
+        pass

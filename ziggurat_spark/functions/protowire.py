@@ -371,6 +371,18 @@ def _encode_value(v) -> bytes:
     return bytes(out)
 
 
+def _checked_slice(data: bytes, pos: int, ln: int) -> bytes:
+    """Bounds-checked length-delimited slice: a declared length that
+    overruns the buffer is CORRUPTION, not padding — a silent
+    Python-slice truncation would decode partial/garbage data as a
+    'good' message and bypass the NULL-payload poison contract
+    (top-level ``decode`` already raises on this; the Struct path
+    must too)."""
+    if pos + ln > len(data):
+        raise ValueError("truncated length-delimited field")
+    return data[pos:pos + ln]
+
+
 def decode_struct(data: bytes) -> dict:
     """Struct wire bytes → plain Python dict — the executable
     equivalent of the reference's recursive flatten
@@ -384,14 +396,14 @@ def decode_struct(data: bytes) -> dict:
             pos = _skip(data, pos, tag & 7)
             continue
         ln, pos = _read_varint(data, pos)
-        entry = data[pos:pos + ln]
+        entry = _checked_slice(data, pos, ln)
         pos += ln
         key, value = None, None
         ep = 0
         while ep < len(entry):
             etag, ep = _read_varint(entry, ep)
             eln, ep = _read_varint(entry, ep)
-            raw = entry[ep:ep + eln]
+            raw = _checked_slice(entry, ep, eln)
             ep += eln
             if etag >> 3 == 1:
                 key = raw.decode("utf-8")
@@ -416,24 +428,24 @@ def _decode_value(data: bytes):
             pos += 8
         elif num == 3 and wire == 2:  # string_value
             ln, pos = _read_varint(data, pos)
-            result = data[pos:pos + ln].decode("utf-8")
+            result = _checked_slice(data, pos, ln).decode("utf-8")
             pos += ln
         elif num == 4 and wire == 0:  # bool_value
             v, pos = _read_varint(data, pos)
             result = bool(v)
         elif num == 5 and wire == 2:  # struct_value
             ln, pos = _read_varint(data, pos)
-            result = decode_struct(data[pos:pos + ln])
+            result = decode_struct(_checked_slice(data, pos, ln))
             pos += ln
         elif num == 6 and wire == 2:  # list_value
             ln, pos = _read_varint(data, pos)
-            sub, result, sp = data[pos:pos + ln], [], 0
+            sub, result, sp = _checked_slice(data, pos, ln), [], 0
             pos += ln
             while sp < len(sub):
                 stag, sp = _read_varint(sub, sp)
                 sln, sp = _read_varint(sub, sp)
                 if stag >> 3 == 1:
-                    result.append(_decode_value(sub[sp:sp + sln]))
+                    result.append(_decode_value(_checked_slice(sub, sp, sln)))
                 sp += sln
         else:
             pos = _skip(data, pos, wire)

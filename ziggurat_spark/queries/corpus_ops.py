@@ -552,8 +552,12 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ws) - 1, 0)), "
-                "i -> concat(ws[i-1], ' ', ws[i]))"
+                # Guard: sequence(1, 0) is DESCENDING ([1, 0]) — a
+                # 1-token doc would hit ws[-1] (ANSI crash). Oracle
+                # emits no bigram rows for such docs either.
+                "if(size(ws) < 2, array(), "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(ws[i-1], ' ', ws[i])))"
             )
         ).alias("bg"),
     )

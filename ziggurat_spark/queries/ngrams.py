@@ -49,9 +49,13 @@ def x_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     # per doc. words[i] is 0-based in Spark lambdas, so
     # sequence(1, size-1) pairs words[i-1] with words[i].
     tok = d.select(F.split("text", " ").alias("words"))
+    # sequence(1, 0) is DESCENDING ([1, 0]): a 1-token doc would
+    # index words[-1] — INVALID_ARRAY_INDEX under ANSI. Empty array
+    # matches the oracle (no bigram rows for 1-token docs).
     bigrams = F.expr(
+        "if(size(words) < 2, array(), "
         "transform(sequence(1, size(words) - 1), "
-        "i -> concat(words[i-1], ' ', words[i]))"
+        "i -> concat(words[i-1], ' ', words[i])))"
     )
     return (
         tok.select(F.explode(bigrams).alias("bigram"))

@@ -741,8 +741,13 @@ def x_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ws) - 1, 0)), "
-                "i -> concat(ws[i-1], ' ', ws[i]))"
+                # Guard the fan-out: sequence(1, 0) is DESCENDING
+                # ([1, 0]), so a 1-token doc would index ws[-1] —
+                # INVALID_ARRAY_INDEX under ANSI mode. The oracle
+                # emits no bigram rows for such docs either.
+                "if(size(ws) < 2, array(), "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(ws[i-1], ' ', ws[i])))"
             )
         ).alias("bg"),
     )
