@@ -207,3 +207,203 @@ def test_request_metrics_counter(served):
         )
         >= 1
     )
+
+
+# -- channel-scoped dead-set ops (resource/dead_set.clj:25-44) ----------
+
+
+@pytest.fixture()
+def served_channels(spark, tmp_path):
+    """Route with a channel whose handler retries everything; the
+    channel retry policy exhausts on the first hop (max_attempts=1),
+    so channel deliveries dead-letter with channel='enrich' while the
+    main handler dead-letters even keys at the route level."""
+    engine = ZigguratEngine(spark, str(tmp_path / "work"))
+    channel_seen: list[int] = []
+
+    def channel_handler(df):
+        channel_seen.append(df.count())
+        return df.withColumn("outcome", F.lit("retry"))
+
+    route = Route(
+        name="events",
+        source=lambda: None,
+        handler=lambda df: df.withColumn(
+            "outcome",
+            F.when(F.col("k") % 3 == 0, "dead-letter")
+            .when(F.col("k") % 3 == 1, "channel:enrich")
+            .otherwise("success"),
+        ),
+        middleware=(
+            lambda df: df.withColumn(
+                "k",
+                F.get_json_object(F.decode("value", "UTF-8"), "$.k").cast("int"),
+            ),
+        ),
+        retry=RetryConfig(max_attempts=2, timeout_ms=0),
+        channels={"enrich": channel_handler},
+        channel_retry={"enrich": RetryConfig(max_attempts=1, timeout_ms=0)},
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    env = events_as_envelope(load_table(spark, "/root/testdata/sf0.001", "events"))
+    engine.process_batch(route, env.limit(30), now=NOW)
+    # channel deliveries enqueue one retry hop (attempt=0); pump once
+    # so the channel handler's second 'retry' exhausts the 1-attempt
+    # policy and the rows dead-letter with channel='enrich'
+    from datetime import timedelta
+
+    engine.pump_retries("events", now=NOW + timedelta(seconds=1))
+    server = OpsServer(engine).start()
+    yield engine, server, channel_seen
+    server.stop()
+
+
+def test_channel_dead_rows_partitioned_by_queue(served_channels):
+    """Route-level view must NOT see channel rows and vice versa —
+    the reference keeps a separate dead queue per channel
+    (messaging/dead_set.clj:6-28)."""
+    engine, server, _ = served_channels
+    dead = engine.fabric.dead_set_table()
+    n_route = dead.filter(F.col("channel").isNull()).count()
+    n_chan = dead.filter(F.col("channel") == "enrich").count()
+    assert n_route > 0 and n_chan > 0
+
+    status, body = call(
+        server.port, "GET", "/v1/dead_set?count=100&topic-entity=events"
+    )
+    msgs = json.loads(body)["messages"]
+    assert status == 200 and len(msgs) == n_route
+    assert all(m["channel"] is None for m in msgs)
+
+    status, body = call(
+        server.port,
+        "GET",
+        "/v1/dead_set?count=100&topic-entity=events&channel=enrich",
+    )
+    msgs = json.loads(body)["messages"]
+    assert status == 200 and len(msgs) == n_chan
+    assert all(m["channel"] == "enrich" for m in msgs)
+
+
+def test_channel_validation(served_channels):
+    _, server, _ = served_channels
+    # unknown channel on a known route → 400 (validate-channel-or-
+    # topic-entity, resource/dead_set.clj:25-26)
+    assert (
+        call(
+            server.port,
+            "GET",
+            "/v1/dead_set?count=3&topic-entity=events&channel=nope",
+        )[0]
+        == 400
+    )
+
+
+def test_channel_retry_disabled_answers_404(spark, tmp_path):
+    """retry-allowed? consults the CHANNEL's retry config for channel
+    requests (resource/dead_set.clj:29-39) — a route with retry on
+    but the channel's retry off must 404 the channel request and
+    200 the route-level one."""
+    engine = ZigguratEngine(spark, str(tmp_path / "work2"))
+    route = Route(
+        name="events",
+        source=lambda: None,
+        handler=lambda df: df.withColumn("outcome", F.lit("success")),
+        retry=RetryConfig(max_attempts=2, timeout_ms=0, enabled=True),
+        channels={"c1": lambda df: df},
+        channel_retry={"c1": RetryConfig(enabled=False)},
+        oldest_processed_s=None,
+    )
+    engine.register_route(route)
+    server = OpsServer(engine).start()
+    try:
+        assert (
+            call(
+                server.port,
+                "GET",
+                "/v1/dead_set?count=1&topic-entity=events&channel=c1",
+            )[0]
+            == 404
+        )
+        assert (
+            call(server.port, "GET", "/v1/dead_set?count=1&topic-entity=events")[0]
+            == 200
+        )
+    finally:
+        server.stop()
+
+
+def test_channel_replay_hits_channel_handler(served_channels):
+    """POST replay with channel=C must deliver the rows to the
+    CHANNEL handler (publish-to-channel-instant-queue,
+    messaging/dead_set.clj:15-16), not the main route handler."""
+    engine, server, channel_seen = served_channels
+    dead = engine.fabric.dead_set_table()
+    n_chan = dead.filter(F.col("channel") == "enrich").count()
+    n_route = dead.filter(F.col("channel").isNull()).count()
+    calls_before = list(channel_seen)
+    stats_before = len(engine.stats)
+
+    status, _ = call(
+        server.port,
+        "POST",
+        "/v1/dead_set/replay?count=2&topic-entity=events&channel=enrich",
+    )
+    assert status == 200
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if len(channel_seen) > len(calls_before):
+            break
+        time.sleep(0.5)
+    # channel handler saw exactly the 2 replayed rows…
+    assert channel_seen[len(calls_before):] == [2]
+    # …and the MAIN handler never ran (no new batch stats)
+    assert len(engine.stats) == stats_before
+    # replay resets attempt, so the handler's 'retry' outcome lands
+    # the 2 rows in the RETRY queue attributed to the channel — the
+    # channel dead queue shrank by 2, the route-level one untouched
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            t = engine.fabric.dead_set_table()
+            if (
+                t is not None
+                and t.filter(F.col("channel") == "enrich").count()
+                == n_chan - 2
+            ):
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    t = engine.fabric.dead_set_table()
+    assert t.filter(F.col("channel") == "enrich").count() == n_chan - 2
+    assert t.filter(F.col("channel").isNull()).count() == n_route
+    rt = engine.fabric.retry_table()
+    assert rt.filter(F.col("channel") == "enrich").count() == 2
+
+
+def test_channel_delete_scoped(served_channels):
+    engine, server, _ = served_channels
+    dead = engine.fabric.dead_set_table()
+    n_chan = dead.filter(F.col("channel") == "enrich").count()
+    n_route = dead.filter(F.col("channel").isNull()).count()
+    status, _ = call(
+        server.port,
+        "DELETE",
+        "/v1/dead_set?count=1&topic-entity=events&channel=enrich",
+    )
+    assert status == 200
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            t = engine.fabric.dead_set_table()
+            if t.filter(F.col("channel") == "enrich").count() == n_chan - 1:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    t = engine.fabric.dead_set_table()
+    assert t.filter(F.col("channel") == "enrich").count() == n_chan - 1
+    # route-level rows untouched
+    assert t.filter(F.col("channel").isNull()).count() == n_route

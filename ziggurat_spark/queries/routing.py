@@ -239,6 +239,133 @@ def x_deadset_replay(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_deadset_replay_channel",
+    oracle=(
+        "WITH chan AS (SELECT event_id FROM events "
+        "WHERE value >= 20 AND value < 30), "
+        "route_d AS (SELECT event_id FROM events WHERE value < 10), "
+        "sel AS (SELECT event_id FROM chan ORDER BY event_id LIMIT 25) "
+        "SELECT CAST((SELECT count(*) FROM chan) AS BIGINT) "
+        "AS chan_dead_before, "
+        "CAST(least(25, (SELECT count(*) FROM chan)) AS BIGINT) AS replayed, "
+        "CAST((SELECT count(*) FROM chan) "
+        "- least(25, (SELECT count(*) FROM chan)) AS BIGINT) "
+        "AS chan_dead_after, "
+        "CAST((SELECT coalesce(sum(event_id), 0) FROM chan) "
+        "- (SELECT coalesce(sum(event_id), 0) FROM sel) AS BIGINT) "
+        "AS chan_offset_sum_after, "
+        "CAST((SELECT count(*) FROM route_d) AS BIGINT) AS route_dead_after, "
+        "CAST(least(25, (SELECT count(*) FROM chan)) AS BIGINT) "
+        "AS delivered_to_channel"
+    ),
+    doc=(
+        "R7 CHANNEL-scoped dead-set replay (resource/dead_set.clj:"
+        "25-44 + messaging/dead_set.clj:15-16) end-to-end: the main "
+        "handler fans value∈[20,30) rows to channel 'audit' whose "
+        "1-phase 'retry' outcome dead-letters them under the "
+        "channel's disabled retry policy, while value<10 rows "
+        "dead-letter at the ROUTE level. OpsServer.replay(channel="
+        "'audit') then replays the 25 first-dead CHANNEL rows "
+        "through the CHANNEL handler (now succeeding). Graded: both "
+        "queues' counts before/after — the route-level queue must be "
+        "untouched (queue scoping), the channel queue shrinks by "
+        "exactly the replayed offsets (offset-sum checksum), and the "
+        "channel handler saw exactly the replayed rows (delivered_"
+        "to_channel) — proving replay dispatches to publish-to-"
+        "channel-instant-queue semantics, not the main handler."
+    ),
+    tags=("routing", "retry", "streaming", "channels"),
+)
+@_sized_state
+def x_deadset_replay_channel(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ziggurat_spark.queries.streaming_surface import _stream_events
+    from ziggurat_spark.streaming.engine import Route, ZigguratEngine
+    from ziggurat_spark.streaming.ops_server import OpsServer
+    from ziggurat_spark.streaming.retry_fabric import RetryConfig
+
+    workdir = tempfile.mkdtemp(prefix="zs_deadset_replay_ch_")
+    engine = ZigguratEngine(spark, workdir, app_name="deadset_replay_ch_query")
+    delivered = {"n": 0}
+    phase = {"replay": False}
+
+    def channel_handler(df: DataFrame) -> DataFrame:
+        if phase["replay"]:
+            delivered["n"] += df.count()
+            return df  # success: consume the replayed rows
+        return df.withColumn("outcome", F.lit("retry"))
+
+    route = Route(
+        name="replay_ch_route",
+        source=lambda: _stream_events(spark, sf).withColumn(
+            "offset", F.col("event_id")
+        ),
+        handler=lambda df: df.withColumn(
+            "outcome",
+            F.when(F.col("value") < 10, F.lit("dead-letter"))
+            .when(
+                (F.col("value") >= 20) & (F.col("value") < 30),
+                F.lit("channel:audit"),
+            )
+            .otherwise(F.lit("success")),
+        ),
+        channels={"audit": channel_handler},
+        # disabled channel retry: the handler's 'retry' outcome
+        # dead-letters immediately with channel attribution
+        channel_retry={"audit": RetryConfig(enabled=False)},
+        oldest_processed_s=None,
+        timestamp_col="ts",
+    )
+    engine.register_route(route)
+    q = engine.start_route("replay_ch_route", trigger_available_now=True)
+    q.awaitTermination()
+
+    dead = engine.fabric.dead_set_table()
+    ch = F.col("channel")
+    row = dead.agg(
+        F.sum(F.when(ch == "audit", 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(ch.isNull(), 1).otherwise(0)).alias("nr"),
+    ).collect()[0]
+    chan_dead_before = row["nc"] or 0
+
+    # the production ops path (lock + channel dispatch), minus HTTP
+    phase["replay"] = True
+    ops = OpsServer(engine)
+    try:
+        ops.replay("replay_ch_route", 25, "audit")
+    finally:
+        ops._httpd.server_close()
+
+    after = engine.fabric.dead_set_table()
+    if after is not None:
+        arow = after.agg(
+            F.sum(F.when(ch == "audit", 1).otherwise(0)).alias("nc"),
+            F.coalesce(
+                F.sum(F.when(ch == "audit", F.col("offset"))), F.lit(0)
+            ).alias("sc"),
+            F.sum(F.when(ch.isNull(), 1).otherwise(0)).alias("nr"),
+        ).collect()[0]
+        chan_dead_after = arow["nc"] or 0
+        chan_offset_sum_after = arow["sc"] or 0
+        route_dead_after = arow["nr"] or 0
+    else:
+        chan_dead_after = chan_offset_sum_after = route_dead_after = 0
+    return spark.range(1).select(
+        F.lit(chan_dead_before).cast("bigint").alias("chan_dead_before"),
+        F.lit(chan_dead_before - chan_dead_after)
+        .cast("bigint")
+        .alias("replayed"),
+        F.lit(chan_dead_after).cast("bigint").alias("chan_dead_after"),
+        F.lit(chan_offset_sum_after)
+        .cast("bigint")
+        .alias("chan_offset_sum_after"),
+        F.lit(route_dead_after).cast("bigint").alias("route_dead_after"),
+        F.lit(delivered["n"]).cast("bigint").alias("delivered_to_channel"),
+    )
+
+
+@register(
     "x_retry_pump",
     oracle=(
         "SELECT CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) "

@@ -63,32 +63,44 @@ class OpsServer:
 
     # -- dead-set operations (run under the lock) -----------------------
 
-    def view(self, route: str, n: int) -> list[dict]:
+    def view(self, route: str, n: int, channel: str | None = None) -> list[dict]:
         # under the lock like replay/delete: those swap the dead-set
         # directory, and a concurrent swap mid-collect would fail the
         # scan on vanished part files
         with self._ds_lock:
-            rows = self.engine.fabric.dead_set_view(route, n).collect()
+            rows = self.engine.fabric.dead_set_view(route, n, channel).collect()
         return [
             {k: _jsonable(v) for k, v in r.asDict().items()} for r in rows
         ]
 
-    def replay(self, route: str, n: int) -> None:
-        with self._ds_lock:
-            self.engine.fabric.dead_set_replay(
-                route,
-                n,
-                lambda env: self.engine.process_batch(
+    def replay(self, route: str, n: int, channel: str | None = None) -> None:
+        """Replay: route-level rows re-enter through the MAIN handler
+        (publish-to-instant-queue, dead_set.clj:11-13); channel rows
+        re-enter through THAT CHANNEL's handler (publish-to-channel-
+        instant-queue, dead_set.clj:15-16 → the same dispatch the
+        retry pump uses, engine.pump_retries)."""
+        if channel is None:
+            def process(env):
+                self.engine.process_batch(
                     self.engine.routes[route],
                     env,
                     batch_id=-3,
                     now=datetime.now(timezone.utc),
-                ),
-            )
-
-    def delete(self, route: str, n: int) -> None:
+                )
+        else:
+            def process(env):
+                self.engine._deliver_channel(
+                    self.engine.routes[route],
+                    channel,
+                    env,
+                    datetime.now(timezone.utc),
+                )
         with self._ds_lock:
-            self.engine.fabric.dead_set_delete(route, n)
+            self.engine.fabric.dead_set_replay(route, n, process, channel)
+
+    def delete(self, route: str, n: int, channel: str | None = None) -> None:
+        with self._ds_lock:
+            self.engine.fabric.dead_set_delete(route, n, channel)
 
 
 def _jsonable(v):
@@ -109,6 +121,7 @@ def _make_handler(ops: OpsServer):
             pass
 
         def _send(self, status: int, body, content_type="application/json"):
+            self._response_started = True
             # wrap-default-content-type-json parity (server/middleware
             # .clj:15-21): JSON unless the handler says otherwise
             # wrap-with-metrics parity (middleware.clj:38-44):
@@ -135,20 +148,33 @@ def _make_handler(ops: OpsServer):
         def handle_one_request(self) -> None:
             # wrap-errors parity (middleware.clj:29-36): an uncaught
             # handler exception answers 500 with an error body instead
-            # of dropping the connection
+            # of dropping the connection — but ONLY when no response
+            # has started: writing a second status line into a stream
+            # that already carries headers/body corrupts the response
+            # and double-counts the request metric. If headers are
+            # out, just let the connection close.
+            self._response_started = False
             try:
                 super().handle_one_request()
             except Exception as exc:  # noqa: BLE001
+                if self._response_started:
+                    self.close_connection = True
+                    return
                 try:
                     self._send(500, {"Error": repr(exc)})
                 except Exception:  # noqa: BLE001 — socket already gone
                     pass
 
         def _dead_set_params(self):
-            """Shared validation (dead_set.clj:17-38): positive count,
-            registered route, retry enabled."""
+            """Shared validation (resource/dead_set.clj:17-44):
+            positive count, registered route, optional ``channel``
+            that must be declared ON that route, and retry enabled —
+            for channel requests the CHANNEL's retry config decides
+            (retry-allowed? → channel-retry-enabled?,
+            dead_set.clj:29-39), not the route-level one."""
             q = parse_qs(urlparse(self.path).query)
             route = (q.get("topic-entity") or [None])[0]
+            channel = (q.get("channel") or [None])[0]
             raw = (q.get("count") or [""])[0]
             try:
                 n = int(raw)
@@ -157,7 +183,11 @@ def _make_handler(ops: OpsServer):
             except ValueError:
                 self._send(400, {"error": "Count should be positive integer"})
                 return None
-            if route is None or route not in ops.engine.routes:
+            bad_route = route is None or route not in ops.engine.routes
+            if bad_route or (
+                channel is not None
+                and channel not in ops.engine.routes[route].channels
+            ):
                 self._send(
                     400,
                     {
@@ -168,10 +198,14 @@ def _make_handler(ops: OpsServer):
                     },
                 )
                 return None
-            if not ops.engine.routes[route].retry.enabled:
+            r = ops.engine.routes[route]
+            cfg = r.retry if channel is None else r.channel_retry.get(
+                channel, r.retry
+            )
+            if not cfg.enabled:
                 self._send(404, {"error": "Retry is not enabled"})
                 return None
-            return route, n
+            return route, n, channel
 
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
             path = urlparse(self.path).path
@@ -190,8 +224,10 @@ def _make_handler(ops: OpsServer):
             if path == "/v1/dead_set":
                 params = self._dead_set_params()
                 if params:
-                    route, n = params
-                    self._send(200, {"messages": ops.view(route, n)})
+                    route, n, channel = params
+                    self._send(
+                        200, {"messages": ops.view(route, n, channel)}
+                    )
                 return
             self._send(404, "")
 
@@ -199,9 +235,9 @@ def _make_handler(ops: OpsServer):
             if urlparse(self.path).path == "/v1/dead_set/replay":
                 params = self._dead_set_params()
                 if params:
-                    route, n = params
+                    route, n, channel = params
                     threading.Thread(
-                        target=ops.replay, args=(route, n), daemon=True
+                        target=ops.replay, args=(route, n, channel), daemon=True
                     ).start()
                     self._send(
                         200,
@@ -219,9 +255,9 @@ def _make_handler(ops: OpsServer):
             if urlparse(self.path).path == "/v1/dead_set":
                 params = self._dead_set_params()
                 if params:
-                    route, n = params
+                    route, n, channel = params
                     threading.Thread(
-                        target=ops.delete, args=(route, n), daemon=True
+                        target=ops.delete, args=(route, n, channel), daemon=True
                     ).start()
                     self._send(
                         200,

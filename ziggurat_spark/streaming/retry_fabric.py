@@ -485,21 +485,32 @@ class RetryFabric:
     # -- dead-set ops (R7: view / replay / delete) ----------------------
 
     def _newest_dead(
-        self, route: str, n: int
+        self, route: str, n: int, channel: str | None = None
     ) -> tuple[DataFrame | None, dict[int, str]]:
         """Smallest newest-first set of dbucket partitions covering n
-        rows (all rows in a newer bucket died no earlier than any row
-        in an older one, so top-n by died_at lives in them)."""
+        rows OF THE REQUESTED QUEUE (all rows in a newer bucket died
+        no earlier than any row in an older one, so top-n by died_at
+        lives in them).
+
+        ``channel`` selects which dead queue: the reference keeps a
+        separate dead queue per channel next to the route-level one
+        (messaging/dead_set.clj:6-28 threads ``channel`` through
+        every op); here the queues collapse into one
+        bucket-partitioned table with a ``channel`` column, so queue
+        selection is a null-safe equality filter — route-level ops
+        (channel=None) see ONLY channel-IS-NULL rows, channel ops see
+        only their own."""
         buckets = self._list_buckets(self.dead_dir, route, "dbucket")
         if not buckets:
             return None, {}
+        ch_cond = F.col("channel").eqNullSafe(F.lit(channel).cast("string"))
         if len(buckets) == 1:
             # nothing to prune — skip the per-bucket count jobs
             b = next(iter(buckets))
             df = self.spark.read.option("basePath", self.dead_dir).parquet(
                 buckets[b]
             )
-            return df, dict(buckets)
+            return df.filter(ch_cond), dict(buckets)
         chosen_paths: dict[int, str] = {}
         total = 0
         for b in sorted(buckets, reverse=True):
@@ -507,6 +518,7 @@ class RetryFabric:
             total += (
                 self.spark.read.option("basePath", self.dead_dir)
                 .parquet(buckets[b])
+                .filter(ch_cond)
                 .count()
             )
             if total >= n:
@@ -514,12 +526,15 @@ class RetryFabric:
         df = self.spark.read.option("basePath", self.dead_dir).parquet(
             *chosen_paths.values()
         )
-        return df, chosen_paths
+        return df.filter(ch_cond), chosen_paths
 
-    def dead_set_view(self, route: str, n: int) -> DataFrame:
+    def dead_set_view(
+        self, route: str, n: int, channel: str | None = None
+    ) -> DataFrame:
         """Peek up to n dead messages (resource/dead_set.clj:46-63) —
-        reads only the newest partitions covering n rows."""
-        df, _paths = self._newest_dead(route, n)
+        reads only the newest partitions covering n rows of the
+        route-level (channel=None) or channel dead queue."""
+        df, _paths = self._newest_dead(route, n, channel)
         if df is None:
             return self.spark.createDataFrame([], schema="route string")
         return (
@@ -528,11 +543,16 @@ class RetryFabric:
             .limit(n)
         )
 
-    def dead_set_replay(self, route: str, n: int, process) -> int:
+    def dead_set_replay(
+        self, route: str, n: int, process, channel: str | None = None
+    ) -> int:
         """Move up to n dead messages back through the handler
         (dead_set.clj:6-16): deliver, then drop from the dead set.
-        Rewrites ONLY the partitions the chosen rows live in."""
-        df, paths = self._newest_dead(route, n)
+        Rewrites ONLY the partitions the chosen rows live in. With
+        ``channel``, only that channel's rows are chosen — the caller
+        routes them to the CHANNEL handler (publish-to-channel-
+        instant-queue, dead_set.clj:15-16)."""
+        df, paths = self._newest_dead(route, n, channel)
         if df is None:
             return 0
         chosen = (
@@ -561,9 +581,12 @@ class RetryFabric:
             replay_env.unpersist()
         return k
 
-    def dead_set_delete(self, route: str, n: int) -> int:
-        """Drop up to n dead messages (dead_set.clj:24-28)."""
-        df, paths = self._newest_dead(route, n)
+    def dead_set_delete(
+        self, route: str, n: int, channel: str | None = None
+    ) -> int:
+        """Drop up to n dead messages from the route-level or channel
+        dead queue (dead_set.clj:24-28)."""
+        df, paths = self._newest_dead(route, n, channel)
         if df is None:
             return 0
         chosen = (
