@@ -299,3 +299,117 @@ def test_enqueue_routes_through_publish_wrapper(spark, tmp_path, monkeypatch):
     fab.enqueue_retry(make_env(spark, n=2), "r9", cfg, now=NOW)
     fab.enqueue_dead(make_env(spark, n=1), "r9", now=NOW)
     assert seen == ["r9", "r9"]
+
+
+# -- single-writer pump lease (round-3: concurrent-pump hazard) ---------
+
+
+def test_two_concurrent_pumps_no_loss_no_double_delivery(spark, fabric):
+    """Chaos: two pumps fire concurrently on one route while a third
+    thread appends new (not-yet-due) rows into the SAME bucket being
+    swapped. Contract: the 20 due rows are delivered exactly once
+    (one pump wins the lease, the other skips), and the concurrent
+    appends are never lost to the loser's rename pair."""
+    import threading
+    import time
+
+    cfg = RetryConfig(max_attempts=5, timeout_ms=0)
+    fabric.enqueue_retry(make_env(spark, n=20), "r1", cfg, now=NOW)
+    later = NOW + timedelta(seconds=1)
+
+    delivered: list[int] = []
+    dlock = threading.Lock()
+    barrier = threading.Barrier(3)
+
+    def slow_process(df, _ch):
+        rows = df.collect()
+        with dlock:
+            delivered.extend(r["offset"] for r in rows)
+        time.sleep(1.0)  # hold the cycle open across the other pump
+
+    results = [None, None]
+
+    def run_pump(i):
+        barrier.wait()
+        results[i] = fabric.pump("r1", slow_process, now=later)
+
+    appended = {"n": 0}
+
+    def appender():
+        barrier.wait()
+        # lands in bucket(NOW) — the bucket the winning pump swaps —
+        # but due at +2 min, so no pump may deliver or drop it
+        for _ in range(3):
+            fabric.enqueue_retry(
+                make_env(spark, n=2),
+                "r1",
+                RetryConfig(max_attempts=5, timeout_ms=120_000),
+                now=later,
+            )
+            appended["n"] += 2
+
+    threads = [
+        threading.Thread(target=run_pump, args=(0,)),
+        threading.Thread(target=run_pump, args=(1,)),
+        threading.Thread(target=appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(not t.is_alive() for t in threads)
+
+    # exactly one pump won; together they delivered each row once
+    assert sorted(results) == [0, 20]
+    assert sorted(delivered) == list(range(20))
+    # zero appended rows lost to the swap
+    t = fabric.retry_table()
+    assert t is not None and t.count() == appended["n"]
+    # lease released: a fresh pump can run (nothing due → 0)
+    assert fabric.pump("r1", lambda df, ch: None, now=later) == 0
+
+
+def test_lease_stale_takeover(spark, fabric):
+    """A crashed holder's lease is taken over after lease_ttl_s."""
+    import os
+
+    os.makedirs(fabric._lease_dir, exist_ok=True)
+    path = os.path.join(fabric._lease_dir, "r1.lease")
+    with open(path, "w") as fh:
+        fh.write(f"99999:deadbeef {_ancient()}")
+    cfg = RetryConfig(max_attempts=5, timeout_ms=0)
+    fabric.enqueue_retry(make_env(spark, n=2), "r1", cfg, now=NOW)
+    seen = []
+    n = fabric.pump(
+        "r1", lambda df, ch: seen.append(df.count()), now=NOW + timedelta(seconds=1)
+    )
+    assert n == 2 and seen == [2]
+    assert not os.path.exists(path)  # released after the cycle
+
+
+def _ancient() -> float:
+    import time
+
+    return time.time() - 100_000.0
+
+
+def test_lease_live_holder_blocks_pump(spark, fabric):
+    """A LIVE (fresh-timestamp) foreign lease makes pump skip the
+    cycle and report lease_busy — never race the holder."""
+    import os
+    import time
+
+    cfg = RetryConfig(max_attempts=5, timeout_ms=0)
+    fabric.enqueue_retry(make_env(spark, n=2), "r1", cfg, now=NOW)
+    # plant the foreign lease AFTER the append (appends block on a
+    # live lease by design)
+    os.makedirs(fabric._lease_dir, exist_ok=True)
+    path = os.path.join(fabric._lease_dir, "r1.lease")
+    with open(path, "w") as fh:
+        fh.write(f"99999:deadbeef {time.time()}")
+    n = fabric.pump(
+        "r1", lambda df, ch: None, now=NOW + timedelta(seconds=1)
+    )
+    assert n == 0
+    assert fabric.retry_table().count() == 2  # untouched
+    os.unlink(path)

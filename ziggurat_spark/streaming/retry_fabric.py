@@ -48,8 +48,11 @@ Delta/Iceberg the same layout upgrades to transactional MERGE/DELETE.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import threading
+import time as _clock
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -120,7 +123,86 @@ class RetryFabric:
         #: already absorb transient executor faults, so a
         #: driver-visible write failure takes the bounded path.
         self._recoverable = recoverable or (lambda exc: False)
+        #: stale-lease takeover horizon; a holder that crashed keeps
+        #: the route locked at most this long
+        self.lease_ttl_s = 600.0
+        self._lease_dir = os.path.join(workdir, "leases")
+        #: routes whose lease THIS thread currently holds — nested
+        #: acquisition (pump → process → enqueue_retry → _publish) is
+        #: a reentrant no-op, so delivery callbacks can append freely
+        self._held = threading.local()
         os.makedirs(workdir, exist_ok=True)
+
+    # -- per-route single-writer lease ----------------------------------
+    #
+    # The reference never needed this: RMQ brokers serialize queue
+    # ops. Here queue consumption is a partition swap (double-rename),
+    # and two overlapping pumps on one route — a crash-restart racing
+    # a hung predecessor, or duplicate schedulers — could interleave
+    # the rename pairs so one pump's concurrent re-enqueues land in
+    # the other's `.old` tree and get rmtree'd: silent loss the
+    # inflight markers can't see. The lease (O_CREAT|O_EXCL file with
+    # pid + wall-clock, stale takeover after lease_ttl_s) makes every
+    # queue-REWRITING cycle single-writer per route; appends
+    # (_publish) take it too, so an append can never interleave a
+    # swap's rename pair. At 100 TB the transactional answer is
+    # Delta/Iceberg optimistic commits (SCALE.md §12) — this is the
+    # plain-filesystem equivalent, scoped per route so routes never
+    # serialize against each other.
+
+    def _held_routes(self) -> set:
+        if not hasattr(self._held, "routes"):
+            self._held.routes = set()
+        return self._held.routes
+
+    @contextlib.contextmanager
+    def _route_lease(self, route: str, wait: bool):
+        """Acquire the per-route lease. ``wait=True`` blocks until
+        acquired (appends, recovery); ``wait=False`` yields False
+        immediately when another holder is live (a pump skipping a
+        cycle is idempotent — the next trigger picks the work up)."""
+        held = self._held_routes()
+        if route in held:
+            yield True  # reentrant: an outer frame owns it
+            return
+        os.makedirs(self._lease_dir, exist_ok=True)
+        path = os.path.join(self._lease_dir, f"{route}.lease")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{token} {_clock.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                ts = None
+                try:
+                    with open(path) as fh:
+                        ts = float(fh.read().split()[1])
+                except (OSError, IndexError, ValueError):
+                    pass  # holder mid-write or gone — treat as live
+                if ts is not None and _clock.time() - ts > self.lease_ttl_s:
+                    # stale: unlink and race for O_EXCL (one winner)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)
+                    continue
+                if not wait:
+                    yield False
+                    return
+                _clock.sleep(0.05)
+        held.add(route)
+        try:
+            yield True
+        finally:
+            held.discard(route)
+            # release only our own lease (a stale takeover may have
+            # replaced the file while we were running past the TTL)
+            try:
+                with open(path) as fh:
+                    if fh.read().split()[0] == token:
+                        os.unlink(path)
+            except (OSError, IndexError):
+                pass
 
     # -- publish with bounded retry (producer.clj:106-156) --------------
 
@@ -139,7 +221,10 @@ class RetryFabric:
         while True:
             t0 = _time.perf_counter()
             try:
-                write_fn()
+                # single-writer vs a concurrent pump/replay partition
+                # swap on this route (reentrant inside a pump cycle)
+                with self._route_lease(route, wait=True):
+                    write_fn()
                 if self.metrics is not None:
                     self.metrics.report_histogram(
                         route,
@@ -386,8 +471,21 @@ class RetryFabric:
         residue is rewritten — O(due + residue), never O(backlog).
         Crash safety: due rows land in an inflight directory first;
         per-channel ``__done__`` markers make recovery re-enqueue
-        exactly the undelivered slices (see module docstring)."""
+        exactly the undelivered slices (see module docstring).
+
+        Single-writer: the whole cycle (recovery, swap, delivery)
+        runs under the route lease; a second concurrent pump SKIPS
+        the cycle (returns 0) instead of racing the rename pair — the
+        next trigger redelivers, preserving at-least-once."""
         now = now or datetime.now(timezone.utc)
+        with self._route_lease(route, wait=False) as got:
+            if not got:
+                if self.metrics is not None:
+                    self.metrics.inc(route, "retry-pump", "lease_busy")
+                return 0
+            return self._pump_locked(route, process, now)
+
+    def _pump_locked(self, route: str, process, now: datetime) -> int:
         self.recover_inflight(route)
         bucket_now = self._bucket_of(now)
         buckets = self._list_buckets(self.retry_dir, route, "bucket")
@@ -451,7 +549,13 @@ class RetryFabric:
         """Re-enqueue inflight rows a crashed/failed pump never
         delivered (unmarked channel slices). Returns rows recovered.
         Runs automatically at the top of every pump cycle; delivery
-        becomes at-least-once across crashes, never silent loss."""
+        becomes at-least-once across crashes, never silent loss.
+        Takes the route lease (reentrant under a running pump) so a
+        standalone recovery can't race a live pump's inflight dirs."""
+        with self._route_lease(route, wait=True):
+            return self._recover_inflight_locked(route)
+
+    def _recover_inflight_locked(self, route: str) -> int:
         rdir = os.path.join(self.inflight_dir, f"route={route}")
         if not os.path.isdir(rdir):
             return 0
@@ -574,7 +678,7 @@ class RetryFabric:
             # Swap FIRST, deliver after (same ordering as pump()): the
             # handler may dead-letter replayed rows straight back into
             # these partitions, and a later swap would wipe them.
-            self._rewrite_dead_partitions(chosen, paths)
+            self._rewrite_dead_partitions(route, chosen, paths)
             process(replay_env)
         finally:
             chosen.unpersist()
@@ -598,16 +702,24 @@ class RetryFabric:
         if k == 0:
             chosen.unpersist()
             return 0
-        self._rewrite_dead_partitions(chosen, paths)
+        self._rewrite_dead_partitions(route, chosen, paths)
         chosen.unpersist()
         return k
 
     def _rewrite_dead_partitions(
-        self, chosen: DataFrame, paths: dict[int, str]
+        self, route: str, chosen: DataFrame, paths: dict[int, str]
     ) -> None:
         """Remove ``chosen`` rows from exactly the partitions they
         occupy: per-bucket exceptAll + single-partition swap; buckets
-        with every row chosen are deleted outright."""
+        with every row chosen are deleted outright. Runs under the
+        route lease so a concurrent dead-letter append can't land in
+        a directory mid-swap."""
+        with self._route_lease(route, wait=True):
+            self._rewrite_dead_locked(chosen, paths)
+
+    def _rewrite_dead_locked(
+        self, chosen: DataFrame, paths: dict[int, str]
+    ) -> None:
         touched = {
             r["dbucket"] for r in chosen.select("dbucket").distinct().collect()
         }
