@@ -151,19 +151,22 @@ def x_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         # (tokenize + hash the whole corpus) on BOTH branches
         .localCheckpoint(eager=False)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-        .orderBy("a", "b")
+    # Same hot-bucket guard as the simhash retrieval: a boilerplate-
+    # heavy corpus concentrates one (band, bucket) key; salted
+    # group-pair generation keeps per-task width ≤ ~2·cap instead of
+    # funnelling the quadratic candidate fan-out through one task
+    # (h := 0 ⇒ the Hamming verify passes every in-bucket pair —
+    # exactly the LSH candidate semantics).
+    pairs = _salted_bucket_hamming_pairs(
+        bands.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("h"),
+            "band",
+            F.col("bucket").alias("byte"),
+        ),
+        cap=SIMHASH_BUCKET_CAP,
     )
+    return pairs.select("a", "b").distinct().orderBy("a", "b")
 
 
 @register(
@@ -986,6 +989,130 @@ HAMMING_MAX = 1
 SIMHASH_BANDS = 2
 SIMHASH_BAND_BITS = 16
 SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+#: hot-bucket guard: (band, half) buckets wider than this are salted
+#: into ceil(n/cap) groups and verified per group-pair, bounding
+#: per-task memory to O(cap²) regardless of corpus degeneracy
+SIMHASH_BUCKET_CAP = 1024
+
+
+def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
+    """In-bucket Hamming verify with a hot-bucket guard.
+
+    Input: (doc_id, h, band, byte) candidate rows. Buckets of
+    ≤ cap rows verify exactly as before: ONE shuffle keyed on
+    (band, byte), then a numpy-vectorized XOR-popcount over the
+    bucket's fingerprint matrix (a self-equi-join would re-shuffle
+    both branches, and the higher-order-lambda spelling evaluates
+    interpreted). Only true near-pairs leave Python.
+
+    Buckets WIDER than cap — the adversarial near-identical corpus —
+    are split into g = ceil(n/cap) deterministic salt groups by
+    doc_id hash; each row replicates to the g group-pairs its group
+    participates in, and the verify runs per (band, byte, gi, gj)
+    task: triangle within the diagonal group, full cross-product
+    between distinct groups. The pair SET is identical (every pair
+    of rows meets in exactly one group-pair bucket); per-task memory
+    drops from O(n²) to O(cap²) and the work spreads over g² tasks.
+    The replication factor is g per hot row only — cold buckets get
+    g=1 and the exact old single-bucket path."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    n_in_bucket = F.count("*").over(Window.partitionBy("band", "byte"))
+    salted = (
+        bands.withColumn(
+            "g", F.ceil(n_in_bucket / F.lit(cap)).cast("int")
+        )
+        .withColumn(
+            "s", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int")
+        )
+        .select(
+            "doc_id",
+            "h",
+            "band",
+            "byte",
+            "s",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, g - 1), "
+                    "j -> struct(least(s, j) AS gi, greatest(s, j) AS gj))"
+                )
+            ).alias("gp"),
+        )
+        .select("doc_id", "h", "band", "byte", "s", "gp.gi", "gp.gj")
+    )
+
+    buckets = salted.groupBy("band", "byte", "gi", "gj").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(doc_id, h, s))),"
+            " t -> t.doc_id)"
+        ).alias("ids"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(doc_id, h, s))),"
+            " t -> t.h)"
+        ).alias("hs"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(doc_id, h, s))),"
+            " t -> t.s)"
+        ).alias("ss"),
+        F.first("gi").alias("_gi"),
+        F.first("gj").alias("_gj"),
+    )
+
+    _POP = (
+        np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+        .sum(axis=1)
+        .astype(np.int32)
+    )
+
+    def _popcount32(x: "np.ndarray") -> "np.ndarray":
+        d = np.zeros_like(x, dtype=np.int32)
+        for shift in range(0, 32, 8):
+            d += _POP[((x >> np.uint64(shift)) & np.uint64(255)).astype(np.intp)]
+        return d
+
+    def gen(batches):
+        for pdf in batches:
+            outa, outb, outh = [], [], []
+            for ids, hs, ss, gi, gj in zip(
+                pdf["ids"], pdf["hs"], pdf["ss"], pdf["_gi"], pdf["_gj"]
+            ):
+                ids_a = np.asarray(ids, dtype=np.int64)
+                h = np.asarray(hs, dtype=np.uint64)
+                if gi == gj:
+                    # triangle within one group (ids ascending → a < b)
+                    n = len(ids_a)
+                    if n < 2:
+                        continue
+                    d = _popcount32(np.bitwise_xor.outer(h, h))
+                    iu = np.triu_indices(n, k=1)
+                    mask = d[iu] <= HAMMING_MAX
+                    outa.extend(ids_a[iu[0][mask]])
+                    outb.extend(ids_a[iu[1][mask]])
+                    outh.extend(d[iu][mask])
+                else:
+                    # cross-product between the two salt groups
+                    sv = np.asarray(ss, dtype=np.int64)
+                    la, lb = sv == gi, sv == gj
+                    if not la.any() or not lb.any():
+                        continue
+                    ha, hb = h[la], h[lb]
+                    ia, ib = ids_a[la], ids_a[lb]
+                    d = _popcount32(np.bitwise_xor.outer(ha, hb))
+                    r, c = np.nonzero(d <= HAMMING_MAX)
+                    if len(r) == 0:
+                        continue
+                    pa, pb = ia[r], ib[c]
+                    lo = np.minimum(pa, pb)
+                    hi = np.maximum(pa, pb)
+                    outa.extend(lo)
+                    outb.extend(hi)
+                    outh.extend(d[r, c])
+            yield pd.DataFrame({"a": outa, "b": outb, "hamming": outh})
+
+    return buckets.mapInPandas(gen, "a LONG, b LONG, hamming INT")
 
 
 def _simhash_cte_duck() -> str:
@@ -1024,7 +1151,14 @@ def _simhash_cte_duck() -> str:
         "one integer popcount(xor) verify, numpy-vectorized per "
         "bucket. O(candidates), never all-pairs; the exact retrieval "
         "shape that indexes billions of fingerprints (production "
-        "uses 64-bit prints with more/permuted tables — same plan)."
+        "uses 64-bit prints with more/permuted tables — same plan). "
+        "Hot-bucket guard (round 3): a degenerate corpus (thousands "
+        "of identical/boilerplate prints) concentrates one (band, "
+        "half) bucket in one task; buckets wider than "
+        f"{'%d' % 1024} rows are salted into ceil(n/cap) "
+        "doc_id-hash groups and verified per GROUP-PAIR, so per-task "
+        "memory is O(cap²) and the quadratic (output-bound) work "
+        "spreads across g² tasks instead of one."
     ),
     tags=("dedup", "simhash", "lsh"),
 )
@@ -1046,52 +1180,5 @@ def x_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("byte"),
         )
         bands = part if bands is None else bands.unionAll(part)
-    # In-bucket pair generation: ONE shuffle keyed on (band, byte),
-    # then a numpy-vectorized XOR-popcount over each bucket's
-    # fingerprint matrix (outer xor + 8-bit popcount lookup) — a
-    # self-equi-join would re-shuffle both branches and generate
-    # every bucket collision through join machinery, and the
-    # higher-order-lambda spelling evaluates interpreted. Only true
-    # near-pairs leave Python. Buckets sorted so a < b directly.
-    import numpy as np
-    import pandas as pd
-
-    buckets = bands.groupBy("band", "byte").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(doc_id, h))),"
-            " s -> s.doc_id)"
-        ).alias("ids"),
-        F.expr(
-            "transform(sort_array(collect_list(struct(doc_id, h))),"
-            " s -> s.h)"
-        ).alias("hs"),
-    )
-
-    _POP = (
-        np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
-        .sum(axis=1)
-        .astype(np.int32)
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            outa, outb, outh = [], [], []
-            for ids, hs in zip(pdf["ids"], pdf["hs"]):
-                n = len(ids)
-                if n < 2:
-                    continue
-                ids_a = np.asarray(ids, dtype=np.int64)
-                h = np.asarray(hs, dtype=np.uint64)
-                x = np.bitwise_xor.outer(h, h)
-                d = np.zeros_like(x, dtype=np.int32)
-                for shift in range(0, 32, 8):
-                    d += _POP[((x >> np.uint64(shift)) & np.uint64(255)).astype(np.intp)]
-                iu = np.triu_indices(n, k=1)
-                mask = d[iu] <= HAMMING_MAX
-                outa.extend(ids_a[iu[0][mask]])
-                outb.extend(ids_a[iu[1][mask]])
-                outh.extend(d[iu][mask])
-            yield pd.DataFrame({"a": outa, "b": outb, "hamming": outh})
-
-    pairs = buckets.mapInPandas(gen, "a LONG, b LONG, hamming INT")
+    pairs = _salted_bucket_hamming_pairs(bands, cap=SIMHASH_BUCKET_CAP)
     return pairs.distinct().orderBy("a", "b")
