@@ -1413,7 +1413,11 @@ def x_stream_dedup_historic(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(src_dir)
     )
     fresh = stream.join(F.broadcast(hist), "h", "left_anti")
-    out_dir = src_dir + "/fresh"
+    # sibling of the source dir, never nested under it: the file
+    # stream lists src_dir, and a non-partition subdir there could be
+    # picked up or conflict depending on trigger timing (works under
+    # availableNow only because the listing snapshots at start)
+    out_dir = src_dir + "_fresh"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             fresh.writeStream.foreachBatch(
@@ -1428,4 +1432,180 @@ def x_stream_dedup_historic(spark: SparkSession, sf: str) -> DataFrame:
     return surv.agg(
         F.count("*").alias("fresh_docs"),
         F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
+    )
+
+
+@register(
+    "x_stream_dedup_historic_loop",
+    oracle=(
+        "WITH hist0 AS (SELECT DISTINCT md5(text) AS h FROM documents "
+        "WHERE doc_id < 250), "
+        "hA AS (SELECT DISTINCT md5(text) AS h FROM documents "
+        "WHERE doc_id >= 250 AND doc_id < 450), "
+        "hB AS (SELECT DISTINCT md5(text) AS h FROM documents "
+        "WHERE doc_id >= 400), "
+        "r1 AS (SELECT h FROM hA WHERE h NOT IN (SELECT h FROM hist0)), "
+        "r2 AS (SELECT h FROM hB WHERE h NOT IN "
+        "(SELECT h FROM hist0 UNION SELECT h FROM hA)), "
+        "allh AS (SELECT h FROM hist0 UNION SELECT h FROM hA "
+        "UNION SELECT h FROM hB) "
+        "SELECT CAST((SELECT count(*) FROM r1) AS BIGINT) AS run1_fresh, "
+        "CAST((SELECT count(*) FROM r2) AS BIGINT) AS run2_fresh, "
+        "CAST((SELECT count(*) FROM allh) AS BIGINT) AS hist_total, "
+        "CAST((SELECT coalesce(sum(CAST(concat('0x', substr(h, 1, 8)) "
+        "AS BIGINT)), 0) FROM r2) AS BIGINT) AS run2_checksum"
+    ),
+    doc=(
+        "The historic-dedup WRITE-BACK loop a continuously-ingesting "
+        "corpus runs (round-2 judge #4): each micro-batch anti-joins "
+        "against the historic hash table, then idempotently appends "
+        "its survivors' hashes BACK to that table under a "
+        "deterministic (run, batch_id) key — overwrite-by-key, so "
+        "at-least-once re-delivery rewrites the same content instead "
+        "of duplicating or (worse) self-anti-joining to empty: the "
+        "batch's own prior write-back is EXCLUDED from its historic "
+        "read. Two runs share one checkpoint (stop → new files → "
+        "restart), so run 2 must dedup against hashes run 1 wrote — "
+        "the table provably grew and dedups against ITSELF — and "
+        "after run 2 the first run-1 batch is re-delivered verbatim "
+        "through the same callback (the crash-redelivery case): all "
+        "graded numbers must be unchanged. Graded: per-run distinct "
+        "surviving hashes, final table size, and a survivors "
+        "checksum (first 8 hex digits as int, order-independent) — "
+        "computed AFTER the re-delivery. Per-batch work stays "
+        "O(batch + hist-read); at 100 TB the hist side becomes a "
+        "bucketed table + bloom pre-gate and the keyed overwrite "
+        "becomes a Delta MERGE, same loop shape."
+    ),
+    tags=("streaming", "dedup", "corpus"),
+)
+@_sized_state
+def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil as _sh
+
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="zs_histdedup_loop_")
+    src = os.path.join(base, "incoming")
+    hist_dir = os.path.join(base, "hist")
+    out_dir = os.path.join(base, "fresh")
+    stage = os.path.join(base, "stage")
+    os.makedirs(src)
+
+    docs.filter(F.col("doc_id") < 250).select(
+        F.md5("text").alias("h")
+    ).distinct().coalesce(1).write.parquet(os.path.join(hist_dir, "seed"))
+
+    def _stage(name: str, cond):
+        d = os.path.join(stage, name)
+        docs.filter(cond).select(
+            "doc_id", F.md5("text").alias("h")
+        ).repartition(4).write.parquet(d)
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ), d
+
+    a_files, a_dir = _stage(
+        "a", (F.col("doc_id") >= 250) & (F.col("doc_id") < 450)
+    )
+    b_files, b_dir = _stage("b", F.col("doc_id") >= 400)
+    schema = spark.read.parquet(a_dir).schema
+
+    #: first processed (run, batch) kept for the re-delivery probe
+    replay_probe: dict = {}
+
+    def batch_fn(run: int):
+        def fn(b: DataFrame, bid: int) -> None:
+            key = f"run{run}_b{bid}"
+            # historic = every write-back EXCEPT this batch's own key
+            # (re-delivery must not self-anti-join to empty)
+            others = [
+                os.path.join(hist_dir, k)
+                for k in sorted(os.listdir(hist_dir))
+                if k != key
+            ]
+            hist = spark.read.option("recursiveFileLookup", "true").parquet(
+                *others
+            )
+            surv = b.dropDuplicates(["h"]).join(
+                F.broadcast(hist), "h", "left_anti"
+            )
+            surv = surv.localCheckpoint()  # one compute, two writes
+            surv.select("h").coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(hist_dir, key)
+            )
+            surv.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, key)
+            )
+            if run == 1 and not replay_probe:
+                replay_probe["run"] = run
+                replay_probe["bid"] = bid
+                b.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(base, "probe_input")
+                )
+
+        return fn
+
+    ckpt = os.path.join(base, "ckpt")
+
+    def run_once(run: int) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(batch_fn(run))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in a_files:
+        _sh.copy(os.path.join(a_dir, f), os.path.join(src, f"a_{f}"))
+    run_once(1)
+    for f in b_files:
+        _sh.copy(os.path.join(b_dir, f), os.path.join(src, f"b_{f}"))
+    run_once(2)
+
+    # crash-redelivery: run 1's first batch arrives AGAIN with the
+    # same key; keyed overwrite + own-key-excluded historic read must
+    # leave every graded number unchanged
+    replayed = spark.read.parquet(os.path.join(base, "probe_input"))
+    batch_fn(replay_probe["run"])(replayed, replay_probe["bid"])
+
+    def _distinct_h(prefix: str):
+        dirs = [
+            os.path.join(hist_dir, k)
+            for k in sorted(os.listdir(hist_dir))
+            if k.startswith(prefix)
+        ]
+        if not dirs:
+            return None
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*dirs)
+            .select("h")
+            .distinct()
+        )
+
+    r1 = _distinct_h("run1_")
+    r2 = _distinct_h("run2_")
+    allh = _distinct_h("")
+    hex32 = F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
+    n1 = r1.count() if r1 is not None else 0
+    n2 = r2.count() if r2 is not None else 0
+    ntot = allh.count()
+    csum = (
+        r2.agg(F.coalesce(F.sum(hex32), F.lit(0)).alias("s")).collect()[0]["s"]
+        if r2 is not None
+        else 0
+    )
+    return spark.range(1).select(
+        F.lit(n1).cast("bigint").alias("run1_fresh"),
+        F.lit(n2).cast("bigint").alias("run2_fresh"),
+        F.lit(ntot).cast("bigint").alias("hist_total"),
+        F.lit(csum).cast("bigint").alias("run2_checksum"),
     )
