@@ -181,3 +181,82 @@ def test_prometheus_text_format():
     # every line is a comment or `name value`
     for line in text.strip().splitlines():
         assert line.startswith("# TYPE ") or len(line.split(" ")) == 2
+
+
+# -- StatsD exporter (clj_statsd_metrics_wrapper.clj parity) ------------
+
+
+def _statsd_pair():
+    import socket
+
+    from ziggurat_spark.streaming.metrics import MetricsRegistry, StatsdExporter
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.settimeout(5)
+    reg = MetricsRegistry()
+    exp = StatsdExporter(port=srv.getsockname()[1], env="test")
+    reg.exporters.append(exp)
+    return reg, exp, srv
+
+
+def _drain(srv, n):
+    out = []
+    for _ in range(n):
+        out.append(srv.recv(4096).decode())
+    return out
+
+
+def test_statsd_counter_datagrams():
+    """update-counter parity: '<ns>.<metric>:<n>|c|@1.0' under BOTH
+    namespaces, DogStatsD tags appended; topic tag only on the bare
+    namespace (remove-topic-tag-for-old-namespace)."""
+    reg, exp, srv = _statsd_pair()
+    try:
+        reg.inc("orders", "message-processing", "success", 3)
+        lines = sorted(_drain(srv, 2))
+        assert (
+            "message-processing.success:3|c|@1.0"
+            "|#actor:ziggurat-spark,env:test,topic_entity:orders" in lines
+        )
+        assert (
+            "ziggurat-spark.orders.message-processing.success:3|c|@1.0"
+            "|#actor:ziggurat-spark,env:test" in lines
+        )
+        # registry store unaffected by the exporter
+        assert reg.counter("ziggurat-spark.orders.message-processing.success") == 3
+    finally:
+        exp.terminate()
+        srv.close()
+
+
+def test_statsd_timing_datagrams():
+    """update-timing parity: '<ns>:<ms>|ms|@1.0' per sample."""
+    reg, exp, srv = _statsd_pair()
+    try:
+        reg.report_histogram("orders", "message-received-delay-histogram", 12.5)
+        lines = sorted(_drain(srv, 2))
+        assert (
+            "message-received-delay-histogram:12.5|ms|@1.0"
+            "|#actor:ziggurat-spark,env:test,topic_entity:orders" in lines
+        )
+        assert (
+            "ziggurat-spark.orders.message-received-delay-histogram:12.5"
+            "|ms|@1.0|#actor:ziggurat-spark,env:test" in lines
+        )
+    finally:
+        exp.terminate()
+        srv.close()
+
+
+def test_statsd_never_blocks_on_dead_daemon():
+    """Fire-and-forget: closed socket / no listener must not raise."""
+    from ziggurat_spark.streaming.metrics import MetricsRegistry, StatsdExporter
+
+    reg = MetricsRegistry()
+    exp = StatsdExporter(port=1)  # nothing listens there
+    reg.exporters.append(exp)
+    reg.inc("r", "ns", "m", 1)
+    exp.terminate()
+    reg.inc("r", "ns", "m", 1)  # after terminate: swallowed OSError
+    assert reg.counter("ns.m") == 2

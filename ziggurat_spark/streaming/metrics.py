@@ -62,6 +62,11 @@ class MetricsRegistry:
     service_name: str = "ziggurat-spark"
     counters: dict[str, int] = field(default_factory=dict)
     histograms: dict[str, HistogramSummary] = field(default_factory=dict)
+    #: push-style backends (StatsD today; the seam the reference's
+    #: metrics_interface.clj protocol provides) — each gets every
+    #: counter delta / timing sample as it happens, alongside the
+    #: in-process store the Prometheus endpoint scrapes
+    exporters: list = field(default_factory=list)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def _names(self, topic_entity: str, ns: str, metric: str | None) -> list[str]:
@@ -78,6 +83,8 @@ class MetricsRegistry:
         with self._lock:
             for name in self._names(topic_entity, ns, metric):
                 self.counters[name] = self.counters.get(name, 0) + n
+        for exp in self.exporters:
+            exp.update_counter(topic_entity, ns, metric, n)
 
     def report_histogram(
         self, topic_entity: str, ns: str, value: float, n: int = 1
@@ -88,6 +95,8 @@ class MetricsRegistry:
         with self._lock:
             for name in self._names(topic_entity, ns, None):
                 self.histograms.setdefault(name, HistogramSummary()).add(value, n)
+        for exp in self.exporters:
+            exp.update_timing(topic_entity, ns, value, n)
 
     def counter(self, name: str) -> int:
         return self.counters.get(name, 0)
@@ -219,3 +228,79 @@ class ZigguratQueryListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
+
+
+class StatsdExporter:
+    """StatsD line-protocol backend — parity with the reference's
+    clj-statsd wrapper (clj_statsd_metrics_wrapper.clj:29-37 over
+    metrics_interface.clj): counters emit ``<ns>.<metric>:<n>|c|@1.0``
+    and timings ``<ns>:<ms>|ms|@1.0``, DogStatsD ``|#tag:val`` tags
+    appended. The dual-namespace convention (metrics.clj:113-115 /
+    get-metric-namespaces :64-72) emits each sample under BOTH the
+    bare namespace (tagged with actor/env/topic_entity) and the
+    ``<service>.<topic-entity>.<ns>`` form (actor/env only — the
+    topic is already in the name, remove-topic-tag-for-old-namespace
+    metrics.clj:57-60). Fire-and-forget UDP: a dead statsd daemon
+    never blocks or fails the data path."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 8125,
+        service_name: str = "ziggurat-spark",
+        env: str = "dev",
+        rate: float = 1.0,
+    ):
+        import socket
+
+        self._addr = (host, port)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.service_name = service_name
+        self.env = env
+        self.rate = rate
+
+    # -- MetricsProtocol (metrics_interface.clj) ------------------------
+
+    def update_counter(
+        self, topic_entity: str, ns: str, metric: str, value: int
+    ) -> None:
+        for name, tags in self._variants(topic_entity, ns, metric):
+            self._send(f"{name}:{value}|c|@{self.rate}{tags}")
+
+    def update_timing(
+        self, topic_entity: str, ns: str, value: float, n: int = 1
+    ) -> None:
+        line = None
+        for name, tags in self._variants(topic_entity, ns, None):
+            line = f"{name}:{_statsd_num(value)}|ms|@{self.rate}{tags}"
+            for _ in range(n):
+                self._send(line)
+
+    def terminate(self) -> None:
+        self._sock.close()
+
+    # -- internals ------------------------------------------------------
+
+    def _variants(self, topic_entity: str, ns: str, metric: str | None):
+        suffix = f".{metric}" if metric else ""
+        base_tags = f"|#actor:{self.service_name},env:{self.env}"
+        return [
+            (
+                f"{self.service_name}.{topic_entity}.{ns}{suffix}",
+                base_tags,
+            ),
+            (
+                f"{ns}{suffix}",
+                f"{base_tags},topic_entity:{topic_entity}",
+            ),
+        ]
+
+    def _send(self, line: str) -> None:
+        try:
+            self._sock.sendto(line.encode("utf-8"), self._addr)
+        except OSError:
+            pass  # observability must never fail the data path
+
+
+def _statsd_num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
