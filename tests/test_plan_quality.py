@@ -649,3 +649,36 @@ def test_bloom_prefilter_broadcasts_filter(spark, specs):
     df = q(specs, "x_bloom_prefilter", spark)
     assert broadcast_join_count(df) >= 1
     assert not has_cartesian_product(df)
+
+
+def test_lsh_param_sweep_signature_computed_once(spark):
+    """x_lsh_param_sweep: the signature UDF runs ONCE (Arrow pass →
+    localCheckpoint); every configuration's candidate plan derives
+    its band keys JVM-side from the checkpointed array — no config
+    plan may contain a Python/Arrow eval node."""
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.functions import texthash_udfs as THU
+    from ziggurat_spark.plans import formatted_plan
+    from ziggurat_spark.queries.dedup import (
+        LSH_SWEEP_GRID,
+        MINHASH_SHINGLE_K,
+        _lsh_sweep_candidates,
+    )
+    from ziggurat_spark.tables import load_table
+
+    sig = (
+        load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text").alias("mhs"),
+        )
+        .filter(F.col("mhs").isNotNull())
+        .localCheckpoint()
+    )
+    for nb, r in LSH_SWEEP_GRID:
+        plan = formatted_plan(_lsh_sweep_candidates(sig, nb, r))
+        # band keys come from the checkpointed RDD, not a re-run of
+        # the signature UDF
+        assert "Scan ExistingRDD" in plan
+        assert plan.count("ArrowEvalPython") == 0
