@@ -1318,3 +1318,99 @@ def x_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
         bands = part if bands is None else bands.unionAll(part)
     pairs = _salted_bucket_hamming_pairs(bands, cap=SIMHASH_BUCKET_CAP)
     return pairs.distinct().orderBy("a", "b")
+
+
+def _semantic_dedup_oracle() -> str:
+    from ziggurat_spark.queries.registry import _REGISTRY
+
+    pairs = _REGISTRY["x_embedding_neardup"].oracle
+    return (
+        "WITH RECURSIVE p AS (SELECT a, b FROM (" + pairs + ")), "
+        "edges AS (SELECT a AS s, b AS t FROM p "
+        "UNION ALL SELECT b AS s, a AS t FROM p), "
+        "reach AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings "
+        "UNION SELECT e.t AS id, r.comp FROM reach r "
+        "JOIN edges e ON e.s = r.id), "
+        "cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id), "
+        "j AS (SELECT cc.id AS doc_id, cc.comp, d.n_chars FROM cc "
+        "JOIN documents d ON d.doc_id = cc.id), "
+        "k AS (SELECT comp, arg_max(doc_id, n_chars * 10000000 - doc_id) "
+        "AS keeper_doc FROM j GROUP BY comp) "
+        "SELECT j.doc_id, j.comp AS component, k.keeper_doc, "
+        "j.doc_id = k.keeper_doc AS keep "
+        "FROM j JOIN k ON k.comp = j.comp ORDER BY j.doc_id"
+    )
+
+
+@register(
+    "x_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc=(
+        "Semantic deduplication (SemDeDup-shape, Abbas '23): cluster "
+        "documents whose EMBEDDINGS are near-duplicates — catching "
+        "paraphrases and re-renderings lexical MinHash misses — then "
+        "keep one canonical document per semantic cluster by content "
+        "quality (longest text, doc_id tiebreak). Composes the "
+        "graded SRP-LSH near-dup stage (banded sign-bit buckets → "
+        "exact cosine on candidates only, never all-pairs) with "
+        "min-label connected components (checkpointed iterative "
+        "propagation, diameter-bounded rounds) and one max_by per "
+        "cluster joined back broadcast-size. At 100 TB this is the "
+        "standard embedding-space curation pass: LSH keeps the "
+        "candidate set linear, CC rounds are O(log n) with "
+        "star-contraction, and the keep policy is one tiny "
+        "aggregate — per-doc keep/drop decisions come out graded."
+    ),
+    tags=("dedup", "similarity", "clustering", "corpus"),
+)
+def x_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = x_embedding_neardup(spark, sf).select("a", "b")
+    edges = (
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .union(pairs.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        load_table(spark, sf, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("vec_id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        msgs = edges.join(comp, edges.s == comp.id).select(
+            F.col("t").alias("id"), F.col("comp")
+        )
+        new = (
+            comp.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("c"), F.col("n.id") == F.col("c.id"))
+            .filter(F.col("n.comp") != F.col("c.comp"))
+            .count()
+        )
+        comp.unpersist()
+        comp = new
+        if changed == 0:
+            break
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    j = comp.select(F.col("id").alias("doc_id"), F.col("comp")).join(
+        docs, "doc_id"
+    )
+    k = j.groupBy("comp").agg(
+        F.expr("max_by(doc_id, n_chars * 10000000 - doc_id)").alias(
+            "keeper_doc"
+        )
+    )
+    return (
+        j.join(k, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("component"),
+            "keeper_doc",
+            (F.col("doc_id") == F.col("keeper_doc")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -64,3 +64,103 @@ def x_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+#: BM25 query terms (mixed document frequencies in the synthetic
+#: vocabulary → a spread of idf weights) and Robertson parameters
+#: k1 = 1.2 = 6/5, b = 0.75 = 3/4, carried as exact rationals.
+BM25_TERMS = ("join", "merge", "spark")
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    from ziggurat_spark.functions import texthash as TH
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        f"{TH.tokens('text')[1]} AS words FROM documents), "
+        "stats AS (SELECT count(*) AS n_docs, "
+        "CAST(sum(len(words)) AS BIGINT) AS n_tokens FROM tok), "
+        "tf AS (SELECT doc_id, len(words) AS dl, t.term, "
+        "len(list_filter(words, w -> w = t.term)) AS tf "
+        f"FROM tok, (SELECT unnest([{terms}]) AS term) t), "
+        "tf1 AS (SELECT * FROM tf WHERE tf > 0), "
+        "df AS (SELECT term, CAST(((SELECT n_docs FROM stats) - count(*)"
+        " + 1) * 1000000 // (count(*) + 1) AS BIGINT) AS idf_ppm "
+        "FROM tf1 GROUP BY term), "
+        "sc AS (SELECT tf1.doc_id, "
+        "idf_ppm * (44 * n_tokens * tf) // "
+        "(20 * n_tokens * tf + 6 * n_tokens + 18 * dl * n_docs) AS s "
+        "FROM tf1 JOIN df USING (term) CROSS JOIN stats) "
+        "SELECT doc_id, CAST(sum(s) AS BIGINT) AS score "
+        "FROM sc GROUP BY doc_id "
+        f"ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}"
+    )
+
+
+@register(
+    "x_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc=(
+        "BM25 retrieval ranking (Robertson/Sparck-Jones) over the "
+        "corpus for a fixed query — the scoring function behind "
+        "lexical corpus search and RAG retrieval baselines. Carried "
+        "in EXACT integer math so the oracle hash-matches: k1=6/5 "
+        "and b=3/4 as rationals, both sides of the per-term fraction "
+        "multiplied by 20·T (T = corpus token count), and a rational "
+        "idf_ppm = (N-df+1)·10⁶ // (df+1) in place of the log (order-"
+        "preserving for ranking; the float-log spelling differs only "
+        "in last-ulp libm behavior between engines). Shape: one "
+        "tokenize pass, per-doc term counts from the projected words "
+        "array, a 3-row df aggregate joined back broadcast-size, one "
+        "final top-k — no shuffle wider than (docs × query terms)."
+    ),
+    tags=("text", "retrieval", "ngram"),
+)
+def x_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions import texthash as TH
+
+    toks = load_table(spark, sf, "documents", fan_out=True).select(
+        "doc_id", F.expr(TH.tokens("text")[0]).alias("words")
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("words")).cast("bigint").alias("n_tokens"),
+    )
+    term_col = F.explode(
+        F.array(*[F.lit(t) for t in BM25_TERMS])
+    ).alias("term")
+    tf = toks.select(
+        "doc_id", F.size("words").alias("dl"), term_col, "words"
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.expr("size(filter(words, w -> w = term))").alias("tf"),
+    )
+    tf1 = tf.filter(F.col("tf") > 0)
+    df_t = tf1.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.expr(
+            "CAST((n_docs - df + 1) * 1000000 div (df + 1) AS BIGINT)"
+        ).alias("idf_ppm"),
+    )
+    sc = (
+        tf1.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "idf_ppm * (44 * n_tokens * tf) div "
+                "(20 * n_tokens * tf + 6 * n_tokens + 18 * dl * n_docs)"
+            ).alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )

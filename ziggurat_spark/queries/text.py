@@ -843,3 +843,91 @@ def x_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
             "oov_ppm"
         ),
     ).orderBy("doc_id")
+
+
+#: PII patterns — identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): ASCII \d, greedy quantifiers, \b word boundaries.
+#: Applied in this order; counts are measured BEFORE redaction.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+#: Deterministic PII augmentation: the synthetic corpus carries no
+#: real PII, so both engines append the same synthetic contact block
+#: derived from doc_id — the redaction path then has real matches to
+#: find at every scale factor.
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.com from 10.0.',"
+    " pmod(doc_id, 200), '.', pmod(doc_id * 7, 250),"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 555 010',"
+    " pmod(doc_id, 10)) ELSE '' END)"
+)
+_PII_AUG_DUCK = (
+    "concat(text, ' contact user', doc_id, '@example.com from 10.0.',"
+    " doc_id % 200, '.', (doc_id * 7) % 250,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 555 010',"
+    " doc_id % 10) ELSE '' END)"
+)
+
+
+@register(
+    "x_pii_redact",
+    oracle=(
+        f"WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents), "
+        "red AS (SELECT doc_id, "
+        f"len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails, "
+        f"len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips, "
+        f"len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones, "
+        f"regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g') AS redacted FROM aug) "
+        "SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, "
+        "CAST(n_ips AS BIGINT) AS n_ips, "
+        "CAST(n_phones AS BIGINT) AS n_phones, "
+        "md5(redacted) AS redacted_md5 FROM red ORDER BY doc_id"
+    ),
+    doc=(
+        "PII redaction — the curation step every publicly-releasable "
+        "training corpus runs: detect emails / IPv4 / phone numbers, "
+        "count them per document (the audit metric), and replace them "
+        "with typed placeholders, in a fixed pattern order. One "
+        "narrow projection → JVM-side regexp_count + regexp_replace "
+        "chain inside whole-stage codegen: per-row work only, no "
+        "shuffle except the final ordering, so the pass is "
+        "scan-bound at any corpus size. Patterns are written to the "
+        "common Java-regex/RE2 subset so the DuckDB oracle matches "
+        "byte-for-byte (graded via md5 of the redacted text). The "
+        "synthetic corpus has no PII, so both engines first append "
+        "an identical doc_id-derived contact block — the detector "
+        "runs against real matches at every SF."
+    ),
+    tags=("text", "quality", "corpus", "pii"),
+)
+def x_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_AUG_SPARK).alias("t")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    def n_matches(pat: str):
+        # lit() pattern: an F.expr SQL string literal would eat the
+        # backslashes (\d → d) under default escapedStringLiterals
+        return F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        n_matches(PII_EMAIL).alias("n_emails"),
+        n_matches(PII_IPV4).alias("n_ips"),
+        n_matches(PII_PHONE).alias("n_phones"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
+    ).orderBy("doc_id")
