@@ -366,3 +366,75 @@ def x_ivf_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk", "qscore")
         .orderBy("query_id", "rnk")
     )
+
+
+#: hard-negative mining: every 100th vector is a "query"; negatives
+#: must carry a DIFFERENT label (the contrastive-training contract)
+HN_QUERY_MOD = 100
+HN_K = 3
+
+
+@register(
+    "x_hard_negatives",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+        f"label AS qlabel FROM embeddings WHERE vec_id % {HN_QUERY_MOD} = 0), "
+        f"pairs AS (SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, "
+        f"e.label AS nlabel, {_cosine('qe', 'e.embedding', 1)} AS score "
+        f"FROM q, embeddings e "
+        f"WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk "
+        f"FROM pairs) "
+        f"SELECT query_id, qlabel, neighbor_id, nlabel, rnk, score "
+        f"FROM ranked WHERE rnk <= {HN_K} ORDER BY query_id, rnk"
+    ),
+    doc=(
+        "Hard-negative mining for contrastive training (DPR/Contriever "
+        "recipe): for each query vector, the top-k most-similar "
+        "vectors carrying a DIFFERENT label — maximally confusing "
+        "negatives. Broadcast the (tiny at any corpus scale) query "
+        "set, one parallel scan with the label-exclusion predicate "
+        "fused into the scan filter, per-query top-k via window rank. "
+        "Same exact left-fold cosine as the ANN family, so the oracle "
+        "hash-matches. At 100 TB the scan becomes the IVF-pruned "
+        "candidate read (x_ivf_ann_topk's shape) with the label "
+        "predicate pushed beneath the rank."
+    ),
+    tags=("similarity", "training"),
+)
+def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf, "embeddings", fan_out=True).withColumn(
+        "nrm", F.expr(f'sqrt({_dot("embedding", "embedding", 0)})')
+    )
+    q = e.filter(F.col("vec_id") % HN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("label") != F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            F.expr(f'({_dot("qe", "embedding", 0)}) / (qnrm * nrm)').alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HN_K)
+        .select("query_id", "qlabel", "neighbor_id", "nlabel", "rnk", "score")
+        .orderBy("query_id", "rnk")
+    )

@@ -931,3 +931,60 @@ def x_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         n_matches(PII_PHONE).alias("n_phones"),
         F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+#: chunking geometry: 120-char windows at stride 90 (30-char overlap
+#: so no boundary-spanning content is lost) — the RAG/pretraining
+#: document-splitting step, graded by chunk position + content hash
+CHUNK_LEN = 120
+CHUNK_STRIDE = 90
+
+
+@register(
+    "x_doc_chunking",
+    oracle=(
+        "SELECT doc_id, CAST((i - 1) // "
+        f"{CHUNK_STRIDE} AS BIGINT) AS chunk_id, "
+        "CAST(i AS BIGINT) AS chunk_start, "
+        f"CAST(length(substring(text, i, {CHUNK_LEN})) AS BIGINT) "
+        "AS chunk_len, "
+        f"md5(substring(text, i, {CHUNK_LEN})) AS chunk_md5 "
+        "FROM (SELECT doc_id, text, unnest(range(1, "
+        f"greatest(length(text), 1) + 1, {CHUNK_STRIDE})) AS i "
+        "FROM documents) t ORDER BY doc_id, chunk_start"
+    ),
+    doc=(
+        "Document chunking with overlap — the splitting step every "
+        "RAG index and long-document pretraining pipeline runs: "
+        "fixed-width character windows at a stride smaller than the "
+        "window, so boundary content appears in two chunks. Pure "
+        "column fan-out (sequence → explode → substring) inside "
+        "whole-stage codegen: per-row work proportional to document "
+        "length, no shuffle except the final ordering; every doc "
+        "emits ≥ 1 chunk (empty docs produce one empty chunk, same "
+        "as the oracle). Graded per chunk: position, id, length and "
+        "content hash."
+    ),
+    tags=("text", "corpus", "chunking"),
+)
+def x_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length(text), 1), {CHUNK_STRIDE})"
+            )
+        ).alias("i"),
+    )
+    piece = F.expr(f"substring(text, i, {CHUNK_LEN})")
+    return chunks.select(
+        "doc_id",
+        F.expr(f"CAST((i - 1) div {CHUNK_STRIDE} AS BIGINT)").alias(
+            "chunk_id"
+        ),
+        F.col("i").cast("bigint").alias("chunk_start"),
+        F.length(piece).cast("bigint").alias("chunk_len"),
+        F.md5(F.encode(piece, "UTF-8")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_start")
