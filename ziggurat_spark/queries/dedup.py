@@ -1007,16 +1007,16 @@ def _duck_sweep_key(b: int, r: int) -> str:
 
 def _lsh_sweep_candidates(sig: DataFrame, nb: int, r: int) -> DataFrame:
     """Distinct candidate pairs for one (bands, rows_per_band)
-    configuration, banded from the shared signature frame."""
-    bands = None
-    for b in range(nb):
-        part = sig.select(
-            "doc_id",
-            F.lit(0).cast("long").alias("h"),
-            F.lit(b).alias("band"),
-            F.expr(_sweep_key_expr(b, r)).alias("byte"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    configuration, banded from the shared signature frame. All nb
+    band keys come out of ONE posexplode over a key array — an
+    nb-way union would multiply the scan partitions by nb and every
+    downstream shuffle with them."""
+    keys = F.array(*[F.expr(_sweep_key_expr(b, r)) for b in range(nb)])
+    bands = sig.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("h"),
+        F.posexplode(keys).alias("band", "byte"),
+    ).select("doc_id", "h", "band", "byte")
     return (
         _salted_bucket_hamming_pairs(bands, cap=SIMHASH_BUCKET_CAP)
         .select("a", "b")
@@ -1098,18 +1098,38 @@ def x_lsh_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
     exact = _jaccard_pairs(spark, sf).select("a", "b").localCheckpoint()
     n_exact = exact.count()
+    # every config's candidate set in ONE materialization (cfg-tagged
+    # union) and the whole frontier in TWO count jobs — per-config
+    # sequential actions would pay 4× the job latency and re-run the
+    # pair generation for the hit-join
+    cands = None
+    for nb, r in LSH_SWEEP_GRID:
+        c = _lsh_sweep_candidates(sig, nb, r).withColumn(
+            "cfg_bands", F.lit(nb)
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.localCheckpoint()
+    n_cand = {
+        row["cfg_bands"]: row["c"]
+        for row in cands.groupBy("cfg_bands").agg(F.count("*").alias("c")).collect()
+    }
+    n_hit = {
+        row["cfg_bands"]: row["c"]
+        for row in exact.join(cands, ["a", "b"])
+        .groupBy("cfg_bands")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
     out = None
     for nb, r in LSH_SWEEP_GRID:
-        cand = _lsh_sweep_candidates(sig, nb, r)
-        n_cand = cand.count()
-        n_hit = exact.join(cand, ["a", "b"]).count()
-        ppm = 1000000 if n_exact == 0 else (1000000 * n_hit) // n_exact
+        hits = n_hit.get(nb, 0)
+        ppm = 1000000 if n_exact == 0 else (1000000 * hits) // n_exact
         row = spark.range(1).select(
             F.lit(nb).cast("bigint").alias("bands"),
             F.lit(r).cast("bigint").alias("rows_per_band"),
             F.lit(n_exact).cast("bigint").alias("exact_pairs"),
-            F.lit(n_cand).cast("bigint").alias("candidate_pairs"),
-            F.lit(n_hit).cast("bigint").alias("recalled_pairs"),
+            F.lit(n_cand.get(nb, 0)).cast("bigint").alias("candidate_pairs"),
+            F.lit(hits).cast("bigint").alias("recalled_pairs"),
             F.lit(ppm).cast("bigint").alias("recall_ppm"),
         )
         out = row if out is None else out.unionAll(row)

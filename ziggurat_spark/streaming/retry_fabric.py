@@ -609,22 +609,32 @@ class RetryFabric:
             return None, {}
         ch_cond = F.col("channel").eqNullSafe(F.lit(channel).cast("string"))
         if len(buckets) == 1:
-            # nothing to prune — skip the per-bucket count jobs
+            # nothing to prune — skip the count job
             b = next(iter(buckets))
             df = self.spark.read.option("basePath", self.dead_dir).parquet(
                 buckets[b]
             )
             return df.filter(ch_cond), dict(buckets)
+        # ONE per-bucket count job over all buckets (not one job per
+        # bucket): queue selection is a filter, so counts must scan
+        # rows — a single groupBy amortizes the scan and the driver
+        # picks the newest-first prefix covering n from its result
+        per_bucket = {
+            r["dbucket"]: r["c"]
+            for r in (
+                self.spark.read.option("basePath", self.dead_dir)
+                .parquet(*buckets.values())
+                .filter(ch_cond)
+                .groupBy("dbucket")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+        }
         chosen_paths: dict[int, str] = {}
         total = 0
         for b in sorted(buckets, reverse=True):
             chosen_paths[b] = buckets[b]
-            total += (
-                self.spark.read.option("basePath", self.dead_dir)
-                .parquet(buckets[b])
-                .filter(ch_cond)
-                .count()
-            )
+            total += per_bucket.get(b, 0)
             if total >= n:
                 break
         df = self.spark.read.option("basePath", self.dead_dir).parquet(
