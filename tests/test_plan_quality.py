@@ -682,3 +682,42 @@ def test_lsh_param_sweep_signature_computed_once(spark):
         # the signature UDF
         assert "Scan ExistingRDD" in plan
         assert plan.count("ArrowEvalPython") == 0
+
+
+def test_bpe_merges_broadcasts_winner_no_cartesian(spark, specs):
+    """x_bpe_merges: the winning merge pair is a single broadcast row
+    applied onto the word stream — a 100 TB corpus must never shuffle
+    for it — and no round materializes a cartesian product."""
+    df = q(specs, "x_bpe_merges", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_exact_substring_dedup_prunes_scan(spark, specs):
+    """x_exact_substring_dedup: the shingle pass reads only
+    (doc_id, text); no all-pairs edge exists — the duplicate set is
+    joined back on shingle equality."""
+    df = q(specs, "x_exact_substring_dedup", spark)
+    assert not has_cartesian_product(df)
+    for s in scan_read_schemas(df):
+        assert "lang" not in s and "source" not in s
+
+
+def test_unigram_lm_score_broadcasts_scalars(spark, specs):
+    """x_unigram_lm_score: the corpus-total and mean-score rows ride
+    broadcast joins (never a shuffle), and bucketing is threshold-
+    based — the plan must not contain a global sort of the corpus
+    before the final presentation orderBy."""
+    df = q(specs, "x_unigram_lm_score", spark)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_temperature_mixture_single_scan_pruned(spark, specs):
+    """x_temperature_mixture: one documents scan reading only
+    (source, text); every window spans the handful of per-source
+    rows, so the aggregation collapses map-side."""
+    df = q(specs, "x_temperature_mixture", spark)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    assert "doc_id" not in schemas[0] and "lang" not in schemas[0]

@@ -693,3 +693,346 @@ def x_shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: tokenizer induction, exact-substring dedup, unigram LM
+# scoring, temperature-based mixture sampling
+# ---------------------------------------------------------------------------
+
+#: adjacent symbol pairs of a space-separated symbol string (guarded
+#: for 1-symbol words: sequence(1, 0) would descend under ANSI)
+_PAIRS_EXPR = (
+    "if(size(syms) < 2, array(), transform(sequence(1, size(syms)-1),"
+    " i -> concat(syms[i-1], ' ', syms[i])))"
+)
+
+_DUCK_BPE_PAIRS = (
+    "SELECT pr AS pair, count(*) AS cnt FROM ("
+    "SELECT unnest(list_transform(range(2, len(syms)+1),"
+    " i -> syms[i-1] || ' ' || syms[i])) AS pr FROM ("
+    "SELECT string_split(sp, ' ') AS syms FROM {src})) GROUP BY pr"
+)
+
+
+def _bpe_pair_counts(sp: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-pair counts over spaced symbol strings."""
+    return (
+        sp.select(F.split("sp", " ").alias("syms"))
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "x_bpe_merges",
+    oracle=(
+        "WITH w AS (SELECT lower(tok) AS word FROM ("
+        "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok "
+        "FROM documents) WHERE tok <> ''), "
+        "s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+        " AS sp FROM w), "
+        "p1 AS (" + _DUCK_BPE_PAIRS.format(src="s0") + "), "
+        "t1 AS (SELECT pair, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, pair) AS rnk FROM p1), "
+        "m1 AS (SELECT pair AS mp FROM t1 WHERE rnk = 1), "
+        "s1 AS (SELECT replace(sp, mp, replace(mp, ' ', '')) AS sp "
+        "FROM s0, m1), "
+        "p2 AS (" + _DUCK_BPE_PAIRS.format(src="s1") + "), "
+        "t2 AS (SELECT pair, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, pair) AS rnk FROM p2) "
+        "SELECT CAST(1 AS BIGINT) AS merge_round, CAST(rnk AS BIGINT)"
+        " AS rnk, pair, CAST(cnt AS BIGINT) AS cnt FROM t1 WHERE rnk <= 5 "
+        "UNION ALL SELECT CAST(2 AS BIGINT), CAST(rnk AS BIGINT), pair, "
+        "CAST(cnt AS BIGINT) FROM t2 WHERE rnk <= 5 "
+        "ORDER BY merge_round, rnk"
+    ),
+    doc=(
+        "BPE tokenizer induction, the corpus-wide hot loop: words "
+        "split to characters, adjacent symbol pairs counted across "
+        "the corpus, the top pair merged (left-to-right non-overlap "
+        "replace — classical BPE apply), then pairs recounted over "
+        "the merged symbols. Two merge rounds graded by each round's "
+        "top-5 pair table (count desc, pair asc tie-break). Scale "
+        "shape: each round is one corpus scan + one pair groupBy "
+        "shuffle; the pair-count table is vocab-squared-bounded "
+        "(small), so its top-k window and the broadcast of the "
+        "winning merge are driver-free and cheap. The round-1 count "
+        "table is checkpointed so the top-5 branch and the merge "
+        "branch share one computation."
+    ),
+    tags=("corpus", "tokenizer"),
+)
+def x_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(F.lower("tok").alias("word"))
+    )
+    sp0 = words.select(
+        F.rtrim(
+            F.regexp_replace(F.col("word"), F.lit("(.)"), F.lit("$1 "))
+        ).alias("sp")
+    )
+    # pair counts are vocab²-bounded (tiny vs the corpus): checkpoint
+    # so the top-5 branch and the merge branch don't re-scan
+    p1 = _bpe_pair_counts(sp0).localCheckpoint()
+    rnk_w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    t1 = p1.withColumn("rnk", F.row_number().over(rnk_w))
+    m1 = t1.filter(F.col("rnk") == 1).select(F.col("pair").alias("mp"))
+    sp1 = sp0.crossJoin(F.broadcast(m1)).selectExpr(
+        "replace(sp, mp, replace(mp, ' ', '')) AS sp"
+    )
+    t2 = _bpe_pair_counts(sp1).withColumn("rnk", F.row_number().over(rnk_w))
+
+    def _top5(t: DataFrame, rnd: int) -> DataFrame:
+        return t.filter(F.col("rnk") <= 5).select(
+            F.lit(rnd).cast("bigint").alias("merge_round"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "pair",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+
+    return _top5(t1, 1).unionAll(_top5(t2, 2)).orderBy("merge_round", "rnk")
+
+
+SUBSTR_K = 8  # exact-substring window: 8-token shingles, stride 1
+
+
+@register(
+    "x_exact_substring_dedup",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, string_split_regex(trim(text),"
+        f" '\\s+') AS tk FROM documents), "
+        f"sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < {SUBSTR_K} "
+        f"THEN []::VARCHAR[] ELSE list_transform("
+        f"range(1, len(tk) - {SUBSTR_K - 1} + 1), "
+        f"i -> array_to_string(tk[i:i+{SUBSTR_K - 1}], ' ')) END) AS sh "
+        f"FROM tk), "
+        f"dup AS (SELECT sh FROM sh GROUP BY sh "
+        f"HAVING count(DISTINCT doc_id) > 1), "
+        f"tot AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        f"dupc AS (SELECT s.doc_id, count(*) AS d FROM sh s "
+        f"JOIN dup USING (sh) GROUP BY s.doc_id) "
+        f"SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_shingles, "
+        f"CAST(COALESCE(dp.d, 0) AS BIGINT) AS dup_shingles, "
+        f"CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0 ELSE "
+        f"(1000000 * COALESCE(dp.d, 0)) // n END AS BIGINT) AS dup_ppm "
+        f"FROM documents d LEFT JOIN tot USING (doc_id) "
+        f"LEFT JOIN dupc dp USING (doc_id) ORDER BY doc_id"
+    ),
+    doc=(
+        "Exact-substring duplication audit (the signal behind "
+        "suffix-array training-data dedup): every 8-token shingle "
+        "(stride 1), shingles appearing in more than one document "
+        "marked duplicated, and each document graded by how much of "
+        "it is covered by cross-document duplicated spans "
+        "(integer-ppm). Zero-overlap and too-short docs are kept via "
+        "left joins so the audit is complete. Scale shape: one "
+        "shingle groupBy shuffle for the duplicate set, one join "
+        "back on shingle, two doc-keyed aggregations — never "
+        "all-pairs, and the duplicate set is the only intermediate "
+        "that grows with corpus overlap."
+    ),
+    tags=("corpus", "dedup"),
+)
+def x_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    )
+    sh_expr = (
+        f"if(size(tk) < {SUBSTR_K}, array(), "
+        f"transform(sequence(1, size(tk) - {SUBSTR_K - 1}), "
+        f"i -> array_join(slice(tk, i, {SUBSTR_K}), ' ')))"
+    )
+    sh = toks.select("doc_id", F.explode(F.expr(sh_expr)).alias("sh"))
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("sh")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dupc = sh.join(dup, "sh").groupBy("doc_id").agg(F.count("*").alias("d"))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dupc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("dup_shingles"),
+            F.expr(
+                "CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0 ELSE "
+                "(1000000 * COALESCE(d, 0)) div n END AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_unigram_lm_score",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, lower(t) AS tok FROM ("
+        "SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))"
+        " AS t FROM documents) WHERE t <> ''), "
+        "vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM vocab), "
+        "vp AS (SELECT tok, CAST((1000000 * c) // T AS BIGINT)"
+        " AS freq_ppm FROM vocab, tot), "
+        "doc AS (SELECT doc_id, count(*) AS n_tokens, "
+        "CAST(sum(freq_ppm) // count(*) AS BIGINT) AS score_ppm "
+        "FROM tok JOIN vp USING (tok) GROUP BY doc_id), "
+        "avg AS (SELECT CAST(sum(score_ppm) // count(*) AS BIGINT)"
+        " AS avg_ppm FROM doc) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score_ppm, "
+        "CASE WHEN 10 * score_ppm < 9 * avg_ppm THEN 'rare' "
+        "WHEN 10 * score_ppm > 11 * avg_ppm THEN 'common' "
+        "ELSE 'mid' END AS bucket "
+        "FROM doc, avg ORDER BY doc_id"
+    ),
+    doc=(
+        "Unigram-LM document scoring (the integer-exact core of "
+        "CCNet-style perplexity filtering): a unigram model from "
+        "corpus token counts, each document scored by its mean token "
+        "corpus-frequency (ppm), and bucketed rare/mid/common "
+        "against the corpus mean score by fixed ±10% integer "
+        "thresholds — no global sort, so the bucketing survives "
+        "100×. Scale shape: one vocab groupBy, one token→frequency "
+        "shuffle join (broadcast the vocab when it fits), one "
+        "doc-keyed aggregation; corpus total and mean score travel "
+        "as broadcast single rows."
+    ),
+    tags=("corpus", "quality"),
+)
+def x_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", F.lower("t").alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("T"))
+    vp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr("CAST((1000000 * c) div T AS BIGINT)").alias("freq_ppm"),
+    )
+    doc = (
+        tok.join(vp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(freq_ppm) div count(*) AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+    )
+    avg = doc.agg(
+        F.expr("CAST(sum(score_ppm) div count(*) AS BIGINT)").alias(
+            "avg_ppm"
+        )
+    )
+    return (
+        doc.crossJoin(F.broadcast(avg))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_ppm",
+            F.expr(
+                "CASE WHEN 10 * score_ppm < 9 * avg_ppm THEN 'rare' "
+                "WHEN 10 * score_ppm > 11 * avg_ppm THEN 'common' "
+                "ELSE 'mid' END"
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_temperature_mixture",
+    oracle=(
+        "WITH per AS (SELECT source, CAST(sum(len(string_split_regex("
+        "trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents "
+        "GROUP BY source), "
+        "wt AS (SELECT source, n_tokens, CAST(floor(sqrt(CAST(n_tokens"
+        " AS DOUBLE))) AS BIGINT) AS wgt FROM per), "
+        "tw AS (SELECT wt.*, sum(wgt) OVER () AS sw, "
+        "sum(n_tokens) OVER () AS tt FROM wt), "
+        "base AS (SELECT *, (tt // 2) AS budget, "
+        "((tt // 2) * wgt) // sw AS base_tok, "
+        "((tt // 2) * wgt) % sw AS rem FROM tw), "
+        "fin AS (SELECT *, budget - sum(base_tok) OVER () AS deficit, "
+        "row_number() OVER (ORDER BY rem DESC, source) AS rnk FROM base) "
+        "SELECT source, n_tokens, CAST(wgt AS BIGINT) AS weight, "
+        "CAST((1000000 * wgt) // sw AS BIGINT) AS share_ppm, "
+        "CAST(base_tok + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END"
+        " AS BIGINT) AS target_tokens "
+        "FROM fin ORDER BY source"
+    ),
+    doc=(
+        "Temperature-based mixture sampling (alpha = 0.5): per-source "
+        "token counts reweighted by integer sqrt — the standard "
+        "temperature flattening that upsamples small sources without "
+        "drowning large ones — then a half-corpus token budget "
+        "apportioned by largest-remainder rounding so the per-source "
+        "targets sum EXACTLY to the budget. All integer math, "
+        "engine-exact. Scale shape: one map-side-collapsing "
+        "groupBy(source); every window runs over the handful of "
+        "source rows, never the corpus."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    per = (
+        load_table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    wt = per.withColumn(
+        "wgt",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint"),
+    )
+    w_all = W.partitionBy()  # source rows only — bounded by #sources
+    tw = wt.withColumn("sw", F.sum("wgt").over(w_all)).withColumn(
+        "tt", F.sum("n_tokens").over(w_all)
+    )
+    base = tw.select(
+        "*",
+        F.expr("tt div 2").alias("budget"),
+        F.expr("((tt div 2) * wgt) div sw").alias("base_tok"),
+        F.expr("((tt div 2) * wgt) % sw").alias("rem"),
+    )
+    fin = base.withColumn(
+        "deficit", F.col("budget") - F.sum("base_tok").over(w_all)
+    ).withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    return fin.select(
+        "source",
+        "n_tokens",
+        F.col("wgt").cast("bigint").alias("weight"),
+        F.expr("CAST((1000000 * wgt) div sw AS BIGINT)").alias("share_ppm"),
+        F.expr(
+            "CAST(base_tok + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("target_tokens"),
+    ).orderBy("source")
