@@ -721,3 +721,23 @@ def test_temperature_mixture_single_scan_pruned(spark, specs):
     schemas = scan_read_schemas(df)
     assert len(schemas) == 1
     assert "doc_id" not in schemas[0] and "lang" not in schemas[0]
+
+
+def test_knn_graph_mutual_broadcasts_centroids_no_cartesian(spark, specs):
+    """x_knn_graph_mutual: centroid assignment is a broadcast pass;
+    pair generation is cell-equi-joined (within-cell only) — no
+    cartesian product over the vector corpus."""
+    df = q(specs, "x_knn_graph_mutual", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_epoch_shuffle_prunes_scan_no_global_sort(spark, specs):
+    """x_epoch_shuffle: the documents scan reads doc_id only; the
+    in-shard ordering is a per-(epoch, shard) window, and the only
+    Sort above the window belongs to the final presentation orderBy
+    on the 16 aggregated rows."""
+    df = q(specs, "x_epoch_shuffle", spark)
+    schemas = scan_read_schemas(df)
+    assert any("doc_id" in s and "text" not in s for s in schemas)
+    assert not has_cartesian_product(df)

@@ -1036,3 +1036,76 @@ def x_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("target_tokens"),
     ).orderBy("source")
+
+
+N_EPOCH_SHARDS = 8
+
+
+@register(
+    "x_epoch_shuffle",
+    oracle=(
+        f"WITH k AS (SELECT e.epoch, d.doc_id, "
+        f"md5(CAST(e.epoch AS VARCHAR) || ':' || "
+        f"CAST(d.doc_id AS VARCHAR)) AS key FROM documents d, "
+        f"(SELECT unnest([1, 2]) AS epoch) e), "
+        f"sh AS (SELECT epoch, doc_id, key, "
+        f"CAST('0x' || substr(key, 1, 8) AS BIGINT) % {N_EPOCH_SHARDS}"
+        f" AS shard FROM k), "
+        f"pos AS (SELECT epoch, shard, doc_id, row_number() OVER ("
+        f"PARTITION BY epoch, shard ORDER BY key, doc_id) AS rn FROM sh) "
+        f"SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(rn * doc_id) AS BIGINT) AS checksum "
+        f"FROM pos GROUP BY epoch, shard ORDER BY epoch, shard"
+    ),
+    doc=(
+        "Deterministic epoch shuffle: each training epoch re-permutes "
+        "the corpus by hashing (epoch, doc_id) into shards and an "
+        "in-shard order — reproducible on any engine at any cluster "
+        "size, with no rand() and NO global sort (the data-loader "
+        "contract a 100 TB pretraining run needs). Graded per "
+        "(epoch, shard) by doc count and a position-weighted "
+        "checksum, which pins both the assignment AND the in-shard "
+        "permutation; the two epochs' differing checksums prove the "
+        "reshuffle. Scale shape: hash-partition by (epoch, shard), "
+        "per-shard window sort bounded by shard size."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    k = docs.crossJoin(
+        F.broadcast(
+            spark.range(1, 3).select(F.col("id").cast("int").alias("epoch"))
+        )
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("key"),
+    )
+    sh = k.withColumn(
+        "shard",
+        (
+            F.conv(F.substring("key", 1, 8), 16, 10).cast("bigint")
+            % N_EPOCH_SHARDS
+        ),
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("rn") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -438,3 +438,109 @@ def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "qlabel", "neighbor_id", "nlabel", "rnk", "score")
         .orderBy("query_id", "rnk")
     )
+
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "x_knn_graph_mutual",
+    oracle=(
+        f"WITH qv AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS q "
+        f"FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cent_id, q AS cq FROM qv "
+        f"WHERE vec_id % {CENTROID_MOD} = 0), "
+        f"a0 AS (SELECT qv.vec_id, qv.q, c.cent_id, "
+        f"CAST(list_sum(list_transform(list_zip(q, cq), s -> s[1] * s[2]))"
+        f" AS BIGINT) AS cs FROM qv, cent c), "
+        f"assign AS (SELECT vec_id, q, cent_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY cs DESC, cent_id) AS ar FROM a0) WHERE ar = 1), "
+        f"pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+        f"CAST(list_sum(list_transform(list_zip(a.q, b.q), "
+        f"s -> s[1] * s[2])) AS BIGINT) AS score "
+        f"FROM assign a JOIN assign b ON a.cent_id = b.cent_id "
+        f"AND a.vec_id <> b.vec_id), "
+        f"topk AS (SELECT src, dst, score FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY src "
+        f"ORDER BY score DESC, dst) AS rnk FROM pairs)"
+        f" WHERE rnk <= {KNN_GRAPH_K}) "
+        f"SELECT t1.src AS a, t1.dst AS b, t1.score FROM topk t1 "
+        f"JOIN topk t2 ON t2.src = t1.dst AND t2.dst = t1.src "
+        f"WHERE t1.src < t1.dst ORDER BY a, b"
+    ),
+    doc=(
+        "Mutual k-NN graph (the SemDeDup / density-clustering "
+        "substrate): every vector's top-3 neighbors within its IVF "
+        "cell by SQ8 INTEGER dot product, then only RECIPROCATED "
+        "edges kept (a in topk(b) and b in topk(a), a < b) — the "
+        "noise-robust edge set used for semantic clustering. Scale "
+        "shape: broadcast centroid assignment, within-cell pair "
+        "generation only (never all-pairs across cells), per-vector "
+        "window top-k, and the mutual check is a self-equi-join of "
+        "the tiny top-k edge list. Integer scores — engine-exact."
+    ),
+    tags=("similarity", "graph"),
+)
+def x_knn_graph_mutual(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    quant = (
+        "transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+    )
+    qdot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    e = load_table(spark, sf, "embeddings", fan_out=True).select(
+        "vec_id", F.expr(quant).alias("q")
+    )
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    )
+    cell = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.expr(qdot.format(a="q", b="cq")).alias("cs"),
+            "cent_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cent_id, struct(cs, -cent_id))").alias("cent_id"))
+    )
+    assign = e.join(cell, "vec_id")
+    b_side = assign.select(
+        F.col("vec_id").alias("dst"),
+        F.col("q").alias("bq"),
+        F.col("cent_id").alias("bcell"),
+    )
+    pairs = assign.join(
+        b_side,
+        (F.col("cent_id") == F.col("bcell"))
+        & (F.col("vec_id") != F.col("dst")),
+    ).select(
+        F.col("vec_id").alias("src"),
+        "dst",
+        F.expr(qdot.format(a="q", b="bq")).alias("score"),
+    )
+    w = W.partitionBy("src").orderBy(F.col("score").desc(), "dst")
+    topk = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("src", "dst", "score")
+    )
+    rev = topk.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    return (
+        topk.join(
+            rev,
+            (F.col("r_src") == F.col("dst"))
+            & (F.col("r_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "score")
+        .orderBy("a", "b")
+    )
