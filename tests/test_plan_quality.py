@@ -741,3 +741,11 @@ def test_epoch_shuffle_prunes_scan_no_global_sort(spark, specs):
     schemas = scan_read_schemas(df)
     assert any("doc_id" in s and "text" not in s for s in schemas)
     assert not has_cartesian_product(df)
+
+
+def test_corpus_pipeline_v3_no_cartesian_broadcast_scalars(spark, specs):
+    """x_corpus_pipeline_v3: five stages, still no cartesian edge;
+    the corpus-total and mean-score scalars ride broadcast joins."""
+    df = q(specs, "x_corpus_pipeline_v3", spark)
+    assert not has_cartesian_product(df)
+    assert broadcast_join_count(df) >= 2

@@ -1109,3 +1109,197 @@ def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+#: v3 pipeline gates: drop docs scoring >110% of the corpus-mean
+#: unigram frequency (boilerplate) or with >50% of shingles shared
+#: with other docs (cross-document duplication)
+V3_DUP_PPM_MAX = 500000
+
+
+@register(
+    "x_corpus_pipeline_v3",
+    oracle=(
+        # stage 1: tokens per doc
+        "WITH tok AS (SELECT doc_id, lower(t) AS tok FROM ("
+        "SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))"
+        " AS t FROM documents) WHERE t <> ''), "
+        # stage 2: unigram-LM boilerplate gate (common-bucket drop)
+        "vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM vocab), "
+        "vp AS (SELECT tok, CAST((1000000 * c) // T AS BIGINT)"
+        " AS fp FROM vocab, tot), "
+        "dsc AS (SELECT doc_id, count(*) AS n_tok, "
+        "CAST(sum(fp) // count(*) AS BIGINT) AS score FROM tok "
+        "JOIN vp USING (tok) GROUP BY doc_id), "
+        "avgs AS (SELECT CAST(sum(score) // count(*) AS BIGINT)"
+        " AS avg_ppm FROM dsc), "
+        "g1 AS (SELECT doc_id, n_tok FROM dsc, avgs "
+        "WHERE 10 * score <= 11 * avg_ppm), "
+        # stage 3: exact-substring duplication gate over survivors
+        f"tk AS (SELECT d.doc_id, string_split_regex(trim(d.text),"
+        f" '\\s+') AS tk FROM documents d JOIN g1 USING (doc_id)), "
+        f"sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < {SUBSTR_K} "
+        f"THEN []::VARCHAR[] ELSE list_transform("
+        f"range(1, len(tk) - {SUBSTR_K - 1} + 1), "
+        f"i -> array_to_string(tk[i:i+{SUBSTR_K - 1}], ' ')) END) AS sh"
+        f" FROM tk), "
+        "dup AS (SELECT sh FROM sh GROUP BY sh "
+        "HAVING count(DISTINCT doc_id) > 1), "
+        "shtot AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "shdup AS (SELECT s.doc_id, count(*) AS d FROM sh s "
+        "JOIN dup USING (sh) GROUP BY s.doc_id), "
+        "g2 AS (SELECT g1.doc_id, g1.n_tok FROM g1 "
+        "LEFT JOIN shtot USING (doc_id) LEFT JOIN shdup USING (doc_id) "
+        f"WHERE CASE WHEN COALESCE(n, 0) = 0 THEN 0 ELSE "
+        f"(1000000 * COALESCE(d, 0)) // n END <= {V3_DUP_PPM_MAX}), "
+        # stage 4: exact content dedup (md5, keep smallest doc_id)
+        "cc AS (SELECT d.doc_id, d.source, g2.n_tok, md5(d.text) AS h "
+        "FROM documents d JOIN g2 USING (doc_id)), "
+        "keep AS (SELECT doc_id, source, n_tok FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)"
+        " AS rn FROM cc) WHERE rn = 1), "
+        # stage 5: temperature-mixture targets over the kept corpus
+        "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM keep "
+        "GROUP BY source), "
+        "wt AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))"
+        " AS BIGINT) AS wgt FROM per), "
+        "tw AS (SELECT wt.*, sum(wgt) OVER () AS sw, "
+        "sum(n_tokens) OVER () AS tt FROM wt), "
+        "base AS (SELECT *, (tt // 2) AS budget, "
+        "((tt // 2) * wgt) // sw AS base_tok, "
+        "((tt // 2) * wgt) % sw AS rem FROM tw), "
+        "fin AS (SELECT *, budget - sum(base_tok) OVER () AS deficit, "
+        "row_number() OVER (ORDER BY rem DESC, source) AS rnk FROM base) "
+        "SELECT source, n_docs, n_tokens, id_checksum, "
+        "CAST(base_tok + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END"
+        " AS BIGINT) AS target_tokens FROM fin ORDER BY source"
+    ),
+    doc=(
+        "Round-3 FLAGSHIP composite — the curation stack extended "
+        "with this round's ops: tokenize → unigram-LM boilerplate "
+        "gate (drop docs >110% of corpus-mean token frequency) → "
+        "exact-substring duplication gate (drop docs with >50% of "
+        "shingles shared cross-document) → exact content dedup "
+        "(md5, keep smallest id) → temperature-mixture token targets "
+        "per source (integer sqrt + largest-remainder). Graded per "
+        "source by kept doc/token counts, id checksum, and the "
+        "apportioned budget. Wide edges end-to-end: one vocab "
+        "groupBy + one token join, one shingle groupBy + join-back, "
+        "one digest shuffle, one map-side source agg — every stage "
+        "is the 100×-safe shape proven by its standalone op."
+    ),
+    tags=("corpus", "pipeline"),
+)
+def x_corpus_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", F.lower("t").alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("T"))
+    vp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", F.expr("CAST((1000000 * c) div T AS BIGINT)").alias("fp")
+    )
+    dsc = (
+        tok.join(vp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.expr("CAST(sum(fp) div count(*) AS BIGINT)").alias("score"),
+        )
+    )
+    avgs = dsc.agg(
+        F.expr("CAST(sum(score) div count(*) AS BIGINT)").alias("avg_ppm")
+    )
+    g1 = (
+        dsc.crossJoin(F.broadcast(avgs))
+        .filter(F.expr("10 * score <= 11 * avg_ppm"))
+        .select("doc_id", "n_tok")
+    )
+    tk = docs.join(g1, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.split(F.trim(F.col("text")), r"\s+").alias("tk"),
+    )
+    sh_expr = (
+        f"if(size(tk) < {SUBSTR_K}, array(), "
+        f"transform(sequence(1, size(tk) - {SUBSTR_K - 1}), "
+        f"i -> array_join(slice(tk, i, {SUBSTR_K}), ' ')))"
+    )
+    sh = tk.select("doc_id", F.explode(F.expr(sh_expr)).alias("sh"))
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("sh")
+    )
+    shtot = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shdup = sh.join(dup, "sh").groupBy("doc_id").agg(F.count("*").alias("d"))
+    g2 = (
+        g1.join(shtot, "doc_id", "left")
+        .join(shdup, "doc_id", "left")
+        .filter(
+            F.expr(
+                "CASE WHEN COALESCE(n, 0) = 0 THEN 0 ELSE "
+                "(1000000 * COALESCE(d, 0)) div n END"
+            )
+            <= V3_DUP_PPM_MAX
+        )
+        .select("doc_id", "n_tok")
+    )
+    cc = docs.join(g2, "doc_id").select(
+        "doc_id", "source", "n_tok", F.md5("text").alias("h")
+    )
+    keep = (
+        cc.withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    per = keep.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+    wt = per.withColumn(
+        "wgt",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint"),
+    )
+    w_all = W.partitionBy()
+    base = (
+        wt.withColumn("sw", F.sum("wgt").over(w_all))
+        .withColumn("tt", F.sum("n_tokens").over(w_all))
+        .select(
+            "*",
+            F.expr("tt div 2").alias("budget"),
+            F.expr("((tt div 2) * wgt) div sw").alias("base_tok"),
+            F.expr("((tt div 2) * wgt) % sw").alias("rem"),
+        )
+    )
+    fin = base.withColumn(
+        "deficit", F.col("budget") - F.sum("base_tok").over(w_all)
+    ).withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    return fin.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "id_checksum",
+        F.expr(
+            "CAST(base_tok + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("target_tokens"),
+    ).orderBy("source")
