@@ -749,3 +749,11 @@ def test_corpus_pipeline_v3_no_cartesian_broadcast_scalars(spark, specs):
     df = q(specs, "x_corpus_pipeline_v3", spark)
     assert not has_cartesian_product(df)
     assert broadcast_join_count(df) >= 2
+
+
+def test_source_similarity_sketch_broadcast_pair_stage(spark, specs):
+    """x_source_similarity_sketch: one Arrow signature pass, a
+    map-side-combinable per-source min, and the pair stage is a
+    broadcast self-join of the #sources-row sketch table."""
+    df = q(specs, "x_source_similarity_sketch", spark)
+    assert broadcast_join_count(df) >= 1

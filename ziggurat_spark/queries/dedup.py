@@ -1434,3 +1434,85 @@ def x_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _source_sketch_oracle() -> str:
+    mins = ", ".join(
+        f"min({TH.minhash('sh', j)[1]}) AS mh{j}" for j in range(N_HASHES)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(N_HASHES)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, source, "
+        f"{TH.tokens('text')[1]} AS words FROM documents), "
+        f"wh AS (SELECT source, {TH.word_hashes('words')[1]} AS whash "
+        f"FROM tok), "
+        f"sh AS (SELECT source, "
+        f"{TH.shingle_hashes('whash', MINHASH_SHINGLE_K)[1]} AS sh "
+        f"FROM wh), "
+        f"srcsig AS (SELECT source, {mins} FROM sh GROUP BY source) "
+        f"SELECT a.source AS source_a, b.source AS source_b, "
+        f"CAST({match} AS BIGINT) AS matching, "
+        f"CAST(({match}) * {1000000 // N_HASHES} AS BIGINT)"
+        f" AS jaccard_est_ppm "
+        f"FROM srcsig a JOIN srcsig b ON a.source < b.source "
+        f"ORDER BY source_a, source_b"
+    )
+
+
+@register(
+    "x_source_similarity_sketch",
+    oracle=_source_sketch_oracle(),
+    doc=(
+        "Dataset-level similarity audit via MinHash UNION sketches: "
+        "a source's sketch is the elementwise MIN of its documents' "
+        "8-permutation signatures (the mergeable-sketch property — "
+        "min(sig(A ∪ B)) = elementwise-min), so each source "
+        "collapses to 8 integers and every source PAIR gets an "
+        "integer-ppm Jaccard estimate from matching components. "
+        "This is the audit run before mixing datasets: near-"
+        "identical sources (mirrored crawls, re-exports) surface "
+        "without any document-level comparison. Scale shape: one "
+        "corpus signature pass, a map-side-combinable per-source "
+        "min, then a self-join of the #sources-row sketch table — "
+        "the pair stage is O(sources²) on 8-integer rows, free at "
+        "any corpus size."
+    ),
+    tags=("dedup", "minhash", "audit"),
+)
+def x_source_similarity_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents", fan_out=True)
+        .select(
+            "source",
+            THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text").alias("mhs"),
+        )
+    )
+    srcsig = d.groupBy("source").agg(
+        *[
+            F.min(F.element_at("mhs", j + 1)).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    a = srcsig.alias("a")
+    b = srcsig.alias("b")
+    match = None
+    for j in range(N_HASHES):
+        term = F.when(
+            F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        match = term if match is None else match + term
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            match.cast("bigint").alias("matching"),
+            (match * (1000000 // N_HASHES)).cast("bigint").alias(
+                "jaccard_est_ppm"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
