@@ -1631,3 +1631,114 @@ def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(ntot).cast("bigint").alias("hist_total"),
         F.lit(csum).cast("bigint").alias("run2_checksum"),
     )
+
+
+STREAM_VOCAB_K = 20
+STREAM_OOV_MAX_PPM = 350000
+STREAM_MIN_TOKENS = 5
+
+
+@register(
+    "x_stream_quality_gate",
+    oracle=(
+        "WITH ref AS (SELECT unnest(string_split_regex(trim(text),"
+        " '\\s+')) AS w FROM documents WHERE doc_id < 250), "
+        f"vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM ref "
+        f"GROUP BY w ORDER BY c DESC, w LIMIT {STREAM_VOCAB_K})), "
+        "words AS (SELECT doc_id, unnest(string_split_regex(trim(text),"
+        " '\\s+')) AS w FROM documents WHERE doc_id >= 250), "
+        "sc AS (SELECT words.doc_id, count(*) AS n_tok, "
+        "sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS oov "
+        "FROM words LEFT JOIN vocab ON vocab.w = words.w "
+        "GROUP BY words.doc_id), "
+        f"keep AS (SELECT doc_id, n_tok FROM sc WHERE "
+        f"n_tok >= {STREAM_MIN_TOKENS} AND "
+        f"(1000000 * oov) // n_tok <= {STREAM_OOV_MAX_PPM}) "
+        "SELECT CAST(count(*) AS BIGINT) AS kept_docs, "
+        "CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS id_sum, "
+        "CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tok_sum FROM keep"
+    ),
+    doc=(
+        "Streaming corpus quality gate (the ingestion-side twin of "
+        "the batch OOV/length gates): documents arrive as "
+        "micro-batches and each batch is scored against the FROZEN "
+        "reference vocabulary (top-20 words of the historic slice, "
+        "broadcast; checkpointed once, never recomputed per batch) — "
+        "docs with ≥35% out-of-vocabulary tokens or <5 tokens are "
+        "dropped before they ever land in the corpus. Per-batch work "
+        "is O(batch): one explode, one broadcast join, one doc-keyed "
+        "agg inside foreachBatch, stateless across batches. Graded "
+        "by kept-doc count, id checksum and token sum — proving "
+        "WHICH docs passed."
+    ),
+    tags=("streaming", "quality", "corpus"),
+)
+@_sized_state
+def x_stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    ref_words = docs.filter(F.col("doc_id") < 250).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    # the frozen reference vocabulary: tiny (top-K), checkpointed so
+    # every micro-batch broadcasts the materialized rows instead of
+    # re-running the historic aggregation
+    vocab = (
+        ref_words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(STREAM_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+        .localCheckpoint()
+    )
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_qgate_")
+    docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = src_dir + "_kept"
+
+    def _gate(b, _i):
+        w = b.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        sc = (
+            w.join(F.broadcast(vocab), "w", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tok"),
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).alias("oov"),
+            )
+        )
+        keep = sc.filter(
+            (F.col("n_tok") >= STREAM_MIN_TOKENS)
+            & (
+                F.expr("(1000000 * oov) div n_tok")
+                <= STREAM_OOV_MAX_PPM
+            )
+        ).select("doc_id", "n_tok")
+        keep.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_gate)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    kept = spark.read.parquet(out_dir)
+    return kept.agg(
+        F.count("*").alias("kept_docs"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok_sum"),
+    )
