@@ -757,3 +757,14 @@ def test_source_similarity_sketch_broadcast_pair_stage(spark, specs):
     broadcast self-join of the #sources-row sketch table."""
     df = q(specs, "x_source_similarity_sketch", spark)
     assert broadcast_join_count(df) >= 1
+
+
+def test_overlap_audits_pruned_scan_no_cartesian(spark, specs):
+    """x_cross_source_overlap / x_split_leakage_audit: the
+    fingerprint join is a keyed equi-join (no cartesian) over a scan
+    reading only the columns the fingerprint needs."""
+    for name in ("x_cross_source_overlap", "x_split_leakage_audit"):
+        df = q(specs, name, spark)
+        assert not has_cartesian_product(df)
+        for s in scan_read_schemas(df):
+            assert "lang" not in s

@@ -1303,3 +1303,128 @@ def x_corpus_pipeline_v3(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("target_tokens"),
     ).orderBy("source")
+
+
+#: boilerplate-opening fingerprint: md5 of the first 8 tokens — the
+#: cheap key that catches shared headers/preambles exact-md5 misses
+def _spark_head_fp() -> "F.Column":
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    return F.md5(F.array_join(F.slice(tk, 1, 8), " "))
+
+
+_DUCK_HEADFP = (
+    "md5(array_to_string((string_split_regex(trim(text), '\\s+'))[1:8],"
+    " ' '))"
+)
+
+
+@register(
+    "x_cross_source_overlap",
+    oracle=(
+        f"WITH d AS (SELECT DISTINCT {_DUCK_HEADFP} AS h, source "
+        f"FROM documents), "
+        f"p AS (SELECT DISTINCT a.h, a.source AS source_a, "
+        f"b.source AS source_b FROM d a JOIN d b "
+        f"ON a.h = b.h AND a.source < b.source) "
+        f"SELECT source_a, source_b, CAST(count(*) AS BIGINT)"
+        f" AS shared_fingerprints FROM p GROUP BY source_a, source_b "
+        f"ORDER BY source_a, source_b"
+    ),
+    doc=(
+        "Cross-source duplication audit: per source pair, how many "
+        "distinct boilerplate-opening fingerprints (md5 of the first "
+        "8 tokens) both sources contain — the audit that catches "
+        "mirrored crawls and shared preamble templates BEFORE "
+        "sources are mixed, complementing the MinHash sketch "
+        "estimate with exact counts. Scale shape: one distinct "
+        "(fingerprint, source) pass, a fingerprint-keyed equi-join "
+        "whose per-key fanout is bounded by the source count (never "
+        "by corpus size), one pair-keyed agg."
+    ),
+    tags=("corpus", "dedup", "audit"),
+)
+def x_cross_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load_table(spark, sf, "documents")
+        .select(_spark_head_fp().alias("h"), "source")
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.h").alias("h"),
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+_DUCK_SPLIT = (
+    "CASE WHEN ((doc_id % 1048576) * 2654435761) % 100 < 80 THEN 'train' "
+    "WHEN ((doc_id % 1048576) * 2654435761) % 100 < 90 THEN 'valid' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "x_split_leakage_audit",
+    oracle=(
+        f"WITH d AS (SELECT DISTINCT {_DUCK_HEADFP} AS h, "
+        f"{_DUCK_SPLIT} AS split FROM documents), "
+        f"p AS (SELECT DISTINCT a.h, a.split AS split_a, "
+        f"b.split AS split_b FROM d a JOIN d b "
+        f"ON a.h = b.h AND a.split < b.split) "
+        f"SELECT split_a, split_b, CAST(count(*) AS BIGINT)"
+        f" AS leaked_fingerprints FROM p GROUP BY split_a, split_b "
+        f"ORDER BY split_a, split_b"
+    ),
+    doc=(
+        "Train/valid/test leakage audit: after the deterministic "
+        "hash split (x_hash_split's Knuth assignment), count the "
+        "distinct boilerplate-opening fingerprints that appear in "
+        "MORE THAN ONE split — near-duplicate content straddling the "
+        "split boundary is exactly how eval numbers get quietly "
+        "inflated, and a split is only as clean as this table is "
+        "empty. Same bounded-fanout join shape as the cross-source "
+        "audit (per-fingerprint fanout ≤ 3 splits)."
+    ),
+    tags=("corpus", "sampling", "audit"),
+)
+def x_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    b_col = (F.col("doc_id") % 1048576) * F.lit(2654435761) % 100
+    split = (
+        F.when(b_col < 80, "train").when(b_col < 90, "valid").otherwise("test")
+    )
+    d = (
+        load_table(spark, sf, "documents")
+        .select(_spark_head_fp().alias("h"), split.alias("split"))
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .select(
+            F.col("a.h").alias("h"),
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .distinct()
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("leaked_fingerprints"))
+        .orderBy("split_a", "split_b")
+    )
