@@ -768,3 +768,14 @@ def test_overlap_audits_pruned_scan_no_cartesian(spark, specs):
         assert not has_cartesian_product(df)
         for s in scan_read_schemas(df):
             assert "lang" not in s
+
+
+def test_cooccurrence_single_scan_jvm_generation(spark, specs):
+    """x_cooccurrence_topk: pairs generate JVM-side from the token
+    array (no Python eval node), one scan, no cartesian."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_cooccurrence_topk", spark)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert not has_cartesian_product(df)

@@ -164,3 +164,75 @@ def x_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+COOC_TOP_K = 20
+
+
+@register(
+    "x_cooccurrence_topk",
+    oracle=(
+        "WITH tk AS (SELECT string_split_regex(trim(text), '\\s+') AS tk "
+        "FROM documents), "
+        "p AS (SELECT CASE WHEN a < b THEN a || ' ' || b "
+        "ELSE b || ' ' || a END AS pair FROM ("
+        "SELECT unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[] ELSE "
+        "list_transform(range(2, len(tk) + 1), i -> tk[i-1]) END) AS a, "
+        "unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[] ELSE "
+        "list_transform(range(2, len(tk) + 1), i -> tk[i]) END) AS b "
+        "FROM tk "
+        "UNION ALL "
+        "SELECT unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE "
+        "list_transform(range(3, len(tk) + 1), i -> tk[i-2]) END) AS a, "
+        "unnest(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] ELSE "
+        "list_transform(range(3, len(tk) + 1), i -> tk[i]) END) AS b "
+        "FROM tk)), "
+        "c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p "
+        "GROUP BY pair) "
+        f"SELECT pair, cnt, CAST(rnk AS BIGINT) AS rnk FROM ("
+        f"SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk "
+        f"FROM c) WHERE rnk <= {COOC_TOP_K} ORDER BY rnk"
+    ),
+    doc=(
+        "Word co-occurrence counts in a ±2-token window (the "
+        "word2vec/GloVe statistics pass): unordered pairs normalized "
+        "by least/greatest, distance-1 and distance-2 neighbors, "
+        "top-20 by count. Scale shape: pairs are generated JVM-side "
+        "from each document's token array (≤ 2 pairs per token — "
+        "linear blowup, bounded), one pair groupBy shuffle whose "
+        "width is vocab²-bounded, and only the count table reaches "
+        "the top-k window."
+    ),
+    tags=("text", "ngrams", "corpus"),
+)
+def x_cooccurrence_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tk_df = load_table(spark, sf, "documents", fan_out=True).select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    )
+    pairs_expr = (
+        "concat("
+        "if(size(tk) < 2, array(), transform(sequence(1, size(tk) - 1),"
+        " i -> struct(tk[i-1] AS a, tk[i] AS b))), "
+        "if(size(tk) < 3, array(), transform(sequence(1, size(tk) - 2),"
+        " i -> struct(tk[i-1] AS a, tk[i+1] AS b))))"
+    )
+    pair = F.concat_ws(
+        " ",
+        F.least(F.col("p.a"), F.col("p.b")),
+        F.greatest(F.col("p.a"), F.col("p.b")),
+    )
+    c = (
+        tk_df.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(pair.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= COOC_TOP_K)
+        .select("pair", "cnt", F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("rnk")
+    )
