@@ -86,3 +86,78 @@ def test_keyed_running_counts_across_batches(spark, tmp_path):
     assert ("u1", 2, 2) in rows  # first batch
     assert ("u2", 1, 1) in rows
     assert ("u1", 1, 3) in rows  # state carried across micro-batches
+
+
+class TestBucketedLwwMerge:
+    """The touched-only contract of the no-Delta MERGE
+    (queries/streaming_surface.bucketed_lww_merge): buckets a batch
+    does not touch are never rewritten — their directories carry over
+    by reference, byte-identical."""
+
+    def _proj(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, val string"
+        )
+        return df.withColumn("kb", F.pmod(F.col("user_id"), F.lit(4)))
+
+    def test_untouched_buckets_carry_over_byte_identical(
+        self, spark, tmp_path
+    ):
+        import hashlib
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ziggurat_spark.queries.streaming_surface import (
+            bucketed_lww_merge,
+        )
+
+        workdir = str(tmp_path / "state")
+        os.makedirs(workdir)
+        state: dict = {}
+        order = (F.desc("ts"), F.desc("event_id"))
+        # batch 0 touches buckets 1 (users 1, 17) and 2 (user 2)
+        b0 = self._proj(
+            spark,
+            [(1, 10, 1, "a"), (17, 10, 2, "b"), (2, 10, 3, "c")],
+        )
+        t0 = bucketed_lww_merge(
+            spark, workdir, state, b0, 0, key="user_id", order_cols=order
+        )
+        assert t0 == [1, 2]
+        bucket1_dir = state[1]
+
+        def digest(d):
+            out = {}
+            for name in sorted(os.listdir(d)):
+                p = os.path.join(d, name)
+                if os.path.isfile(p) and not name.startswith("."):
+                    out[name] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+            return out
+
+        before = digest(bucket1_dir)
+        # batch 1 touches ONLY bucket 2 (user 6): bucket 1 must not move
+        b1 = self._proj(spark, [(6, 20, 4, "d"), (2, 20, 5, "e")])
+        t1 = bucketed_lww_merge(
+            spark, workdir, state, b1, 1, key="user_id", order_cols=order
+        )
+        assert t1 == [2]
+        assert state[1] == bucket1_dir  # same directory, by reference
+        assert digest(bucket1_dir) == before  # bytes untouched
+        # LWW correctness across the carried-over + rewritten buckets
+        final = (
+            spark.read.parquet(*sorted(state.values()))
+            .select("user_id", "val")
+            .orderBy("user_id")
+            .collect()
+        )
+        assert [(r.user_id, r.val) for r in final] == [
+            (1, "a"),
+            (2, "e"),
+            (6, "d"),
+            (17, "b"),
+        ]

@@ -709,6 +709,46 @@ def x_stream_max_poll_batches(spark: SparkSession, sf: str) -> DataFrame:
 _LWW_KEY_DUCK = "printf('%020d#%012d', epoch_us(ts), event_id)"
 
 
+def bucketed_lww_merge(
+    spark: SparkSession,
+    workdir: str,
+    state: dict,
+    proj: DataFrame,
+    batch_id: int,
+    key: str,
+    order_cols: tuple,
+) -> list:
+    """Touched-only bucket MERGE (the no-Delta MERGE INTO): ``proj``
+    must carry an integer ``kb`` key-bucket column; only the buckets
+    the batch touches are read back, merged last-write-wins per
+    ``key`` (highest ``order_cols`` first), and rewritten — every
+    other bucket directory carries over by reference, untouched
+    bytes on disk. ``state`` maps bucket -> current directory and is
+    updated in place. Returns the touched bucket ids."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    touched = sorted(r["kb"] for r in proj.select("kb").distinct().collect())
+    old = [state[b] for b in touched if b in state]
+    if old:
+        # bucket-pruned read: ONLY the touched buckets' rows rejoin
+        # the merge; every other bucket stays on disk
+        prev = spark.read.parquet(*old).withColumn("kb", F.col("kbc"))
+        cur = prev.unionByName(proj.withColumn("kbc", F.col("kb")))
+    else:
+        cur = proj.withColumn("kbc", F.col("kb"))
+    merged = (
+        cur.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    new_path = os.path.join(workdir, f"state_v{batch_id}")
+    merged.write.partitionBy("kb").mode("overwrite").parquet(new_path)
+    for b in touched:
+        state[b] = os.path.join(new_path, f"kb={b}")
+    return touched
+
+
 @register(
     "x_stream_upsert_state",
     oracle=(
@@ -722,20 +762,22 @@ _LWW_KEY_DUCK = "printf('%020d#%012d', epoch_us(ts), event_id)"
         "Streaming CDC materialization: events arrive in 8 "
         "micro-batches and foreachBatch MERGEs each into a keyed "
         "state table (union previous state + batch, keep the "
-        "max-(ts,event_id) row per user, swap in a new version — "
-        "the parquet spelling of Delta MERGE INTO). The graded "
-        "result is the FINAL state table, which must equal the "
-        "declarative last-write-wins oracle no matter how the "
-        "stream was batched. State stays O(distinct keys); each "
-        "merge is one co-partitioned window over state ∪ batch "
-        "keyed on user_id."
+        "max-(ts,event_id) row per user — the parquet spelling of "
+        "Delta MERGE INTO). The state table is BUCKET-PARTITIONED "
+        "by key (pmod(user_id, 16)) and each merge rewrites ONLY "
+        "the buckets the batch's keys touch — untouched bucket "
+        "directories carry over by reference, so per-batch I/O is "
+        "O(touched-bucket rows + batch), never O(total state) — "
+        "the same touched-only contract the retry fabric's dead "
+        "queue proves with byte-identical-partition tests. The "
+        "graded result is the FINAL state table, which must equal "
+        "the declarative last-write-wins oracle no matter how the "
+        "stream was batched."
     ),
     tags=("streaming", "upsert", "cdc"),
 )
 @_sized_state
 def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     src_dir = _events_split_dir(spark, sf, 8)
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -744,10 +786,8 @@ def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(src_dir)
     )
     workdir = tempfile.mkdtemp(prefix="zs_stream_upsert_")
-    state = {"path": None}
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    n_buckets = 16
+    state: dict[int, str] = {}  # key-bucket -> current directory
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         proj = batch_df.select(
@@ -756,20 +796,16 @@ def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
             "event_id",
             "event_type",
             F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        ).withColumn("kb", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        bucketed_lww_merge(
+            spark,
+            workdir,
+            state,
+            proj,
+            batch_id,
+            key="user_id",
+            order_cols=(F.desc("ts"), F.desc("event_id")),
         )
-        cur = (
-            spark.read.parquet(state["path"]).unionByName(proj)
-            if state["path"]
-            else proj
-        )
-        merged = (
-            cur.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        new_path = os.path.join(workdir, f"state_v{batch_id}")
-        merged.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -780,7 +816,7 @@ def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return (
-        spark.read.parquet(state["path"])
+        spark.read.parquet(*sorted(state.values()))
         .select(
             "user_id",
             F.col("event_type").alias("last_type"),
