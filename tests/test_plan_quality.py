@@ -779,3 +779,19 @@ def test_cooccurrence_single_scan_jvm_generation(spark, specs):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan
     assert not has_cartesian_product(df)
+
+
+def test_bottomk_sample_no_global_sort_of_corpus(spark, specs):
+    """x_bottomk_sample: the rank is a per-source window (rank
+    truncation pushes down); the scan reads only (source, doc_id)."""
+    df = q(specs, "x_bottomk_sample", spark)
+    schemas = scan_read_schemas(df)
+    assert len(schemas) == 1
+    assert "text" not in schemas[0]
+
+
+def test_bpe_tokenize_broadcasts_winners(spark, specs):
+    """x_bpe_tokenize: both learned merges apply as broadcast
+    single-row replaces — no shuffle to apply a merge."""
+    df = q(specs, "x_bpe_tokenize", spark)
+    assert not has_cartesian_product(df)

@@ -1428,3 +1428,153 @@ def x_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("leaked_fingerprints"))
         .orderBy("split_a", "split_b")
     )
+
+
+_DUCK_SYMCOUNT = (
+    "SELECT CAST(sum(len(string_split(sp, ' '))) AS BIGINT) AS c FROM {src}"
+)
+
+
+@register(
+    "x_bpe_tokenize",
+    oracle=(
+        "WITH w AS (SELECT lower(tok) AS word FROM ("
+        "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok "
+        "FROM documents) WHERE tok <> ''), "
+        "s0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+        " AS sp FROM w), "
+        "p1 AS (" + _DUCK_BPE_PAIRS.format(src="s0") + "), "
+        "t1 AS (SELECT pair, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, pair) AS rnk FROM p1), "
+        "m1 AS (SELECT pair AS mp FROM t1 WHERE rnk = 1), "
+        "s1 AS (SELECT replace(sp, mp, replace(mp, ' ', '')) AS sp "
+        "FROM s0, m1), "
+        "p2 AS (" + _DUCK_BPE_PAIRS.format(src="s1") + "), "
+        "t2 AS (SELECT pair, cnt, row_number() OVER "
+        "(ORDER BY cnt DESC, pair) AS rnk FROM p2), "
+        "m2 AS (SELECT pair AS mp FROM t2 WHERE rnk = 1), "
+        "s2 AS (SELECT replace(sp, mp, replace(mp, ' ', '')) AS sp "
+        "FROM s1, m2), "
+        "c0 AS (" + _DUCK_SYMCOUNT.format(src="s0") + "), "
+        "c1 AS (" + _DUCK_SYMCOUNT.format(src="s1") + "), "
+        "c2 AS (" + _DUCK_SYMCOUNT.format(src="s2") + ") "
+        "SELECT CAST(0 AS BIGINT) AS merge_round, c0.c AS total_symbols, "
+        "CAST(0 AS BIGINT) AS saved_ppm FROM c0 "
+        "UNION ALL SELECT 1, c1.c, "
+        "CAST((1000000 * (c0.c - c1.c)) // c0.c AS BIGINT) FROM c0, c1 "
+        "UNION ALL SELECT 2, c2.c, "
+        "CAST((1000000 * (c0.c - c2.c)) // c0.c AS BIGINT) FROM c0, c2 "
+        "ORDER BY merge_round"
+    ),
+    doc=(
+        "Tokenizer APPLY + compression audit: the two corpus-learned "
+        "BPE merges (x_bpe_merges' winners) applied to every word, "
+        "graded by the total symbol count after each round and the "
+        "integer-ppm compression saved — the curve a tokenizer build "
+        "watches to decide when more merges stop paying. Scale "
+        "shape: per round one corpus scan + one vocab²-bounded pair "
+        "groupBy (to learn the merge) + a broadcast single-row "
+        "replace (to apply it); the symbol counts are map-side "
+        "collapsing sums."
+    ),
+    tags=("corpus", "tokenizer"),
+)
+def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.queries.corpus_ops import _bpe_pair_counts
+
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(F.lower("tok").alias("word"))
+    )
+    sp0 = words.select(
+        F.rtrim(
+            F.regexp_replace(F.col("word"), F.lit("(.)"), F.lit("$1 "))
+        ).alias("sp")
+    ).localCheckpoint()  # three consumers: count, merge-1 learn, apply
+    rnk_w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+
+    def _winner(sp: DataFrame) -> DataFrame:
+        return (
+            _bpe_pair_counts(sp)
+            .withColumn("rnk", F.row_number().over(rnk_w))
+            .filter(F.col("rnk") == 1)
+            .select(F.col("pair").alias("mp"))
+        )
+
+    sp1 = (
+        sp0.crossJoin(F.broadcast(_winner(sp0)))
+        .selectExpr("replace(sp, mp, replace(mp, ' ', '')) AS sp")
+        .localCheckpoint()
+    )
+    sp2 = sp1.crossJoin(F.broadcast(_winner(sp1))).selectExpr(
+        "replace(sp, mp, replace(mp, ' ', '')) AS sp"
+    )
+
+    def _count(sp: DataFrame) -> int:
+        return sp.select(
+            F.sum(F.size(F.split("sp", " "))).cast("bigint").alias("c")
+        ).collect()[0]["c"]
+
+    c0, c1, c2 = _count(sp0), _count(sp1), _count(sp2)
+    rows = [
+        (0, c0, 0),
+        (1, c1, (1000000 * (c0 - c1)) // c0),
+        (2, c2, (1000000 * (c0 - c2)) // c0),
+    ]
+    out = None
+    for rnd, c, saved in rows:
+        r = spark.range(1).select(
+            F.lit(rnd).cast("bigint").alias("merge_round"),
+            F.lit(c).cast("bigint").alias("total_symbols"),
+            F.lit(saved).cast("bigint").alias("saved_ppm"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("merge_round")
+
+
+BOTTOMK_K = 5
+
+
+@register(
+    "x_bottomk_sample",
+    oracle=(
+        "WITH h AS (SELECT source, doc_id, "
+        "md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents), "
+        "r AS (SELECT source, doc_id, hk, row_number() OVER ("
+        "PARTITION BY source ORDER BY hk, doc_id) AS rnk FROM h) "
+        f"SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r "
+        f"WHERE rnk <= {BOTTOMK_K} ORDER BY source, rnk"
+    ),
+    doc=(
+        "Bottom-k deterministic sampling: per source, the k documents "
+        "with the SMALLEST id-hashes — a uniform-without-replacement "
+        "sample that is reproducible on any engine at any cluster "
+        "size (the bottom-k sketch construction; the same k rows "
+        "come out no matter how the data is partitioned, because "
+        "membership depends only on the hash order). Scale shape: "
+        "per-source window top-k — rank truncation pushes down, "
+        "never a global sort."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    h = load_table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = W.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BOTTOMK_K)
+        .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id")
+        .orderBy("source", "rnk")
+    )

@@ -1778,3 +1778,83 @@ def x_stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
         F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok_sum"),
     )
+
+
+@register(
+    "x_stream_mixture_monitor",
+    oracle=(
+        "WITH per AS (SELECT source, CAST(sum(len(string_split_regex("
+        "trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents "
+        "GROUP BY source), "
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per) "
+        "SELECT source, n_tokens, "
+        "CAST((1000000 * n_tokens) // tt AS BIGINT) AS share_ppm "
+        "FROM per, tot ORDER BY source"
+    ),
+    doc=(
+        "Streaming mixture monitor: documents arrive as micro-batches "
+        "and each batch contributes map-side-collapsed per-source "
+        "token partials (one row per source per batch appended to the "
+        "monitor table); the final mixture shares must equal the "
+        "batch-computed plan EXACTLY no matter how the stream was "
+        "chunked — the accounting a live ingest pipeline runs to "
+        "detect source drift against its target mixture. Per-batch "
+        "work: one aggregation over the batch, output rows bounded "
+        "by the source count."
+    ),
+    tags=("streaming", "sampling", "corpus"),
+)
+@_sized_state
+def x_stream_mixture_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_mixmon_")
+    docs.select("doc_id", "source", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = src_dir + "_partials"
+
+    def _account(b, _i):
+        (
+            b.groupBy("source")
+            .agg(
+                F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+                .cast("bigint")
+                .alias("n_tok")
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_account)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    per = (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("tt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(
+                "CAST((1000000 * n_tokens) div tt AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
