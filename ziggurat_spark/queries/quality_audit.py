@@ -317,3 +317,42 @@ def x_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         # avoid); exact_users beside approx_users already shows the
         # sketch error at test scale (x_quantiles has exact medians).
     )
+
+
+K_ANON = 5
+
+
+@register(
+    "x_k_anonymity_audit",
+    oracle=(
+        "WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT)"
+        " AS group_n FROM documents GROUP BY lang, source) "
+        f"SELECT lang, source, group_n, "
+        f"CASE WHEN group_n >= {K_ANON} THEN 1 ELSE 0 END AS k_anonymous "
+        f"FROM g ORDER BY lang, source"
+    ),
+    doc=(
+        "k-anonymity audit over the quasi-identifier combination "
+        "(lang, source): any equivalence class smaller than k = 5 is "
+        "flagged — the data-governance check run before releasing a "
+        "corpus with joined metadata, because small classes "
+        "re-identify their members. One map-side-collapsing groupBy; "
+        "output bounded by the distinct QI combinations."
+    ),
+    tags=("quality", "audit", "privacy"),
+)
+def x_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        load_table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("group_n"))
+    )
+    return g.select(
+        "lang",
+        "source",
+        "group_n",
+        F.when(F.col("group_n") >= K_ANON, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("k_anonymous"),
+    ).orderBy("lang", "source")
