@@ -743,7 +743,11 @@ def bucketed_lww_merge(
         .drop("rn")
     )
     new_path = os.path.join(workdir, f"state_v{batch_id}")
-    merged.write.partitionBy("kb").mode("overwrite").parquet(new_path)
+    # one file per touched bucket: co-partition on kb before the
+    # partitioned write so a bucket's rows land in a single task
+    merged.repartition(len(touched), "kb").write.partitionBy("kb").mode(
+        "overwrite"
+    ).parquet(new_path)
     for b in touched:
         state[b] = os.path.join(new_path, f"kb={b}")
     return touched
@@ -778,7 +782,11 @@ def bucketed_lww_merge(
 )
 @_sized_state
 def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
-    src_dir = _events_split_dir(spark, sf, 8)
+    # 4 micro-batches exercise multi-batch merging; 8 buckets keep
+    # the per-batch file count proportionate at bench scale (at
+    # 100 TB you'd raise both — the touched-only I/O bound is what
+    # matters, not these two dials)
+    src_dir = _events_split_dir(spark, sf, 4)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -786,7 +794,7 @@ def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(src_dir)
     )
     workdir = tempfile.mkdtemp(prefix="zs_stream_upsert_")
-    n_buckets = 16
+    n_buckets = 8
     state: dict[int, str] = {}  # key-bucket -> current directory
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
