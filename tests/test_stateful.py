@@ -161,3 +161,74 @@ class TestBucketedLwwMerge:
             (6, "d"),
             (17, "b"),
         ]
+
+
+class TestBucketedLwwMergeProperty:
+    """Batching-independence: however the event log is chunked into
+    micro-batches, the final merged state equals the declarative
+    last-write-wins result over the whole log."""
+
+    def test_random_batchings_converge_to_lww(self, spark, tmp_path):
+        import os
+        import random
+
+        from pyspark.sql import functions as F
+
+        from ziggurat_spark.queries.streaming_surface import (
+            bucketed_lww_merge,
+        )
+
+        rng = random.Random(20260814)
+        # 60 events over 12 keys with colliding (ts) resolved by
+        # event_id — the tie-break the window must honor
+        events = [
+            (
+                rng.randrange(12),          # user_id
+                rng.randrange(5),           # ts (coarse: forces ties)
+                i,                          # event_id (unique)
+                f"v{i}",
+            )
+            for i in range(60)
+        ]
+        # expected: per key, row with max (ts, event_id)
+        expect = {}
+        for uid, ts, eid, val in events:
+            cur = expect.get(uid)
+            if cur is None or (ts, eid) > (cur[0], cur[1]):
+                expect[uid] = (ts, eid, val)
+        expected = sorted((k, v[2]) for k, v in expect.items())
+
+        for trial in range(3):
+            # random contiguous batching of a random permutation
+            perm = events[:]
+            rng.shuffle(perm)
+            cuts = sorted(
+                rng.sample(range(1, len(perm)), rng.randrange(2, 6))
+            )
+            batches, prev = [], 0
+            for c in cuts + [len(perm)]:
+                batches.append(perm[prev:c])
+                prev = c
+            workdir = str(tmp_path / f"t{trial}")
+            os.makedirs(workdir)
+            state: dict = {}
+            for bid, rows in enumerate(batches):
+                proj = spark.createDataFrame(
+                    rows, "user_id long, ts long, event_id long, val string"
+                ).withColumn("kb", F.pmod(F.col("user_id"), F.lit(4)))
+                bucketed_lww_merge(
+                    spark,
+                    workdir,
+                    state,
+                    proj,
+                    bid,
+                    key="user_id",
+                    order_cols=(F.desc("ts"), F.desc("event_id")),
+                )
+            got = sorted(
+                (r.user_id, r.val)
+                for r in spark.read.parquet(*state.values())
+                .select("user_id", "val")
+                .collect()
+            )
+            assert got == expected, f"trial {trial} diverged"
