@@ -795,3 +795,11 @@ def test_bpe_tokenize_broadcasts_winners(spark, specs):
     single-row replaces — no shuffle to apply a merge."""
     df = q(specs, "x_bpe_tokenize", spark)
     assert not has_cartesian_product(df)
+
+
+def test_pq_ann_broadcasts_codebook_no_cartesian(spark, specs):
+    """x_pq_ann_topk: the 4-row codebook and the query subvectors
+    both ride broadcast joins; no cartesian over the corpus."""
+    df = q(specs, "x_pq_ann_topk", spark)
+    assert broadcast_join_count(df) >= 3
+    assert not has_cartesian_product(df)

@@ -544,3 +544,146 @@ def x_knn_graph_mutual(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "score")
         .orderBy("a", "b")
     )
+
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64-dim embeddings → 4 × 16
+PQ_CODEBOOK = 4  # codewords per subspace
+PQ_QUERY_MOD = 100
+_PQ_J = "(SELECT unnest([0, 1, 2, 3]) AS j)"
+_PQ_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+)
+_PQ_LDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "x_pq_ann_topk",
+    oracle=(
+        f"WITH ev AS (SELECT vec_id, {_PQ_QUANT} AS q8 FROM embeddings), "
+        f"cent AS (SELECT c, cq8 FROM (SELECT vec_id % 13 AS c, q8 AS cq8,"
+        f" row_number() OVER (PARTITION BY vec_id % 13 ORDER BY vec_id)"
+        f" AS rn FROM ev WHERE vec_id % 13 < {PQ_CODEBOOK}) WHERE rn = 1), "
+        f"sub AS (SELECT vec_id, j, q8[j*{PQ_SUBDIM}+1 : j*{PQ_SUBDIM}"
+        f"+{PQ_SUBDIM}] AS sv FROM ev, {_PQ_J} jj), "
+        f"csub AS (SELECT c, j, cq8[j*{PQ_SUBDIM}+1 : j*{PQ_SUBDIM}"
+        f"+{PQ_SUBDIM}] AS cv FROM cent, {_PQ_J} jj), "
+        f"sc AS (SELECT s.vec_id, s.j, cs.c, "
+        f"{_PQ_LDOT.format(a='sv', b='cv')} AS d "
+        f"FROM sub s JOIN csub cs ON cs.j = s.j), "
+        f"codes AS (SELECT vec_id, j, c FROM (SELECT *, row_number() OVER"
+        f" (PARTITION BY vec_id, j ORDER BY d DESC, c) AS rn FROM sc)"
+        f" WHERE rn = 1), "
+        f"cvc AS (SELECT codes.vec_id, codes.j, csub.cv FROM codes "
+        f"JOIN csub ON csub.j = codes.j AND csub.c = codes.c), "
+        f"q AS (SELECT vec_id AS qid, j, sv AS qv FROM sub "
+        f"WHERE vec_id % {PQ_QUERY_MOD} = 0), "
+        f"ps AS (SELECT q.qid, v.vec_id AS neighbor_id, "
+        f"{_PQ_LDOT.format(a='q.qv', b='v.cv')} AS d "
+        f"FROM q JOIN cvc v ON v.j = q.j), "
+        f"tot AS (SELECT qid AS query_id, neighbor_id, "
+        f"CAST(sum(d) AS BIGINT) AS pq_score FROM ps "
+        f"WHERE neighbor_id <> qid GROUP BY qid, neighbor_id) "
+        f"SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, "
+        f"pq_score FROM (SELECT *, row_number() OVER (PARTITION BY "
+        f"query_id ORDER BY pq_score DESC, neighbor_id) AS rnk FROM tot)"
+        f" WHERE rnk <= {TOP_K} ORDER BY query_id, rnk"
+    ),
+    doc=(
+        "Product-quantization ANN (the third leg of the ANN family "
+        "beside IVF and SQ8): vectors split into 4×16-dim subspaces, "
+        "each subvector coded to its nearest of 4 deterministic "
+        "codewords by integer dot product, and query scores are sums "
+        "of per-subspace query×codeword products — the asymmetric-"
+        "distance trick that collapses a 64-dim vector to 4 small "
+        "codes (16 bytes → 4 codes here; 64× compression at "
+        "production codebook sizes) while queries keep full "
+        "precision. Scale shape: the codebook is 4 rows (always "
+        "broadcast), coding is one scan with a per-(vector, "
+        "subspace) argmax, and query scoring touches |queries| × n "
+        "× 4 subspace rows via broadcast — at 100 TB you'd "
+        "precompute the query×codeword table (16 values per "
+        "subspace) and fold the scan to a lookup join, same plan "
+        "skeleton. Integer scores — engine-exact."
+    ),
+    tags=("similarity", "ann"),
+)
+def x_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    quant = (
+        "transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+    )
+    qdot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    ev = load_table(spark, sf, "embeddings", fan_out=True).select(
+        "vec_id", F.expr(quant).alias("q8")
+    )
+    cent = (
+        ev.filter(F.col("vec_id") % 13 < PQ_CODEBOOK)
+        .withColumn("c", F.col("vec_id") % 13)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("c").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c", F.col("q8").alias("cq8"))
+    )
+    js = F.explode(
+        F.array(*[F.lit(j) for j in range(PQ_SUBSPACES)])
+    ).alias("j")
+    sub = ev.select("vec_id", js, "q8").select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(q8, j*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("sv"),
+    )
+    csub = cent.select("c", js, "cq8").select(
+        "c",
+        "j",
+        F.expr(f"slice(cq8, j*{PQ_SUBDIM}+1, {PQ_SUBDIM})").alias("cv"),
+    )
+    sc = sub.join(F.broadcast(csub), "j").select(
+        "vec_id", "j", "c", F.expr(qdot.format(a="sv", b="cv")).alias("d")
+    )
+    codes = sc.groupBy("vec_id", "j").agg(
+        F.expr("max_by(c, struct(d, -c))").alias("c")
+    )
+    cvc = codes.join(F.broadcast(csub), ["j", "c"]).select(
+        "vec_id", "j", "cv"
+    )
+    q = sub.filter(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "j", F.col("sv").alias("qv")
+    )
+    ps = cvc.join(F.broadcast(q), "j").select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(qdot.format(a="qv", b="cv")).alias("d"),
+    )
+    tot = (
+        ps.filter(F.col("neighbor_id") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"), "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("pq_score"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("pq_score"), "neighbor_id"
+    )
+    return (
+        tot.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "pq_score",
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -1866,3 +1866,88 @@ def x_stream_mixture_monitor(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x_stream_bottomk_sample",
+    oracle=(
+        "WITH h AS (SELECT source, doc_id, "
+        "md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents), "
+        "r AS (SELECT source, doc_id, row_number() OVER ("
+        "PARTITION BY source ORDER BY hk, doc_id) AS rnk FROM h) "
+        "SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r "
+        "WHERE rnk <= 5 ORDER BY source, rnk"
+    ),
+    doc=(
+        "Streaming bottom-k sample maintenance: the bottom-k sketch "
+        "is MERGEABLE (bottom-k of a union = bottom-k of the two "
+        "sketches' union), so a live ingest keeps a uniform "
+        "per-source sample by folding each micro-batch's k smallest "
+        "id-hashes into k·sources rows of state — and the final "
+        "sample must equal the batch-computed bottom-k EXACTLY no "
+        "matter how the stream was chunked. Per-batch work: one "
+        "batch-local window + a merge over the tiny state table; "
+        "state never exceeds k rows per source."
+    ),
+    tags=("streaming", "sampling", "corpus"),
+)
+@_sized_state
+def x_stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.tables import load_table
+
+    k = 5
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_bottomk_")
+    docs.select("doc_id", "source").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = tempfile.mkdtemp(prefix="zs_stream_bottomk_state_")
+    state = {"path": None, "v": 0}
+    w = W.partitionBy("source").orderBy("hk", "doc_id")
+
+    def _fold(b, _i):
+        cand = b.select(
+            "source",
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        )
+        # batch-local truncation first: only k rows per source leave
+        # the batch, then merge with the (k·sources)-row state
+        cand = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        if state["path"]:
+            cand = cand.unionByName(spark.read.parquet(state["path"]))
+        merged = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        new_path = os.path.join(workdir, f"v{state['v']}")
+        merged.coalesce(1).write.mode("overwrite").parquet(new_path)
+        state["path"], state["v"] = new_path, state["v"] + 1
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(state["path"])
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id")
+        .orderBy("source", "rnk")
+    )
