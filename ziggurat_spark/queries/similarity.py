@@ -687,3 +687,106 @@ def x_pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def _pq_recall_oracle() -> str:
+    pq_chain = (
+        f"ev AS (SELECT vec_id, {_PQ_QUANT} AS q8 FROM embeddings), "
+        f"cent AS (SELECT c, cq8 FROM (SELECT vec_id % 13 AS c, q8 AS cq8,"
+        f" row_number() OVER (PARTITION BY vec_id % 13 ORDER BY vec_id)"
+        f" AS rn FROM ev WHERE vec_id % 13 < {PQ_CODEBOOK}) WHERE rn = 1), "
+        f"sub AS (SELECT vec_id, j, q8[j*{PQ_SUBDIM}+1 : j*{PQ_SUBDIM}"
+        f"+{PQ_SUBDIM}] AS sv FROM ev, {_PQ_J} jj), "
+        f"csub AS (SELECT c, j, cq8[j*{PQ_SUBDIM}+1 : j*{PQ_SUBDIM}"
+        f"+{PQ_SUBDIM}] AS cv FROM cent, {_PQ_J} jj), "
+        f"scx AS (SELECT s.vec_id, s.j, cs.c, "
+        f"{_PQ_LDOT.format(a='sv', b='cv')} AS d "
+        f"FROM sub s JOIN csub cs ON cs.j = s.j), "
+        f"codes AS (SELECT vec_id, j, c FROM (SELECT *, row_number() OVER"
+        f" (PARTITION BY vec_id, j ORDER BY d DESC, c) AS rn FROM scx)"
+        f" WHERE rn = 1), "
+        f"cvc AS (SELECT codes.vec_id, codes.j, csub.cv FROM codes "
+        f"JOIN csub ON csub.j = codes.j AND csub.c = codes.c), "
+        f"qs AS (SELECT vec_id AS qid, j, sv AS qv FROM sub "
+        f"WHERE vec_id % {PQ_QUERY_MOD} = 0), "
+        f"ps AS (SELECT qs.qid, v.vec_id AS neighbor_id, "
+        f"{_PQ_LDOT.format(a='qs.qv', b='v.cv')} AS d "
+        f"FROM qs JOIN cvc v ON v.j = qs.j), "
+        f"tot AS (SELECT qid AS query_id, neighbor_id, "
+        f"CAST(sum(d) AS BIGINT) AS pq_score FROM ps "
+        f"WHERE neighbor_id <> qid GROUP BY qid, neighbor_id), "
+        f"pqr AS (SELECT query_id, neighbor_id FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY pq_score "
+        f"DESC, neighbor_id) AS rnk FROM tot) WHERE rnk <= {TOP_K})"
+    )
+    exact_chain = (
+        f"exq AS (SELECT vec_id AS query_id, q8 AS qq FROM ev "
+        f"WHERE vec_id % {PQ_QUERY_MOD} = 0), "
+        f"pairsx AS (SELECT exq.query_id, ev.vec_id AS neighbor_id, "
+        f"{_PQ_LDOT.format(a='qq', b='ev.q8')} AS qscore "
+        f"FROM exq, ev WHERE ev.vec_id <> exq.query_id), "
+        f"exr AS (SELECT query_id, neighbor_id FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY qscore "
+        f"DESC, neighbor_id) AS rnk FROM pairsx) WHERE rnk <= {TOP_K})"
+    )
+    return (
+        f"WITH {pq_chain}, {exact_chain}, "
+        f"hit AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits "
+        f"FROM exr e JOIN pqr p ON p.query_id = e.query_id "
+        f"AND p.neighbor_id = e.neighbor_id GROUP BY e.query_id) "
+        f"SELECT q.query_id, CAST({TOP_K} AS BIGINT) AS exact_k, "
+        f"CAST(COALESCE(hits, 0) AS BIGINT) AS pq_hits, "
+        f"CAST((1000000 * COALESCE(hits, 0)) // {TOP_K} AS BIGINT)"
+        f" AS recall_ppm "
+        f"FROM (SELECT DISTINCT query_id FROM exr) q "
+        f"LEFT JOIN hit ON hit.query_id = q.query_id ORDER BY q.query_id"
+    )
+
+
+@register(
+    "x_pq_recall_eval",
+    oracle=_pq_recall_oracle(),
+    doc=(
+        "PQ parameterization evaluation (the ANN twin of "
+        "x_lsh_recall_eval): per query, how many of the exact SQ8 "
+        "top-5 neighbors the product-quantized ranking recovers — "
+        "integer-ppm recall, the measurement run before committing "
+        "codebook size/subspace count at scale. Composes the two "
+        "registered plans (exact full-precision integer scoring vs "
+        "asymmetric PQ scoring) and joins their top-k sets — both "
+        "sides broadcast query sets over one corpus scan each."
+    ),
+    tags=("similarity", "ann", "evaluation"),
+)
+def x_pq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.queries.corpus_ops import x_sq8_ann_topk
+
+    exact = x_sq8_ann_topk(spark, sf).select("query_id", "neighbor_id")
+    pq = x_pq_ann_topk(spark, sf).select(
+        F.col("query_id").alias("p_qid"),
+        F.col("neighbor_id").alias("p_nid"),
+    )
+    hit = (
+        exact.join(
+            pq,
+            (F.col("p_qid") == F.col("query_id"))
+            & (F.col("p_nid") == F.col("neighbor_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("bigint").alias("exact_k"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("pq_hits"),
+            F.expr(
+                f"CAST((1000000 * COALESCE(hits, 0)) div {TOP_K}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
