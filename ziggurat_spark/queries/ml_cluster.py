@@ -157,3 +157,105 @@ def x_kmeans_exact(spark: SparkSession, sf: str) -> DataFrame:
         .select("cluster", "n_members", "vecsum", "c_l1")
         .orderBy("cluster")
     )
+
+
+def _lpa_oracle() -> str:
+    from ziggurat_spark.queries.similarity import (
+        _PQ_QUANT,  # same int8 grid spelling
+    )
+    from ziggurat_spark.queries.similarity import CENTROID_MOD, KNN_GRAPH_K
+
+    ldot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> s[1] * s[2])) AS BIGINT)"
+    )
+    knn_chain = (
+        f"qv AS (SELECT vec_id, {_PQ_QUANT} AS q FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cent_id, q AS cq FROM qv "
+        f"WHERE vec_id % {CENTROID_MOD} = 0), "
+        f"a0 AS (SELECT qv.vec_id, qv.q, c.cent_id, "
+        f"{ldot.format(a='q', b='cq')} AS cs FROM qv, cent c), "
+        f"assign AS (SELECT vec_id, q, cent_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY cs DESC, cent_id) AS ar FROM a0) WHERE ar = 1), "
+        f"prs AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+        f"{ldot.format(a='a.q', b='b.q')} AS score "
+        f"FROM assign a JOIN assign b ON a.cent_id = b.cent_id "
+        f"AND a.vec_id <> b.vec_id), "
+        f"topk AS (SELECT src, dst FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY src "
+        f"ORDER BY score DESC, dst) AS rnk FROM prs)"
+        f" WHERE rnk <= {KNN_GRAPH_K}), "
+        f"mut AS (SELECT t1.src AS a, t1.dst AS b FROM topk t1 "
+        f"JOIN topk t2 ON t2.src = t1.dst AND t2.dst = t1.src "
+        f"WHERE t1.src < t1.dst)"
+    )
+    lpa_round = (
+        "(SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER ("
+        "PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM ("
+        "SELECT s.v, l.lbl, count(*) AS c FROM sym s "
+        "JOIN {prev} l ON l.v = s.n GROUP BY s.v, l.lbl)) WHERE rn = 1)"
+    )
+    return (
+        f"WITH {knn_chain}, "
+        f"sym AS (SELECT a AS v, b AS n FROM mut "
+        f"UNION ALL SELECT b, a FROM mut), "
+        f"l0 AS (SELECT DISTINCT v, v AS lbl FROM sym), "
+        f"l1 AS {lpa_round.format(prev='l0')}, "
+        f"l2 AS {lpa_round.format(prev='l1')} "
+        f"SELECT v AS vec_id, lbl AS community FROM l2 ORDER BY vec_id"
+    )
+
+
+@register(
+    "x_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=(
+        "Label propagation community detection (2 synchronous "
+        "rounds) over the mutual k-NN graph: every vertex starts as "
+        "its own label and each round adopts its neighbors' "
+        "most-frequent label (count desc, min-label tie-break — "
+        "fully deterministic, so the oracle is an unrolled CTE). "
+        "This is the clustering layer SemDeDup-style semantic "
+        "curation runs on top of the k-NN edges. Scale shape: each "
+        "round is one join of the edge list against the current "
+        "label table (both keyed shuffles bounded by |E| = k·n) "
+        "plus a per-vertex argmax — no vertex ever sees more than "
+        "its neighborhood; rounds are a fixed small count, "
+        "checkpoint lineage if you raise them."
+    ),
+    tags=("clustering", "graph"),
+)
+def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.queries.similarity import x_knn_graph_mutual
+
+    mut = x_knn_graph_mutual(spark, sf).select("a", "b")
+    sym = mut.unionAll(
+        mut.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("v"), F.col("b").alias("n"))
+    sym = sym.localCheckpoint()  # reused by both rounds
+    labels = sym.select("v").distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+
+    def lpa_round(prev: DataFrame) -> DataFrame:
+        votes = (
+            sym.join(
+                prev.select(F.col("v").alias("n"), "lbl"), "n"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+
+    l2 = lpa_round(lpa_round(labels))
+    return l2.select(
+        F.col("v").alias("vec_id"), F.col("lbl").alias("community")
+    ).orderBy("vec_id")
