@@ -259,3 +259,72 @@ def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     return l2.select(
         F.col("v").alias("vec_id"), F.col("lbl").alias("community")
     ).orderBy("vec_id")
+
+
+@register(
+    "x_community_purity",
+    oracle=(
+        _lpa_oracle().replace(
+            "SELECT v AS vec_id, lbl AS community FROM l2 ORDER BY vec_id",
+            ", lab AS (SELECT l2.v, l2.lbl AS community, e.label "
+            "FROM l2 JOIN embeddings e ON e.vec_id = l2.v), "
+            "per AS (SELECT community, label, count(*) AS c "
+            "FROM lab GROUP BY community, label), "
+            "tot AS (SELECT community, CAST(sum(c) AS BIGINT) AS n "
+            "FROM per GROUP BY community), "
+            "maj AS (SELECT community, label AS majority_label, c "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY community "
+            "ORDER BY c DESC, label) AS rn FROM per) WHERE rn = 1) "
+            "SELECT t.community, t.n AS n_members, "
+            "CAST(m.majority_label AS BIGINT) AS majority_label, "
+            "CAST((1000000 * m.c) // t.n AS BIGINT) AS purity_ppm "
+            "FROM tot t JOIN maj m ON m.community = t.community "
+            "ORDER BY t.community",
+        )
+    ),
+    doc=(
+        "Community purity evaluation: each LPA community scored by "
+        "the share of its members carrying the community's majority "
+        "ground-truth label (integer ppm) — the cluster-quality "
+        "measurement run before trusting semantic-dedup or "
+        "auto-labeling decisions made at cluster granularity. One "
+        "join of the (vertex, community) table against the labels, "
+        "two community-keyed aggregations."
+    ),
+    tags=("clustering", "graph", "evaluation"),
+)
+def x_community_purity(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    lab = x_label_propagation(spark, sf).join(
+        load_table(spark, sf, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    per = lab.groupBy(F.col("community"), "label").agg(
+        F.count("*").alias("c")
+    )
+    tot = per.groupBy("community").agg(
+        F.sum("c").cast("bigint").alias("n_members")
+    )
+    w = W.partitionBy("community").orderBy(F.desc("c"), F.asc("label"))
+    maj = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "community",
+            F.col("label").cast("bigint").alias("majority_label"),
+            F.col("c").alias("mc"),
+        )
+    )
+    return (
+        tot.join(maj, "community")
+        .select(
+            "community",
+            "n_members",
+            "majority_label",
+            F.expr(
+                "CAST((1000000 * mc) div n_members AS BIGINT)"
+            ).alias("purity_ppm"),
+        )
+        .orderBy("community")
+    )

@@ -790,3 +790,49 @@ def x_pq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "x_knn_accuracy",
+    oracle=(
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe, "
+        f"label AS true_label FROM embeddings WHERE vec_id < {KNN_QUERIES}), "
+        f"pairs AS (SELECT q.query_id, q.true_label, e.label, "
+        f"{_cosine('qe', 'e.embedding', 1)} AS score, e.vec_id AS nid "
+        f"FROM q, embeddings e WHERE e.vec_id <> q.query_id), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY score DESC, nid) AS rnk FROM pairs), "
+        f"votes AS (SELECT query_id, true_label, label, count(*) AS c "
+        f"FROM ranked WHERE rnk <= {KNN_K} GROUP BY 1, 2, 3), "
+        f"pred AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY c DESC, label) AS p FROM votes) "
+        f"SELECT CAST(count(*) AS BIGINT) AS n_queries, "
+        f"CAST(sum(CASE WHEN true_label = label THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_correct, "
+        f"CAST((1000000 * sum(CASE WHEN true_label = label THEN 1 "
+        f"ELSE 0 END)) // count(*) AS BIGINT) AS accuracy_ppm "
+        f"FROM pred WHERE p = 1"
+    ),
+    doc=(
+        "k-NN label-quality evaluation: the accuracy rollup of "
+        "x_knn_classify's majority vote against the held-out true "
+        "labels, in integer ppm — the measurement that validates "
+        "embedding quality (and the labeling pipeline) before "
+        "k-NN-based auto-labeling runs at corpus scale. Same "
+        "broadcast-queries-one-scan plan; the rollup is a single "
+        "map-side aggregate."
+    ),
+    tags=("similarity", "classify", "evaluation"),
+)
+def x_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    pred = x_knn_classify(spark, sf)
+    return pred.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN correct THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
