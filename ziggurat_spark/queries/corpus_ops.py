@@ -1578,3 +1578,55 @@ def x_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id")
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "x_dataset_card",
+    oracle=(
+        "WITH per AS (SELECT source, doc_id, lang, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tok "
+        "FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens, "
+        "CAST(min(n_tok) AS BIGINT) AS min_tokens, "
+        "CAST(max(n_tok) AS BIGINT) AS max_tokens, "
+        "CAST((1000000 * sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END))"
+        " // count(*) AS BIGINT) AS short_ppm "
+        "FROM per GROUP BY source ORDER BY source"
+    ),
+    doc=(
+        "Dataset card: the per-source profile published alongside a "
+        "released corpus — doc/token counts, language spread, "
+        "min/mean/max document length and the short-document share "
+        "(integer ppm). One map-side-collapsing aggregation pass; "
+        "the distinct-lang count is the only sub-aggregate that "
+        "shuffles, and it is bounded by sources × languages."
+    ),
+    tags=("corpus", "audit"),
+)
+def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    per = load_table(spark, sf, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.expr("CAST(sum(n_tok) div count(*) AS BIGINT)").alias(
+                "mean_tokens"
+            ),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0"
+                " END)) div count(*) AS BIGINT)"
+            ).alias("short_ppm"),
+        )
+        .orderBy("source")
+    )

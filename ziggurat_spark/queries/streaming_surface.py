@@ -1951,3 +1951,80 @@ def x_stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id")
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "x_stream_decontaminate",
+    oracle=(
+        "WITH ev AS (SELECT DISTINCT unnest(list_transform(range(1, "
+        "greatest(length(text) - 19, 1) + 1, 8), "
+        "i -> substring(text, i, 20))) AS sh FROM documents "
+        "WHERE doc_id % 50 = 0), "
+        "tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0), "
+        "hit AS (SELECT DISTINCT t.doc_id FROM (SELECT doc_id, "
+        "unnest(list_transform(range(1, greatest(length(text) - 19, 1)"
+        " + 1, 8), i -> substring(text, i, 20))) AS sh FROM tr) t "
+        "JOIN ev ON ev.sh = t.sh) "
+        "SELECT CAST(count(*) AS BIGINT) AS clean_docs, "
+        "CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS id_sum "
+        "FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hit)"
+    ),
+    doc=(
+        "Streaming decontamination (the ingestion-side twin of "
+        "x_decontaminate_overlap): the held-out eval set's 20-char "
+        "shingles load ONCE as a broadcast reference (checkpointed), "
+        "and every arriving micro-batch drops documents sharing ANY "
+        "shingle with it — eval leakage never lands in the corpus "
+        "instead of being scrubbed after the fact. Per-batch work: "
+        "one shingle explode over the batch + one broadcast "
+        "semi-join; stateless across batches. Graded by clean-doc "
+        "count + id checksum."
+    ),
+    tags=("streaming", "dedup", "corpus"),
+)
+@_sized_state
+def x_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    sh_expr = (
+        "explode(transform(sequence(1, greatest(length(text) - 19, 1),"
+        " 8), i -> substring(text, i, 20)))"
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.expr(sh_expr).alias("sh"))
+        .distinct()
+        .localCheckpoint()  # frozen eval reference, loaded once
+    )
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_decon_")
+    docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "text"
+    ).repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = src_dir + "_clean"
+
+    def _scrub(b, _i):
+        sh = b.select("doc_id", F.expr(sh_expr).alias("sh"))
+        dirty = sh.join(F.broadcast(ev), "sh").select("doc_id").distinct()
+        clean = b.join(dirty, "doc_id", "left_anti").select("doc_id")
+        clean.write.mode("append").parquet(out_dir)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_scrub)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    kept = spark.read.parquet(out_dir)
+    return kept.agg(
+        F.count("*").alias("clean_docs"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
+    )
