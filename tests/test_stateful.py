@@ -232,3 +232,33 @@ class TestBucketedLwwMergeProperty:
                 .collect()
             )
             assert got == expected, f"trial {trial} diverged"
+
+
+def test_bucketed_lww_merge_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch (restart replay) must not disturb state
+    or crash on the zero-partition repartition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.queries.streaming_surface import bucketed_lww_merge
+
+    workdir = str(tmp_path / "s")
+    os.makedirs(workdir)
+    state: dict = {}
+    order = (F.desc("ts"), F.desc("event_id"))
+    b0 = spark.createDataFrame(
+        [(1, 10, 1, "a")], "user_id long, ts long, event_id long, val string"
+    ).withColumn("kb", F.pmod(F.col("user_id"), F.lit(4)))
+    bucketed_lww_merge(
+        spark, workdir, state, b0, 0, key="user_id", order_cols=order
+    )
+    snapshot = dict(state)
+    empty = b0.filter(F.lit(False))
+    assert (
+        bucketed_lww_merge(
+            spark, workdir, state, empty, 1, key="user_id", order_cols=order
+        )
+        == []
+    )
+    assert state == snapshot

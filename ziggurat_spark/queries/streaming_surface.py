@@ -729,6 +729,8 @@ def bucketed_lww_merge(
 
     w = Window.partitionBy(key).orderBy(*order_cols)
     touched = sorted(r["kb"] for r in proj.select("kb").distinct().collect())
+    if not touched:  # empty micro-batch (e.g. restart replay): no-op
+        return []
     old = [state[b] for b in touched if b in state]
     if old:
         # bucket-pruned read: ONLY the touched buckets' rows rejoin
