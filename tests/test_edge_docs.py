@@ -65,3 +65,28 @@ def test_corpus_pipeline_v2_single_token_docs(spark, edge_sf):
     # Flagship composite uses the same bigram fan-out internally —
     # must execute end-to-end over the degenerate corpus.
     all_queries()["x_corpus_pipeline_v2"].spark(spark, edge_sf).collect()
+
+
+def test_bpe_merge_less_corpus_keeps_symbols(spark, tmp_path):
+    """A corpus of single-character words has no adjacent pair: both
+    merge rounds must be no-ops (same symbol count, 0 ppm saved),
+    not empty the corpus through the winner join."""
+    import pandas as pd
+
+    from ziggurat_spark.queries.corpus_ops import x_bpe_tokenize
+
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["a b c"],
+            "lang": ["en"],
+            "source": ["s1"],
+            "n_chars": [5],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = x_bpe_tokenize(spark, str(tmp_path)).collect()
+    assert [(r.merge_round, r.total_symbols, r.saved_ppm) for r in rows] == [
+        (0, 3, 0),
+        (1, 3, 0),
+        (2, 3, 0),
+    ]

@@ -737,8 +737,9 @@ def _bpe_pair_counts(sp: DataFrame) -> DataFrame:
         "t1 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p1), "
         "m1 AS (SELECT pair AS mp FROM t1 WHERE rnk = 1), "
-        "s1 AS (SELECT replace(sp, mp, replace(mp, ' ', '')) AS sp "
-        "FROM s0, m1), "
+        "s1 AS (SELECT CASE WHEN mp IS NULL THEN sp ELSE "
+        "replace(sp, mp, replace(mp, ' ', '')) END AS sp "
+        "FROM s0 LEFT JOIN m1 ON TRUE), "
         "p2 AS (" + _DUCK_BPE_PAIRS.format(src="s1") + "), "
         "t2 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p2) "
@@ -786,8 +787,9 @@ def x_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     rnk_w = W.orderBy(F.desc("cnt"), F.asc("pair"))
     t1 = p1.withColumn("rnk", F.row_number().over(rnk_w))
     m1 = t1.filter(F.col("rnk") == 1).select(F.col("pair").alias("mp"))
-    sp1 = sp0.crossJoin(F.broadcast(m1)).selectExpr(
-        "replace(sp, mp, replace(mp, ' ', '')) AS sp"
+    sp1 = sp0.join(F.broadcast(m1), F.lit(True), "left").selectExpr(
+        "CASE WHEN mp IS NULL THEN sp ELSE"
+        " replace(sp, mp, replace(mp, ' ', '')) END AS sp"
     )
     t2 = _bpe_pair_counts(sp1).withColumn("rnk", F.row_number().over(rnk_w))
 
@@ -1447,14 +1449,16 @@ _DUCK_SYMCOUNT = (
         "t1 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p1), "
         "m1 AS (SELECT pair AS mp FROM t1 WHERE rnk = 1), "
-        "s1 AS (SELECT replace(sp, mp, replace(mp, ' ', '')) AS sp "
-        "FROM s0, m1), "
+        "s1 AS (SELECT CASE WHEN mp IS NULL THEN sp ELSE "
+        "replace(sp, mp, replace(mp, ' ', '')) END AS sp "
+        "FROM s0 LEFT JOIN m1 ON TRUE), "
         "p2 AS (" + _DUCK_BPE_PAIRS.format(src="s1") + "), "
         "t2 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p2), "
         "m2 AS (SELECT pair AS mp FROM t2 WHERE rnk = 1), "
-        "s2 AS (SELECT replace(sp, mp, replace(mp, ' ', '')) AS sp "
-        "FROM s1, m2), "
+        "s2 AS (SELECT CASE WHEN mp IS NULL THEN sp ELSE "
+        "replace(sp, mp, replace(mp, ' ', '')) END AS sp "
+        "FROM s1 LEFT JOIN m2 ON TRUE), "
         "c0 AS (" + _DUCK_SYMCOUNT.format(src="s0") + "), "
         "c1 AS (" + _DUCK_SYMCOUNT.format(src="s1") + "), "
         "c2 AS (" + _DUCK_SYMCOUNT.format(src="s2") + ") "
@@ -1507,25 +1511,34 @@ def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("pair").alias("mp"))
         )
 
+    apply_expr = (
+        "CASE WHEN mp IS NULL THEN sp ELSE"
+        " replace(sp, mp, replace(mp, ' ', '')) END AS sp"
+    )
     sp1 = (
-        sp0.crossJoin(F.broadcast(_winner(sp0)))
-        .selectExpr("replace(sp, mp, replace(mp, ' ', '')) AS sp")
+        sp0.join(F.broadcast(_winner(sp0)), F.lit(True), "left")
+        .selectExpr(apply_expr)
         .localCheckpoint()
     )
-    sp2 = sp1.crossJoin(F.broadcast(_winner(sp1))).selectExpr(
-        "replace(sp, mp, replace(mp, ' ', '')) AS sp"
+    sp2 = sp1.join(F.broadcast(_winner(sp1)), F.lit(True), "left").selectExpr(
+        apply_expr
     )
 
     def _count(sp: DataFrame) -> int:
-        return sp.select(
-            F.sum(F.size(F.split("sp", " "))).cast("bigint").alias("c")
-        ).collect()[0]["c"]
+        # sum over an empty frame is NULL — a corpus with no mergeable
+        # pair empties the merged branch; count it as 0 symbols
+        return (
+            sp.select(
+                F.sum(F.size(F.split("sp", " "))).cast("bigint").alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
 
     c0, c1, c2 = _count(sp0), _count(sp1), _count(sp2)
     rows = [
         (0, c0, 0),
-        (1, c1, (1000000 * (c0 - c1)) // c0),
-        (2, c2, (1000000 * (c0 - c2)) // c0),
+        (1, c1, 0 if c0 == 0 else (1000000 * (c0 - c1)) // c0),
+        (2, c2, 0 if c0 == 0 else (1000000 * (c0 - c2)) // c0),
     ]
     out = None
     for rnd, c, saved in rows:
