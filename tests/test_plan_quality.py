@@ -803,3 +803,12 @@ def test_pq_ann_broadcasts_codebook_no_cartesian(spark, specs):
     df = q(specs, "x_pq_ann_topk", spark)
     assert broadcast_join_count(df) >= 3
     assert not has_cartesian_product(df)
+
+
+def test_rag_context_join_broadcasts_and_prunes(spark, specs):
+    """x_rag_context_join: queries and the top-k table both
+    broadcast; the documents scan reads metadata columns, not
+    doc_id-only payload mistakes; no cartesian."""
+    df = q(specs, "x_rag_context_join", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)

@@ -836,3 +836,95 @@ def x_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+RAG_QUERY_MOD = 100
+RAG_K = 3
+
+
+@register(
+    "x_rag_context_join",
+    oracle=(
+        f"WITH qv AS (SELECT vec_id, {_PQ_QUANT} AS q8 FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_doc, q8 AS qq FROM qv "
+        f"WHERE vec_id % {RAG_QUERY_MOD} = 0), "
+        f"pairs AS (SELECT q.query_doc, v.vec_id AS neighbor_doc, "
+        f"{_PQ_LDOT.format(a='qq', b='v.q8')} AS score "
+        f"FROM q, qv v WHERE v.vec_id <> q.query_doc), "
+        f"topk AS (SELECT query_doc, neighbor_doc, score, rnk FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY query_doc "
+        f"ORDER BY score DESC, neighbor_doc) AS rnk FROM pairs)"
+        f" WHERE rnk <= {RAG_K}) "
+        f"SELECT t.query_doc, CAST(t.rnk AS BIGINT) AS rnk, "
+        f"t.neighbor_doc, t.score, d.lang AS neighbor_lang, "
+        f"d.source AS neighbor_source, "
+        f"CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)"
+        f" AS neighbor_tokens "
+        f"FROM topk t JOIN documents d ON d.doc_id = t.neighbor_doc "
+        f"ORDER BY query_doc, rnk"
+    ),
+    doc=(
+        "RAG context assembly — the cross-table retrieval join a "
+        "retrieval-augmented pipeline runs: embedding-space top-3 "
+        "neighbors per query (SQ8 integer scores) joined back to the "
+        "DOCUMENT table for the context metadata the prompt builder "
+        "needs (language, source, token budget). This is the only "
+        "op that exercises the embeddings↔documents key "
+        "relationship end-to-end. Scale shape: broadcast query set "
+        "over one embedding scan, window top-k, then an equi-join of "
+        "the tiny top-k table against documents — broadcast the "
+        "top-k side, prune the document scan to the metadata "
+        "columns."
+    ),
+    tags=("similarity", "corpus", "rag"),
+)
+def x_rag_context_join(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    quant = (
+        "transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+    )
+    qdot = (
+        "aggregate(zip_with(qq, q8, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    ev = load_table(spark, sf, "embeddings", fan_out=True).select(
+        "vec_id", F.expr(quant).alias("q8")
+    )
+    q = ev.filter(F.col("vec_id") % RAG_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_doc"), F.col("q8").alias("qq")
+    )
+    pairs = ev.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_doc")
+    ).select(
+        "query_doc",
+        F.col("vec_id").alias("neighbor_doc"),
+        F.expr(qdot).alias("score"),
+    )
+    w = W.partitionBy("query_doc").orderBy(F.desc("score"), "neighbor_doc")
+    topk = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RAG_K)
+    )
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("neighbor_doc"),
+        F.col("lang").alias("neighbor_lang"),
+        F.col("source").alias("neighbor_source"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("neighbor_tokens"),
+    )
+    return (
+        docs.join(F.broadcast(topk), "neighbor_doc")
+        .select(
+            "query_doc",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "neighbor_doc",
+            "score",
+            "neighbor_lang",
+            "neighbor_source",
+            "neighbor_tokens",
+        )
+        .orderBy("query_doc", "rnk")
+    )
