@@ -1643,3 +1643,91 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HIST_BUCKET = 50
+
+
+@register(
+    "x_length_histogram",
+    oracle=(
+        f"WITH per AS (SELECT source, "
+        f"len(string_split_regex(trim(text), '\\s+')) // {HIST_BUCKET}"
+        f" AS bucket FROM documents) "
+        f"SELECT source, CAST(bucket AS BIGINT) AS bucket, "
+        f"CAST(bucket * {HIST_BUCKET} AS BIGINT) AS bucket_lo, "
+        f"CAST(count(*) AS BIGINT) AS n_docs "
+        f"FROM per GROUP BY source, bucket ORDER BY source, bucket"
+    ),
+    doc=(
+        "Token-length histogram per source (50-token buckets) — the "
+        "distribution behind the dataset card's min/mean/max, used "
+        "to pick chunking and packing budgets. Fixed integer "
+        "bucketing (never a percentile sort): one map-side "
+        "aggregation, output bounded by sources × buckets."
+    ),
+    tags=("corpus", "audit"),
+)
+def x_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    per = load_table(spark, sf, "documents").select(
+        "source",
+        (
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            / HIST_BUCKET
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return (
+        per.groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET).cast("bigint").alias(
+                "bucket_lo"
+            ),
+            "n_docs",
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@register(
+    "x_dedup_rate_report",
+    oracle=(
+        "WITH h AS (SELECT md5(text) AS h, doc_id FROM documents), "
+        "g AS (SELECT h, count(*) AS c FROM h GROUP BY h) "
+        "SELECT CAST(sum(c) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS distinct_contents, "
+        "CAST(sum(c) - count(*) AS BIGINT) AS duplicate_docs, "
+        "CAST((1000000 * (sum(c) - count(*))) // sum(c) AS BIGINT)"
+        " AS dup_ppm, "
+        "CAST(max(c) AS BIGINT) AS max_copies "
+        "FROM g"
+    ),
+    doc=(
+        "Exact-duplication executive report: corpus doc count, "
+        "distinct content hashes, how many docs a dedup pass would "
+        "drop (integer ppm) and the worst copy count — the one-row "
+        "summary read before deciding which dedup tier to run. One "
+        "digest groupBy, one map-side rollup."
+    ),
+    tags=("corpus", "dedup", "audit"),
+)
+def x_dedup_rate_report(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        load_table(spark, sf, "documents")
+        .select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+    return g.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("distinct_contents"),
+        (F.sum("c") - F.count("*")).cast("bigint").alias("duplicate_docs"),
+        F.expr(
+            "CAST((1000000 * (sum(c) - count(*))) div sum(c) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.max("c").cast("bigint").alias("max_copies"),
+    )
