@@ -67,6 +67,67 @@ def test_corpus_pipeline_v2_single_token_docs(spark, edge_sf):
     all_queries()["x_corpus_pipeline_v2"].spark(spark, edge_sf).collect()
 
 
+def test_bpe_apply_respects_symbol_boundaries(spark, tmp_path):
+    """ADVICE round 3: a raw replace(sp, 'h e', 'he') also matched
+    where 'h' is the SUFFIX of the multi-char symbol 'th' ('th e' →
+    'the'), merging fragments never counted as that pair. Corpus
+    engineered so round 1 merges 't h' (count 8 > 5) and round 2
+    merges 'h e' (count 3 > 2): the word 'the' is then 'th e' and
+    must NOT be touched by the 'h e' merge.
+
+    Symbol counts: r0 = 6·2+2·3+3·2 = 24; r1 ('t h'): 6·1+2·2+3·2 =
+    16; r2 ('h e', boundary-safe): 6·1+2·2+3·1 = 13. The buggy apply
+    gave 11 (the two 'th e' words collapsed to 'the')."""
+    import pandas as pd
+
+    from ziggurat_spark.queries.corpus_ops import x_bpe_tokenize
+
+    text = " ".join(["th"] * 6 + ["the"] * 2 + ["he"] * 3)
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s1"],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = x_bpe_tokenize(spark, str(tmp_path)).collect()
+    assert [(r.merge_round, r.total_symbols, r.saved_ppm) for r in rows] == [
+        (0, 24, 0),
+        (1, 16, 333333),
+        (2, 13, 458333),
+    ]
+
+
+def test_bpe_apply_merges_runs_left_to_right(spark, tmp_path):
+    """Classical BPE apply on a run: 'a a a a' merges to 'aa aa'
+    (non-overlapping, left-to-right) — the boundary-safe rewrite must
+    not under-merge runs by consuming the shared separator."""
+    import pandas as pd
+
+    from ziggurat_spark.queries.corpus_ops import x_bpe_tokenize
+
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["aaaa aaaa aaa"],
+            "lang": ["en"],
+            "source": ["s1"],
+            "n_chars": [13],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = x_bpe_tokenize(spark, str(tmp_path)).collect()
+    # r0: 4+4+3 = 11 symbols. r1 merges 'a a' → 'aa aa' (2), 'aa aa'
+    # (2), 'aa a' (2) = 6. r2 merges 'aa aa' → 1+1 and 'aa a' stays =
+    # 1+1+2 = 4.
+    assert [(r.merge_round, r.total_symbols) for r in rows] == [
+        (0, 11),
+        (1, 6),
+        (2, 4),
+    ]
+
+
 def test_bpe_merge_less_corpus_keeps_symbols(spark, tmp_path):
     """A corpus of single-character words has no adjacent pair: both
     merge rounds must be no-ops (same symbol count, 0 ppm saved),

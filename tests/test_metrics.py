@@ -249,6 +249,59 @@ def test_statsd_timing_datagrams():
         srv.close()
 
 
+def test_statsd_timing_multiplicity_one_datagram_per_variant():
+    """n samples of one value → ONE datagram per namespace variant
+    with @{1/n}: the statsd server's 1/rate scale-up reconstructs the
+    count without n sendto() calls on the listener thread."""
+    reg, exp, srv = _statsd_pair()
+    try:
+        reg.report_histogram("orders", "delay", 12.5, n=4)
+        lines = sorted(_drain(srv, 2))
+        assert lines == sorted(
+            [
+                "delay:12.5|ms|@0.25"
+                "|#actor:ziggurat-spark,env:test,topic_entity:orders",
+                "ziggurat-spark.orders.delay:12.5|ms|@0.25"
+                "|#actor:ziggurat-spark,env:test",
+            ]
+        )
+        # nothing further queued: exactly 2 packets total
+        import socket
+
+        srv.settimeout(0.2)
+        try:
+            srv.recv(4096)
+            raise AssertionError("extra datagram emitted")
+        except socket.timeout:
+            pass
+    finally:
+        exp.terminate()
+        srv.close()
+
+
+def test_statsd_rate_actually_samples():
+    """rate < 1.0 must drop packets client-side — an always-send
+    client stamped @rate makes the server over-count by 1/rate."""
+    import socket
+
+    reg, exp, srv = _statsd_pair()
+    try:
+        exp.rate = 0.0  # degenerate: sample probability zero
+        reg.inc("orders", "ns", "m", 1)
+        reg.report_histogram("orders", "delay", 1.0, n=10)
+        srv.settimeout(0.2)
+        try:
+            srv.recv(4096)
+            raise AssertionError("rate=0 exporter emitted a datagram")
+        except socket.timeout:
+            pass
+        # registry store itself is unaffected by exporter sampling
+        assert reg.counter("ziggurat-spark.orders.ns.m") == 1
+    finally:
+        exp.terminate()
+        srv.close()
+
+
 def test_statsd_never_blocks_on_dead_daemon():
     """Fire-and-forget: closed socket / no listener must not raise."""
     from ziggurat_spark.streaming.metrics import MetricsRegistry, StatsdExporter

@@ -393,6 +393,44 @@ def _ancient() -> float:
     return time.time() - 100_000.0
 
 
+def test_lease_corrupt_empty_file_stale_by_mtime(spark, fabric):
+    """An EMPTY lease file (holder crashed between O_EXCL create and
+    write) must not wedge the route forever: with no parsable
+    timestamp the TTL takeover falls back to the file's mtime."""
+    import os
+
+    os.makedirs(fabric._lease_dir, exist_ok=True)
+    path = os.path.join(fabric._lease_dir, "r1.lease")
+    with open(path, "w"):
+        pass  # zero bytes — unparsable
+    os.utime(path, (_ancient(), _ancient()))  # crashed long ago
+    cfg = RetryConfig(max_attempts=5, timeout_ms=0)
+    fabric.enqueue_retry(make_env(spark, n=2), "r1", cfg, now=NOW)
+    seen = []
+    n = fabric.pump(
+        "r1", lambda df, ch: seen.append(df.count()), now=NOW + timedelta(seconds=1)
+    )
+    assert n == 2 and seen == [2]
+    assert not os.path.exists(path)
+
+
+def test_lease_corrupt_fresh_file_still_blocks(spark, fabric):
+    """A corrupt lease with a FRESH mtime is a holder mid-write —
+    treat it as live (pump skips), never steal it."""
+    import os
+
+    cfg = RetryConfig(max_attempts=5, timeout_ms=0)
+    fabric.enqueue_retry(make_env(spark, n=2), "r1", cfg, now=NOW)
+    os.makedirs(fabric._lease_dir, exist_ok=True)
+    path = os.path.join(fabric._lease_dir, "r1.lease")
+    with open(path, "w") as fh:
+        fh.write("garbage-no-timestamp")
+    n = fabric.pump("r1", lambda df, ch: None, now=NOW + timedelta(seconds=1))
+    assert n == 0
+    assert fabric.retry_table().count() == 2  # untouched
+    os.unlink(path)
+
+
 def test_lease_live_holder_blocks_pump(spark, fabric):
     """A LIVE (fresh-timestamp) foreign lease makes pump skip the
     cycle and report lease_busy — never race the holder."""

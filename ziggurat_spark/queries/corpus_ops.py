@@ -714,6 +714,24 @@ _DUCK_BPE_PAIRS = (
     "SELECT string_split(sp, ' ') AS syms FROM {src})) GROUP BY pr"
 )
 
+#: Boundary-safe classical BPE apply (same SQL text on both engines).
+#: A raw ``replace(sp, 'X Y', 'XY')`` also matches where X is the
+#: SUFFIX of a longer symbol or Y the PREFIX of one ('h e' inside
+#: 'th e' → 'the'), merging fragments never counted as that pair.
+#: Doubling every separator gives each symbol its own flanking space
+#: on both sides, so the pattern ' X  Y ' can only match whole
+#: symbols — and because neighbors keep one space each, adjacent
+#: occurrences in a run still merge left-to-right non-overlapping
+#: exactly like the classical apply ('a a a a' → 'aa aa', 'a a a' →
+#: 'aa a'). Collapse + trim restores the single-spaced form.
+_BPE_APPLY_EXPR = (
+    "CASE WHEN mp IS NULL THEN sp ELSE trim(replace("
+    "replace(concat(' ', replace(sp, ' ', '  '), ' '), "
+    "concat(' ', replace(mp, ' ', '  '), ' '), "
+    "concat(' ', replace(mp, ' ', ''), ' ')), "
+    "'  ', ' ')) END AS sp"
+)
+
 
 def _bpe_pair_counts(sp: DataFrame) -> DataFrame:
     """Corpus-wide adjacent-pair counts over spaced symbol strings."""
@@ -737,8 +755,7 @@ def _bpe_pair_counts(sp: DataFrame) -> DataFrame:
         "t1 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p1), "
         "m1 AS (SELECT pair AS mp FROM t1 WHERE rnk = 1), "
-        "s1 AS (SELECT CASE WHEN mp IS NULL THEN sp ELSE "
-        "replace(sp, mp, replace(mp, ' ', '')) END AS sp "
+        "s1 AS (SELECT " + _BPE_APPLY_EXPR + " "
         "FROM s0 LEFT JOIN m1 ON TRUE), "
         "p2 AS (" + _DUCK_BPE_PAIRS.format(src="s1") + "), "
         "t2 AS (SELECT pair, cnt, row_number() OVER "
@@ -788,8 +805,7 @@ def x_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     t1 = p1.withColumn("rnk", F.row_number().over(rnk_w))
     m1 = t1.filter(F.col("rnk") == 1).select(F.col("pair").alias("mp"))
     sp1 = sp0.join(F.broadcast(m1), F.lit(True), "left").selectExpr(
-        "CASE WHEN mp IS NULL THEN sp ELSE"
-        " replace(sp, mp, replace(mp, ' ', '')) END AS sp"
+        _BPE_APPLY_EXPR
     )
     t2 = _bpe_pair_counts(sp1).withColumn("rnk", F.row_number().over(rnk_w))
 
@@ -1449,15 +1465,13 @@ _DUCK_SYMCOUNT = (
         "t1 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p1), "
         "m1 AS (SELECT pair AS mp FROM t1 WHERE rnk = 1), "
-        "s1 AS (SELECT CASE WHEN mp IS NULL THEN sp ELSE "
-        "replace(sp, mp, replace(mp, ' ', '')) END AS sp "
+        "s1 AS (SELECT " + _BPE_APPLY_EXPR + " "
         "FROM s0 LEFT JOIN m1 ON TRUE), "
         "p2 AS (" + _DUCK_BPE_PAIRS.format(src="s1") + "), "
         "t2 AS (SELECT pair, cnt, row_number() OVER "
         "(ORDER BY cnt DESC, pair) AS rnk FROM p2), "
         "m2 AS (SELECT pair AS mp FROM t2 WHERE rnk = 1), "
-        "s2 AS (SELECT CASE WHEN mp IS NULL THEN sp ELSE "
-        "replace(sp, mp, replace(mp, ' ', '')) END AS sp "
+        "s2 AS (SELECT " + _BPE_APPLY_EXPR + " "
         "FROM s1 LEFT JOIN m2 ON TRUE), "
         "c0 AS (" + _DUCK_SYMCOUNT.format(src="s0") + "), "
         "c1 AS (" + _DUCK_SYMCOUNT.format(src="s1") + "), "
@@ -1511,17 +1525,13 @@ def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("pair").alias("mp"))
         )
 
-    apply_expr = (
-        "CASE WHEN mp IS NULL THEN sp ELSE"
-        " replace(sp, mp, replace(mp, ' ', '')) END AS sp"
-    )
     sp1 = (
         sp0.join(F.broadcast(_winner(sp0)), F.lit(True), "left")
-        .selectExpr(apply_expr)
+        .selectExpr(_BPE_APPLY_EXPR)
         .localCheckpoint()
     )
     sp2 = sp1.join(F.broadcast(_winner(sp1)), F.lit(True), "left").selectExpr(
-        apply_expr
+        _BPE_APPLY_EXPR
     )
 
     def _count(sp: DataFrame) -> int:

@@ -264,22 +264,47 @@ class StatsdExporter:
     def update_counter(
         self, topic_entity: str, ns: str, metric: str, value: int
     ) -> None:
+        if not self._sampled():
+            return
+        rate = self._fmt_rate(self.rate)
         for name, tags in self._variants(topic_entity, ns, metric):
-            self._send(f"{name}:{value}|c|@{self.rate}{tags}")
+            self._send(f"{name}:{value}|c|@{rate}{tags}")
 
     def update_timing(
         self, topic_entity: str, ns: str, value: float, n: int = 1
     ) -> None:
-        line = None
+        # ONE datagram per namespace variant regardless of sample
+        # multiplicity: statsd servers scale sample counts by
+        # 1/sample-rate, so @{rate/n} encodes "this value occurred n
+        # times" without n sendto() calls on the listener thread (a
+        # hot micro-batch can carry tens of thousands of samples).
+        if n <= 0 or not self._sampled():
+            return
+        rate = self._fmt_rate(self.rate / n)
         for name, tags in self._variants(topic_entity, ns, None):
-            line = f"{name}:{_statsd_num(value)}|ms|@{self.rate}{tags}"
-            for _ in range(n):
-                self._send(line)
+            self._send(f"{name}:{_statsd_num(value)}|ms|@{rate}{tags}")
 
     def terminate(self) -> None:
         self._sock.close()
 
     # -- internals ------------------------------------------------------
+
+    def _sampled(self) -> bool:
+        """Honest client-side sampling: with ``rate`` < 1.0 only that
+        fraction of update calls emit packets — the ``@rate`` stamp
+        then makes the server's 1/rate scale-up correct instead of an
+        over-count."""
+        if self.rate >= 1.0:
+            return True
+        import random
+
+        return random.random() < self.rate
+
+    @staticmethod
+    def _fmt_rate(rate: float) -> str:
+        # canonical "@1.0" for the unsampled case (clj-statsd parity);
+        # compact decimal otherwise
+        return "1.0" if rate >= 1.0 else f"{rate:g}"
 
     def _variants(self, topic_entity: str, ns: str, metric: str | None):
         suffix = f".{metric}" if metric else ""

@@ -180,7 +180,15 @@ class RetryFabric:
                     with open(path) as fh:
                         ts = float(fh.read().split()[1])
                 except (OSError, IndexError, ValueError):
-                    pass  # holder mid-write or gone — treat as live
+                    # Unparsable contents (holder crashed between the
+                    # O_EXCL create and the write, truncation, ...).
+                    # Fall back to the file's mtime so the TTL takeover
+                    # still fires — otherwise an empty lease file wedges
+                    # the route forever (wait=True spins, pumps skip).
+                    try:
+                        ts = os.path.getmtime(path)
+                    except OSError:
+                        pass  # gone between open and stat — retry loop
                 if ts is not None and _clock.time() - ts > self.lease_ttl_s:
                     # stale: unlink and race for O_EXCL (one winner)
                     with contextlib.suppress(FileNotFoundError):
