@@ -812,3 +812,62 @@ def test_rag_context_join_broadcasts_and_prunes(spark, specs):
     df = q(specs, "x_rag_context_join", spark)
     assert broadcast_join_count(df) >= 1
     assert not has_cartesian_product(df)
+
+
+def test_dsir_importance_broadcast_ratio_no_cartesian(spark, specs):
+    """x_dsir_importance: the 64-row likelihood-ratio table rides a
+    broadcast join back onto the token stream (never a shuffle of
+    the fan-out by bucket); the corpus totals are a broadcast
+    single-row; no cartesian."""
+    df = q(specs, "x_dsir_importance", spark)
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)
+
+
+def test_token_budget_sample_per_source_window_pruned_scan(spark, specs):
+    """x_token_budget_sample: the cumulative fill is a per-source
+    window (partitioned, never a global sort of the corpus), the
+    20-row budget table broadcasts, and the scan reads only the
+    columns the token count needs (no lang)."""
+    df = q(specs, "x_token_budget_sample", spark)
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian_product(df)
+    for s in scan_read_schemas(df):
+        assert "lang" not in s
+
+
+def test_quality_classifier_single_fused_scan_no_shuffle(spark, specs):
+    """x_quality_classifier: the whole classifier is column math
+    fused into one scan pass — exactly one scan, no join, no
+    aggregation exchange, no Python eval node."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_quality_classifier", spark)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert len(scan_read_schemas(df)) == 1
+    assert "Join" not in plan.replace("SortMergeJoin", "Join")  # no joins at all
+
+
+def test_ngram_novelty_equality_join_back_no_cartesian(spark, specs):
+    """x_ngram_novelty: shingle ownership is a min-agg + equality
+    join-back (the x_exact_substring_dedup shape) — no cartesian,
+    and the shingle fan-out scan reads only (doc_id, text)."""
+    df = q(specs, "x_ngram_novelty", spark)
+    assert not has_cartesian_product(df)
+    for s in scan_read_schemas(df):
+        assert "lang" not in s and "source" not in s
+
+
+def test_corpus_pipeline_v4_broadcasts_no_cartesian(spark, specs):
+    """x_corpus_pipeline_v4: the classifier gate fuses into the scan
+    (no Python eval), the DSIR ratio table and corpus totals ride
+    broadcast joins, the budget table broadcasts — and no stage
+    introduces a cartesian edge."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_corpus_pipeline_v4", spark)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert broadcast_join_count(df) >= 2
+    assert not has_cartesian_product(df)

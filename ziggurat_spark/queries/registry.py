@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_surface,
         text,
         timeseries,
+        training_ops,
         tpch_more,
         tpch_sub,
         urls_formats,

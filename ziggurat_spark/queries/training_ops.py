@@ -1,0 +1,638 @@
+"""Training-data selection & audit operators (round 4).
+
+Four ops a large-scale pretraining-corpus build runs between "raw
+crawl" and "tokenized shards", extending the LLM-pipeline surface
+(north star §"beyond the reference"):
+
+- **DSIR-style importance ranking** (`x_dsir_importance`) — rank raw
+  documents by how target-like their hashed-unigram distribution is
+  (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling" — the hashed-ngram feature space, public
+  paper). Integer-exact ppm likelihood ratios so the cross-engine
+  grade needs no float tolerance.
+- **token-budget sampling** (`x_token_budget_sample`) — fill a fixed
+  per-source token budget in deterministic hash order (the
+  reproducible alternative to rand() subsampling when a mixture plan
+  says "take N tokens from source S").
+- **quality-classifier head** (`x_quality_classifier`) — a fixed
+  integer linear head over cheap per-doc features (stopword density,
+  punctuation/upper-case rates, mean word length, length cap): the
+  fasttext-style keep/drop gate, expressed as pure column math so it
+  fuses into one whole-stage-codegen scan pass.
+- **n-gram novelty curve** (`x_ngram_novelty`) — per document, the
+  fraction of its 5-token shingles FIRST introduced by that document
+  (ownership = min doc_id): the marginal-novelty signal corpus-growth
+  audits watch to decide when more crawl stops adding information.
+
+Scale shapes: importance ranking is one token fan-out + a 64-row
+broadcast ratio table + one doc-keyed agg; budget sampling is one
+per-source cumulative window (per-shard, never a global sort — the
+x_sequence_packing precedent); the classifier is shuffle-free column
+math; novelty is one shingle groupBy + equality join-back (the
+x_exact_substring_dedup shape — never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ziggurat_spark.queries.registry import register
+from ziggurat_spark.tables import load_table
+
+#: hashed-feature space size for importance ranking (DSIR uses 10k
+#: buckets at web scale; 64 keeps the sf-test ratio table readable
+#: while exercising the identical plan)
+DSIR_BUCKETS = 64
+#: the "target distribution" slice: src0 plays the curated exemplar
+DSIR_TARGET = "src0"
+
+#: per-source token budget = total source tokens // TOKEN_BUDGET_DIV
+TOKEN_BUDGET_DIV = 3
+
+#: novelty shingle width (tokens, stride 1)
+NOV_K = 5
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "as", "with", "was", "at", "by", "be", "this", "that",
+)
+
+#: classifier keep/drop boundary (score_micro units; chosen so the
+#: synthetic corpus splits rather than degenerating to one label)
+QC_KEEP_MICRO = 200000
+
+#: DSIR selection gate for the pipeline composite: keep documents
+#: whose mean feature likelihood ratio is at least 96% of neutral —
+#: the floor-division ppm ratios bias a few percent below 1.0, so a
+#: bare 'ratio > 1' gate would be near-empty; a fixed threshold
+#: keeps the gate global-sort-free
+DSIR_NEUTRAL_PPM = 960000
+
+
+def _qc_feature_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc integer quality features + linear-head score
+    (doc_id, n_tokens, stop_ppm, punct_ppm, upper_ppm,
+    mean_wlen_milli, score_micro) — pure column math, one scan."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lower_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(lower_toks, lambda t: F.array_contains(stop_arr, t))
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(F.col("text"), F.lit("[.,;:!?]"), F.lit(""))
+            )
+        )
+        .cast("bigint")
+        .alias("n_punct"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(F.col("text"), F.lit("[A-Z]"), F.lit(""))
+            )
+        )
+        .cast("bigint")
+        .alias("n_upper"),
+        F.length(F.regexp_replace(F.col("text"), F.lit(r"\s"), F.lit("")))
+        .cast("bigint")
+        .alias("n_nonspace"),
+        F.greatest(F.length("text"), F.lit(1))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    p = f.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST((1000000 * n_stop) div greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("stop_ppm"),
+        F.expr("CAST((1000000 * n_punct) div n_chars AS BIGINT)").alias(
+            "punct_ppm"
+        ),
+        F.expr("CAST((1000000 * n_upper) div n_chars AS BIGINT)").alias(
+            "upper_ppm"
+        ),
+        F.expr(
+            "CAST((1000 * n_nonspace) div greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("mean_wlen_milli"),
+    )
+    score = (
+        F.lit(1500) * F.least(F.col("n_tokens"), F.lit(400))
+        + F.lit(3) * F.col("stop_ppm")
+        - F.lit(2) * F.col("punct_ppm")
+        - F.col("upper_ppm")
+        - F.lit(100) * F.abs(F.col("mean_wlen_milli") - F.lit(5000))
+    )
+    return p.withColumn("score_micro", score.cast("bigint"))
+
+
+def _dsir_weight_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc DSIR importance weights (doc_id, source, n_tokens,
+    weight_ppm) over any doc-shaped frame (doc_id, source, text):
+    hashed-unigram bucket counts → Laplace-smoothed target/raw
+    likelihood ratio table (broadcast, DSIR_BUCKETS rows) → per-doc
+    mean feature ratio."""
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", "source", F.lower("t").alias("tok"))
+    )
+    b = tok.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    cnt = b.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)
+        ).alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").cast("bigint").alias("t_r"),
+        F.sum("c_t").cast("bigint").alias("t_t"),
+    )
+    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST((1000000 * (c_t + 1) * (t_r + {DSIR_BUCKETS})) div "
+            f"((c_r + 1) * (t_t + {DSIR_BUCKETS})) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    return (
+        b.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(sum(ratio_ppm) div count(*) AS BIGINT)").alias(
+                "weight_ppm"
+            ),
+        )
+        .select("doc_id", "source", "n_tokens", "weight_ppm")
+    )
+
+
+@register(
+    "x_dsir_importance",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, source, lower(t) AS tok FROM ("
+        f"SELECT doc_id, source, unnest(string_split_regex(trim(text),"
+        f" '\\s+')) AS t FROM documents) WHERE t <> ''), "
+        f"b AS (SELECT doc_id, source, CAST('0x' || substr(md5(tok), 1, 14)"
+        f" AS BIGINT) % {DSIR_BUCKETS} AS b FROM tok), "
+        f"cnt AS (SELECT b, count(*) AS c_r, "
+        f"sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)"
+        f" AS c_t FROM b GROUP BY b), "
+        f"tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS t_r, "
+        f"CAST(sum(c_t) AS BIGINT) AS t_t FROM cnt), "
+        f"ratio AS (SELECT b, CAST((1000000 * (c_t + 1) * (t_r +"
+        f" {DSIR_BUCKETS})) // ((c_r + 1) * (t_t + {DSIR_BUCKETS}))"
+        f" AS BIGINT) AS ratio_ppm FROM cnt, tot), "
+        f"doc AS (SELECT doc_id, any_value(source) AS source, "
+        f"count(*) AS n_tokens, CAST(sum(ratio_ppm) // count(*)"
+        f" AS BIGINT) AS weight_ppm "
+        f"FROM b JOIN ratio USING (b) GROUP BY doc_id) "
+        f"SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"weight_ppm FROM doc ORDER BY weight_ppm DESC, doc_id LIMIT 50"
+    ),
+    doc=(
+        "DSIR-style importance ranking (Xie et al. 2023): unigrams "
+        "hashed into 64 buckets, per-bucket Laplace-smoothed "
+        "likelihood ratio of the target slice (src0) vs the raw "
+        "corpus, each document scored by its mean feature ratio "
+        "(integer ppm) — the top-50 most target-like documents. "
+        "Integer cross-multiplied ratios keep both engines bit-equal "
+        "(at petabyte counts you'd grade in log-space doubles; the "
+        "plan is identical). Scale shape: one token fan-out feeding "
+        "a 64-row count table, ratio table broadcast back onto the "
+        "token stream, one doc-keyed agg, distributed top-k — no "
+        "global sort, no all-pairs."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        _dsir_weight_frame(docs)
+        .orderBy(F.desc("weight_ppm"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "x_token_budget_sample",
+    oracle=(
+        f"WITH d AS (SELECT doc_id, source, CAST(len(string_split_regex("
+        f"trim(text), '\\s+')) AS BIGINT) AS nt, "
+        f"((doc_id % 1048576) * 2654435761) % 1000003 AS hb "
+        f"FROM documents), "
+        f"bud AS (SELECT source, CAST(sum(nt) // {TOKEN_BUDGET_DIV}"
+        f" AS BIGINT) AS budget_tokens, count(*) AS n_docs "
+        f"FROM d GROUP BY source), "
+        f"cum AS (SELECT d.*, sum(nt) OVER (PARTITION BY source "
+        f"ORDER BY hb, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS c FROM d), "
+        f"sel AS (SELECT cum.source, count(*) AS docs_selected, "
+        f"CAST(sum(nt) AS BIGINT) AS tokens_selected "
+        f"FROM cum JOIN bud ON bud.source = cum.source "
+        f"WHERE c <= budget_tokens GROUP BY cum.source) "
+        f"SELECT bud.source, CAST(n_docs AS BIGINT) AS n_docs, "
+        f"budget_tokens, CAST(COALESCE(docs_selected, 0) AS BIGINT)"
+        f" AS docs_selected, COALESCE(tokens_selected, 0)"
+        f" AS tokens_selected "
+        f"FROM bud LEFT JOIN sel USING (source) ORDER BY source"
+    ),
+    doc=(
+        "Token-budget sampling: each source downsampled to a third "
+        "of its tokens by admitting documents in deterministic "
+        "Knuth-hash order until the budget fills — the reproducible "
+        "executor of a mixture plan's 'take N tokens from source S' "
+        "(same doc set on every run, every engine, any partitioning; "
+        "no rand()). Scale shape: one per-source cumulative window "
+        "(per-shard, never a global sort — the x_sequence_packing "
+        "precedent) and a broadcast 20-row budget table; the summary "
+        "is a map-side collapsing agg."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("nt"),
+        (
+            (F.col("doc_id") % 1048576) * F.lit(2654435761) % 1000003
+        ).alias("hb"),
+    )
+    bud = d.groupBy("source").agg(
+        F.expr(f"CAST(sum(nt) div {TOKEN_BUDGET_DIV} AS BIGINT)").alias(
+            "budget_tokens"
+        ),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("hb", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = d.withColumn("c", F.sum("nt").over(w))
+    sel = (
+        cum.join(F.broadcast(bud.select("source", "budget_tokens")), "source")
+        .filter(F.col("c") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_selected"),
+            F.sum("nt").cast("bigint").alias("tokens_selected"),
+        )
+    )
+    return (
+        bud.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "budget_tokens",
+            F.coalesce("docs_selected", F.lit(0))
+            .cast("bigint")
+            .alias("docs_selected"),
+            F.coalesce("tokens_selected", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "x_quality_classifier",
+    oracle=(
+        f"WITH f AS (SELECT doc_id, "
+        f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        f" AS n_tokens, "
+        f"CAST(len(list_filter(string_split_regex(trim(lower(text)),"
+        f" '\\s+'), t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop, "
+        f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',"
+        f" '', 'g')) AS BIGINT) AS n_punct, "
+        f"CAST(length(text) - length(regexp_replace(text, '[A-Z]', '',"
+        f" 'g')) AS BIGINT) AS n_upper, "
+        f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)"
+        f" AS n_nonspace, "
+        f"CAST(greatest(length(text), 1) AS BIGINT) AS n_chars "
+        f"FROM documents), "
+        f"p AS (SELECT doc_id, n_tokens, "
+        f"CAST((1000000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)"
+        f" AS stop_ppm, "
+        f"CAST((1000000 * n_punct) // n_chars AS BIGINT) AS punct_ppm, "
+        f"CAST((1000000 * n_upper) // n_chars AS BIGINT) AS upper_ppm, "
+        f"CAST((1000 * n_nonspace) // greatest(n_tokens, 1) AS BIGINT)"
+        f" AS mean_wlen_milli FROM f) "
+        f"SELECT doc_id, n_tokens, stop_ppm, punct_ppm, upper_ppm, "
+        f"mean_wlen_milli, "
+        f"CAST(1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 * punct_ppm"
+        f" - upper_ppm - 100 * abs(mean_wlen_milli - 5000) AS BIGINT)"
+        f" AS score_micro, "
+        f"CASE WHEN 1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 *"
+        f" punct_ppm - upper_ppm - 100 * abs(mean_wlen_milli - 5000)"
+        f" >= {QC_KEEP_MICRO} THEN 'keep' ELSE 'drop' END AS label "
+        f"FROM p ORDER BY doc_id"
+    ),
+    doc=(
+        "Quality-classifier head: a fixed integer linear model over "
+        "cheap per-document features — stopword density, punctuation "
+        "and upper-case character rates, mean word length, capped "
+        "token count — producing a keep/drop gate (the fasttext-"
+        "style quality filter of CCNet/RefinedWeb recipes, with "
+        "illustrative distilled weights). Everything is integer ppm "
+        "column math, so the whole classifier fuses into ONE "
+        "whole-stage-codegen scan pass: zero shuffles, zero UDFs, "
+        "trivially 100×-able. The ordering sort exists only for the "
+        "grading hash."
+    ),
+    tags=("corpus", "quality"),
+)
+def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    p = _qc_feature_frame(docs)
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ppm",
+        "punct_ppm",
+        "upper_ppm",
+        "mean_wlen_milli",
+        "score_micro",
+        F.when(F.col("score_micro") >= QC_KEEP_MICRO, "keep")
+        .otherwise("drop")
+        .alias("label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_ngram_novelty",
+    oracle=(
+        f"WITH tk AS (SELECT doc_id, string_split_regex(trim(text),"
+        f" '\\s+') AS tk FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, "
+        f"unnest(CASE WHEN len(tk) < {NOV_K} THEN []::VARCHAR[] ELSE "
+        f"list_transform(range(1, len(tk) - {NOV_K - 1} + 1), "
+        f"i -> array_to_string(tk[i:i+{NOV_K - 1}], ' ')) END) AS sh "
+        f"FROM tk)), "
+        f"own AS (SELECT sh, min(doc_id) AS owner FROM sh GROUP BY sh), "
+        f"per AS (SELECT s.doc_id, count(*) AS n, "
+        f"sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS nov "
+        f"FROM sh s JOIN own o USING (sh) GROUP BY s.doc_id) "
+        f"SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_shingles, "
+        f"CAST(COALESCE(nov, 0) AS BIGINT) AS novel_shingles, "
+        f"CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0 ELSE "
+        f"(1000000 * COALESCE(nov, 0)) // n END AS BIGINT) AS novelty_ppm "
+        f"FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"
+    ),
+    doc=(
+        "N-gram novelty curve: for each document (in doc_id = "
+        "ingestion order), the integer-ppm share of its distinct "
+        "5-token shingles FIRST introduced by that document "
+        "(ownership = min doc_id over the corpus) — the marginal-"
+        "novelty signal a corpus-growth audit watches to decide when "
+        "additional crawl stops adding information. Scale shape: one "
+        "shingle min-aggregation shuffle + one equality join-back + "
+        "a doc-keyed agg — the x_exact_substring_dedup shape, never "
+        "all-pairs; short and empty docs kept at 0 via the left join."
+    ),
+    tags=("corpus", "quality"),
+)
+def x_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    )
+    sh_expr = (
+        f"if(size(tk) < {NOV_K}, array(), "
+        f"transform(sequence(1, size(tk) - {NOV_K - 1}), "
+        f"i -> array_join(slice(tk, i, {NOV_K}), ' ')))"
+    )
+    sh = (
+        toks.select("doc_id", F.explode(F.expr(sh_expr)).alias("sh"))
+        .distinct()
+    )
+    own = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
+    per = (
+        sh.join(own, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("nov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("nov", F.lit(0))
+            .cast("bigint")
+            .alias("novel_shingles"),
+            F.expr(
+                "CAST(CASE WHEN COALESCE(n, 0) = 0 THEN 0 ELSE "
+                "(1000000 * COALESCE(nov, 0)) div n END AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_corpus_pipeline_v4",
+    oracle=(
+        # stage 1: quality-classifier gate
+        f"WITH qf AS (SELECT doc_id, "
+        f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        f" AS n_tokens, "
+        f"CAST(len(list_filter(string_split_regex(trim(lower(text)),"
+        f" '\\s+'), t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop, "
+        f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',"
+        f" '', 'g')) AS BIGINT) AS n_punct, "
+        f"CAST(length(text) - length(regexp_replace(text, '[A-Z]', '',"
+        f" 'g')) AS BIGINT) AS n_upper, "
+        f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)"
+        f" AS n_nonspace, "
+        f"CAST(greatest(length(text), 1) AS BIGINT) AS n_chars "
+        f"FROM documents), "
+        f"qp AS (SELECT doc_id, n_tokens, "
+        f"CAST((1000000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)"
+        f" AS stop_ppm, "
+        f"CAST((1000000 * n_punct) // n_chars AS BIGINT) AS punct_ppm, "
+        f"CAST((1000000 * n_upper) // n_chars AS BIGINT) AS upper_ppm, "
+        f"CAST((1000 * n_nonspace) // greatest(n_tokens, 1) AS BIGINT)"
+        f" AS mean_wlen_milli FROM qf), "
+        f"qc AS (SELECT doc_id FROM qp WHERE 1500 * least(n_tokens, 400)"
+        f" + 3 * stop_ppm - 2 * punct_ppm - upper_ppm - 100 *"
+        f" abs(mean_wlen_milli - 5000) >= {QC_KEEP_MICRO}), "
+        # stage 2: exact content dedup (md5, keep smallest doc_id)
+        f"k1 AS (SELECT d.doc_id, d.source, d.text FROM documents d "
+        f"JOIN qc USING (doc_id)), "
+        f"dd AS (SELECT doc_id, source, text FROM (SELECT k1.*, "
+        f"row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)"
+        f" AS rn FROM k1) WHERE rn = 1), "
+        # stage 3: DSIR gate over the deduped survivors
+        f"tok AS (SELECT doc_id, source, lower(t) AS tok FROM ("
+        f"SELECT doc_id, source, unnest(string_split_regex(trim(text),"
+        f" '\\s+')) AS t FROM dd) WHERE t <> ''), "
+        f"b AS (SELECT doc_id, source, CAST('0x' || substr(md5(tok), 1, 14)"
+        f" AS BIGINT) % {DSIR_BUCKETS} AS b FROM tok), "
+        f"cnt AS (SELECT b, count(*) AS c_r, "
+        f"sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)"
+        f" AS c_t FROM b GROUP BY b), "
+        f"tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS t_r, "
+        f"CAST(sum(c_t) AS BIGINT) AS t_t FROM cnt), "
+        f"ratio AS (SELECT b, CAST((1000000 * (c_t + 1) * (t_r +"
+        f" {DSIR_BUCKETS})) // ((c_r + 1) * (t_t + {DSIR_BUCKETS}))"
+        f" AS BIGINT) AS ratio_ppm FROM cnt, tot), "
+        f"wdoc AS (SELECT doc_id, CAST(sum(ratio_ppm) // count(*)"
+        f" AS BIGINT) AS weight_ppm FROM b JOIN ratio USING (b)"
+        f" GROUP BY doc_id), "
+        f"sel0 AS (SELECT dd.doc_id, dd.source, "
+        f"CAST(len(string_split_regex(trim(dd.text), '\\s+')) AS BIGINT)"
+        f" AS nt, ((dd.doc_id % 1048576) * 2654435761) % 1000003 AS hb "
+        f"FROM dd JOIN wdoc USING (doc_id) "
+        f"WHERE weight_ppm >= {DSIR_NEUTRAL_PPM}), "
+        # stage 4: per-source token-budget fill in hash order
+        f"bud AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(nt) AS BIGINT) AS n_tokens, "
+        f"CAST(sum(nt) // {TOKEN_BUDGET_DIV} AS BIGINT) AS budget_tokens "
+        f"FROM sel0 GROUP BY source), "
+        f"cum AS (SELECT sel0.*, sum(nt) OVER (PARTITION BY source "
+        f"ORDER BY hb, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS c FROM sel0), "
+        f"s AS (SELECT cum.source, count(*) AS docs_selected, "
+        f"CAST(sum(nt) AS BIGINT) AS tokens_selected, "
+        f"CAST(sum(cum.doc_id) AS BIGINT) AS id_checksum "
+        f"FROM cum JOIN bud ON bud.source = cum.source "
+        f"WHERE c <= budget_tokens GROUP BY cum.source) "
+        f"SELECT bud.source, n_docs, n_tokens, budget_tokens, "
+        f"CAST(COALESCE(docs_selected, 0) AS BIGINT) AS docs_selected, "
+        f"COALESCE(tokens_selected, 0) AS tokens_selected, "
+        f"COALESCE(id_checksum, 0) AS id_checksum "
+        f"FROM bud LEFT JOIN s USING (source) ORDER BY bud.source"
+    ),
+    doc=(
+        "Round-4 FLAGSHIP composite — this round's selection stack "
+        "end-to-end: quality-classifier gate (fixed integer linear "
+        "head, pure column math) → exact content dedup (md5, keep "
+        "smallest id) → DSIR importance gate over the deduped "
+        "survivors (keep docs more target-like than neutral, fixed "
+        "ppm threshold so no global sort) → per-source token-budget "
+        "fill in deterministic Knuth-hash order. Graded per source "
+        "by post-gate doc/token counts, budget, selected docs/tokens "
+        "and the selected-id checksum. Wide edges: one digest "
+        "shuffle (dedup), one token fan-out + 64-row broadcast ratio "
+        "join + doc-keyed agg (DSIR), one per-source cumulative "
+        "window (budget) — each stage is the 100×-safe shape proven "
+        "by its standalone op; the classifier gate fuses into the "
+        "scan."
+    ),
+    tags=("corpus", "pipeline"),
+)
+def x_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents")
+    qc = (
+        _qc_feature_frame(docs)
+        .filter(F.col("score_micro") >= QC_KEEP_MICRO)
+        .select("doc_id")
+    )
+    k1 = docs.join(qc, "doc_id").select("doc_id", "source", "text")
+    dd = (
+        k1.withColumn("h", F.md5("text"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    # three consumers downstream (weights learn + join-back + budget):
+    # pin the deduped survivors so the gate stack runs once
+    dd = dd.localCheckpoint()
+    w = _dsir_weight_frame(dd).filter(
+        F.col("weight_ppm") >= DSIR_NEUTRAL_PPM
+    )
+    sel0 = dd.join(w.select("doc_id"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("nt"),
+        (
+            (F.col("doc_id") % 1048576) * F.lit(2654435761) % 1000003
+        ).alias("hb"),
+    )
+    bud = sel0.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.expr(f"CAST(sum(nt) div {TOKEN_BUDGET_DIV} AS BIGINT)").alias(
+            "budget_tokens"
+        ),
+    )
+    cum_w = (
+        W.partitionBy("source")
+        .orderBy("hb", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sel0.withColumn("c", F.sum("nt").over(cum_w))
+    s = (
+        cum.join(
+            F.broadcast(bud.select("source", "budget_tokens")), "source"
+        )
+        .filter(F.col("c") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_selected"),
+            F.sum("nt").cast("bigint").alias("tokens_selected"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+    return (
+        bud.join(s, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "budget_tokens",
+            F.coalesce("docs_selected", F.lit(0))
+            .cast("bigint")
+            .alias("docs_selected"),
+            F.coalesce("tokens_selected", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+            F.coalesce("id_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
