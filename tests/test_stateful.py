@@ -262,3 +262,26 @@ def test_bucketed_lww_merge_empty_batch_is_noop(spark, tmp_path):
         == []
     )
     assert state == snapshot
+
+
+def test_stream_budget_maintenance_batching_independent(spark):
+    """The budget-prefix + overflow-watermark fold must produce the
+    SAME selection no matter how the stream is chunked: 1 file (one
+    micro-batch = the batch answer by construction) vs 7 files
+    (interleaved arrivals exercise the watermark reject and the
+    re-trim path). This is the property the naive trim-and-merge
+    fold FAILED (a later arrival slotting after a trimmed doc snuck
+    under an undercounted cumsum at sf0.001)."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_BUDGET_SRC_FILES
+    try:
+        ss.STREAM_BUDGET_SRC_FILES = 1
+        one = ss.x_stream_budget_maintenance(spark, sf).collect()
+        ss.STREAM_BUDGET_SRC_FILES = 7
+        seven = ss.x_stream_budget_maintenance(spark, sf).collect()
+    finally:
+        ss.STREAM_BUDGET_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0

@@ -2147,3 +2147,186 @@ def x_stream_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
             "redacted_checksum"
         ),
     )
+
+
+#: fixed absolute per-source token budget for the streaming
+#: maintenance op (a CONSTANT, not a corpus fraction: the selection
+#: must be decidable before the stream ends)
+STREAM_BUDGET_TOKENS = 500
+#: source-file fan-out = micro-batch count under maxFilesPerTrigger=1;
+#: module-level so the batching-independence property test can vary it
+STREAM_BUDGET_SRC_FILES = 4
+
+
+@register(
+    "x_stream_budget_maintenance",
+    oracle=(
+        f"WITH h AS (SELECT source, doc_id, "
+        f"md5(CAST(doc_id AS VARCHAR)) AS hk, "
+        f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        f" AS nt FROM documents), "
+        f"c AS (SELECT *, sum(nt) OVER (PARTITION BY source "
+        f"ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS cum FROM h), "
+        f"sel AS (SELECT source, count(*) AS docs_selected, "
+        f"CAST(sum(nt) AS BIGINT) AS tokens_selected, "
+        f"CAST(sum(doc_id) AS BIGINT) AS id_checksum "
+        f"FROM c WHERE cum <= {STREAM_BUDGET_TOKENS} GROUP BY source) "
+        f"SELECT s.source, "
+        f"CAST(COALESCE(docs_selected, 0) AS BIGINT) AS docs_selected, "
+        f"COALESCE(tokens_selected, 0) AS tokens_selected, "
+        f"COALESCE(id_checksum, 0) AS id_checksum "
+        f"FROM (SELECT DISTINCT source FROM documents) s "
+        f"LEFT JOIN sel USING (source) ORDER BY s.source"
+    ),
+    doc=(
+        "Streaming token-budget maintenance: a live ingest keeps, "
+        "per source, EXACTLY the document set the batch sampler "
+        "would select (docs admitted in id-hash order until a fixed "
+        "token budget fills) — no matter how the stream is chunked. "
+        "Unlike bottom-k, the budget-prefix is NOT naively mergeable "
+        "(trimming discards the tail MASS that justified the cut, so "
+        "a later arrival slotting after a trimmed doc would sneak "
+        "under an undercounted cumsum — caught by the sf0.001 "
+        "parity drill). The exact construction adds an OVERFLOW "
+        "WATERMARK per source: the smallest hash whose cumulative "
+        "sum ever crossed the budget. Cumsum along the hash order "
+        "only grows as data arrives, so everything at-or-past the "
+        "watermark is excluded forever (reject on arrival), and "
+        "below the watermark the state holds EVERY seen doc — "
+        "cumsums there are exact, and each re-trim can only move "
+        "the watermark earlier. Per-batch work: one cut-filter "
+        "join, one batch-local window, one merge over the state "
+        "table; state is budget-bounded below the watermark, never "
+        "proportional to history. Graded per source by selected "
+        "docs/tokens and id checksum against the batch-computed "
+        "prefix."
+    ),
+    tags=("streaming", "sampling", "corpus"),
+)
+@_sized_state
+def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_budget_")
+    docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("nt"),
+    ).repartition(STREAM_BUDGET_SRC_FILES).write.mode("overwrite").parquet(
+        src_dir
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = tempfile.mkdtemp(prefix="zs_stream_budget_state_")
+    state = {"path": None, "v": 0}
+    w = (
+        W.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    def _fold(b, _i):
+        cand = b.select(
+            "source",
+            "doc_id",
+            "nt",
+            F.md5(F.col("doc_id").cast("string")).alias("hk"),
+        )
+        cuts_prev = None
+        if state["path"]:
+            kept_prev = spark.read.parquet(
+                os.path.join(state["path"], "kept")
+            )
+            cuts_prev = spark.read.parquet(
+                os.path.join(state["path"], "cut")
+            )
+            # Watermark reject: a doc at-or-past its source's cut can
+            # never re-enter the prefix — its true cumsum already
+            # crossed the budget when the cut was recorded, and
+            # cumsums only grow. Below the cut, kept_prev holds EVERY
+            # seen doc, so the merged cumsums below are exact.
+            cand = (
+                cand.join(F.broadcast(cuts_prev), "source", "left")
+                .filter(
+                    F.col("cut_hk").isNull()
+                    | (F.col("hk") < F.col("cut_hk"))
+                )
+                .drop("cut_hk")
+                .unionByName(kept_prev)
+            )
+        scored = cand.withColumn("cum", F.sum("nt").over(w))
+        kept = scored.filter(
+            F.col("cum") <= STREAM_BUDGET_TOKENS
+        ).drop("cum")
+        # this merge's first overflow per source becomes (or advances)
+        # the watermark; least() skips nulls, and a new cut is always
+        # at-or-before the old one because only docs below it competed
+        over = (
+            scored.filter(F.col("cum") > STREAM_BUDGET_TOKENS)
+            .groupBy("source")
+            .agg(F.min("hk").alias("new_cut"))
+        )
+        if cuts_prev is not None:
+            cuts = (
+                cuts_prev.join(over, "source", "outer")
+                .select(
+                    "source",
+                    F.least("new_cut", "cut_hk").alias("cut_hk"),
+                )
+            )
+        else:
+            cuts = over.select("source", F.col("new_cut").alias("cut_hk"))
+        new_path = os.path.join(workdir, f"v{state['v']}")
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(new_path, "kept")
+        )
+        cuts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(new_path, "cut")
+        )
+        state["path"], state["v"] = new_path, state["v"] + 1
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sel = (
+        spark.read.parquet(os.path.join(state["path"], "kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_selected"),
+            F.sum("nt").cast("bigint").alias("tokens_selected"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+    return (
+        docs.select("source")
+        .distinct()
+        .join(sel, "source", "left")
+        .select(
+            "source",
+            F.coalesce("docs_selected", F.lit(0))
+            .cast("bigint")
+            .alias("docs_selected"),
+            F.coalesce("tokens_selected", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+            F.coalesce("id_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
