@@ -151,3 +151,21 @@ def test_bpe_merge_less_corpus_keeps_symbols(spark, tmp_path):
         (1, 3, 0),
         (2, 3, 0),
     ]
+
+
+def test_round4_training_ops_degenerate_docs(spark, edge_sf):
+    """Round-4 ops must execute over 1-token / empty / whitespace-only
+    docs without ANSI crashes (sequence() descending, div-by-zero):
+    the shipped test data contains none of these shapes."""
+    from ziggurat_spark.queries.registry import all_queries
+
+    specs = all_queries()
+    for name in (
+        "x_dsir_importance",
+        "x_token_budget_sample",
+        "x_quality_classifier",
+        "x_ngram_novelty",
+        "x_corpus_pipeline_v4",
+    ):
+        rows = specs[name].spark(spark, edge_sf).collect()
+        assert rows is not None  # executed end-to-end
