@@ -2303,6 +2303,18 @@ def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    if state["path"] is None:  # zero micro-batches: empty selection
+        return (
+            docs.select("source")
+            .distinct()
+            .select(
+                "source",
+                F.lit(0).cast("bigint").alias("docs_selected"),
+                F.lit(0).cast("bigint").alias("tokens_selected"),
+                F.lit(0).cast("bigint").alias("id_checksum"),
+            )
+            .orderBy("source")
+        )
     sel = (
         spark.read.parquet(os.path.join(state["path"], "kept"))
         .groupBy("source")

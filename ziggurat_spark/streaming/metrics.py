@@ -303,8 +303,14 @@ class StatsdExporter:
     @staticmethod
     def _fmt_rate(rate: float) -> str:
         # canonical "@1.0" for the unsampled case (clj-statsd parity);
-        # compact decimal otherwise
-        return "1.0" if rate >= 1.0 else f"{rate:g}"
+        # fixed-point otherwise — %g would emit exponent notation
+        # ("1e-05") below 1e-4, which not every statsd parser accepts.
+        # Floor at 1e-8 so extreme multiplicities still produce a
+        # non-zero, parseable rate.
+        if rate >= 1.0:
+            return "1.0"
+        s = f"{max(rate, 1e-8):.8f}".rstrip("0")
+        return s + "0" if s.endswith(".") else s
 
     def _variants(self, topic_entity: str, ns: str, metric: str | None):
         suffix = f".{metric}" if metric else ""
