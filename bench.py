@@ -29,6 +29,41 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def build_summary(
+    timings: dict[str, float],
+    total: float,
+    sf: float | None,
+    stream_rps: float,
+    pump_s: float,
+    byte_budget: int = 1700,
+) -> dict:
+    """Compact stdout summary: stats + as many of the slowest queries
+    as fit ``byte_budget`` when JSON-encoded. The invoking harness
+    keeps only the last ~2000 chars of stdout, so the line MUST stay
+    under that to parse whole (tests/test_bench_protocol.py pins it)."""
+    vals = sorted(timings.values())
+    summary = {
+        "metric": "total wall-clock, full query surface (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_n": len(timings),
+        "median_s": round(vals[len(vals) // 2], 3),
+        "p90_s": round(vals[int(len(vals) * 0.9)], 3),
+        "stream_pipeline_records_per_s": stream_rps,
+        "retry_pump_redelivery_s": pump_s,
+        "detail": "BENCH_FULL.json",
+        "queries": {},
+    }
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    for name in by_cost:
+        summary["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(summary)) > byte_budget:
+            del summary["queries"][name]
+            break
+    return summary
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ziggurat_spark.queries import all_queries
@@ -116,30 +151,7 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    # Compact stdout line: summary stats + as many of the slowest
-    # queries as fit a strict byte budget (the tail-keep is ~2000
-    # chars; stay well under so the line always parses whole).
-    vals = sorted(timings.values())
-    summary = {
-        "metric": "total wall-clock, full query surface (noop sink)",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "queries_n": len(timings),
-        "median_s": round(vals[len(vals) // 2], 3),
-        "p90_s": round(vals[int(len(vals) * 0.9)], 3),
-        "stream_pipeline_records_per_s": stream_rps,
-        "retry_pump_redelivery_s": pump_s,
-        "detail": "BENCH_FULL.json",
-        "queries": {},
-    }
-    by_cost = sorted(timings, key=timings.get, reverse=True)
-    for name in by_cost:
-        summary["queries"][name] = round(timings[name], 2)
-        if len(json.dumps(summary)) > 1700:
-            del summary["queries"][name]
-            break
-    print(json.dumps(summary))
+    print(json.dumps(build_summary(timings, total, sf, stream_rps, pump_s)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,51 @@
+"""Pin the bench stdout protocol: the invoking harness keeps only the
+last ~2000 characters of stdout, so the single printed JSON line must
+ALWAYS stay under that and parse whole (rounds 1-3 recorded
+`parsed: null` because a 7KB line truncated mid-line)."""
+
+from __future__ import annotations
+
+import json
+
+
+def _summary(n_queries: int, name_len: int = 40):
+    from bench import build_summary
+
+    timings = {
+        f"x_{'q' * name_len}_{i:04d}": 0.1 + i * 0.013
+        for i in range(n_queries)
+    }
+    total = round(sum(timings.values()), 4)
+    return build_summary(timings, total, 0.1, 51234.5, 2.1234)
+
+
+def test_bench_line_fits_harness_tail_keep():
+    for n in (1, 50, 274, 1000):
+        line = json.dumps(_summary(n))
+        assert len(line) <= 1900, (n, len(line))
+        # the harness may parse the raw tail: the line alone must load
+        assert json.loads(line)["queries_n"] == n
+
+
+def test_bench_line_carries_slowest_queries_first():
+    s = _summary(274)
+    # the most expensive query must always make the cut
+    worst = max(s["queries"], key=s["queries"].get)
+    assert s["queries"][worst] >= max(s["queries"].values())
+    assert len(s["queries"]) >= 20  # informative, not just stats
+
+
+def test_bench_summary_stats_present():
+    s = _summary(274)
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "sf",
+        "median_s",
+        "p90_s",
+        "stream_pipeline_records_per_s",
+        "retry_pump_redelivery_s",
+        "detail",
+    ):
+        assert key in s, key
