@@ -1929,7 +1929,12 @@ def x_stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
             .drop("rn")
         )
         if state["path"]:
-            cand = cand.unionByName(spark.read.parquet(state["path"]))
+            # dropDuplicates: idempotent under micro-batch replay (a
+            # re-delivered doc already in state must not occupy two
+            # of the k slots)
+            cand = cand.unionByName(
+                spark.read.parquet(state["path"])
+            ).dropDuplicates(["source", "doc_id"])
         merged = (
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
@@ -2255,6 +2260,10 @@ def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
             # crossed the budget when the cut was recorded, and
             # cumsums only grow. Below the cut, kept_prev holds EVERY
             # seen doc, so the merged cumsums below are exact.
+            # dropDuplicates makes the fold idempotent under
+            # micro-batch REPLAY (crash-restart re-delivers a batch
+            # whose docs may already sit in state — without it a
+            # replayed doc double-counts in the cumsum)
             cand = (
                 cand.join(F.broadcast(cuts_prev), "source", "left")
                 .filter(
@@ -2263,6 +2272,7 @@ def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
                 )
                 .drop("cut_hk")
                 .unionByName(kept_prev)
+                .dropDuplicates(["source", "doc_id"])
             )
         scored = cand.withColumn("cum", F.sum("nt").over(w))
         kept = scored.filter(
