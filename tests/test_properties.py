@@ -648,3 +648,74 @@ def test_bucketized_band_join_equals_brute_force(spark):
     # each qualifying pair matches in EXACTLY one bucket — a set
     # comparison alone couldn't catch double-bucket matches
     assert len(matched) == len(brute)
+
+
+# -- BPE boundary-safe apply vs a classical reference model -------------
+
+_BPE_SYMBOLS = ("a", "b", "c", "e", "h", "t", "th", "he", "ab", "aa")
+
+
+def _classical_bpe_apply(syms: list[str], x: str, y: str) -> list[str]:
+    """Textbook BPE merge apply: left-to-right, non-overlapping,
+    whole-symbol matches only."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(_BPE_SYMBOLS), min_size=1, max_size=8
+            ),
+            st.sampled_from(_BPE_SYMBOLS),
+            st.sampled_from(_BPE_SYMBOLS),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_apply_expr_matches_classical_model(spark, cases):
+    """The separator-doubling SQL apply (corpus_ops._BPE_APPLY_EXPR)
+    must equal textbook left-to-right non-overlapping BPE on random
+    symbol strings — including suffix/prefix boundary traps ('th'+'e'
+    vs 'h e') and self-pair runs ('a a a a') — on BOTH engines."""
+    import duckdb
+
+    from ziggurat_spark.queries.corpus_ops import _BPE_APPLY_EXPR
+
+    rows = [
+        (" ".join(syms), f"{x} {y}", " ".join(_classical_bpe_apply(syms, x, y)))
+        for syms, x, y in cases
+    ]
+    df = spark.createDataFrame(rows, "sp string, mp string, want string")
+    got = df.selectExpr(_BPE_APPLY_EXPR, "want").collect()
+    for r in got:
+        assert r["sp"] == r["want"], r
+    con = duckdb.connect()
+    for sp, mp, want in rows:
+        duck = con.execute(
+            f"SELECT {_BPE_APPLY_EXPR} FROM "
+            "(SELECT ? AS sp, ? AS mp)",
+            [sp, mp],
+        ).fetchone()[0]
+        assert duck == want, (sp, mp, duck, want)
+
+
+def test_bpe_apply_expr_null_merge_is_noop(spark):
+    """A merge-less corpus (mp NULL from the empty winner join) must
+    pass symbol strings through untouched."""
+    from ziggurat_spark.queries.corpus_ops import _BPE_APPLY_EXPR
+
+    df = spark.createDataFrame(
+        [("a b c",)], "sp string"
+    ).selectExpr("sp", "CAST(NULL AS STRING) AS mp")
+    assert df.selectExpr(_BPE_APPLY_EXPR).collect()[0]["sp"] == "a b c"
