@@ -825,12 +825,18 @@ def test_dsir_importance_broadcast_ratio_no_cartesian(spark, specs):
 
 
 def test_token_budget_sample_per_source_window_pruned_scan(spark, specs):
-    """x_token_budget_sample: the cumulative fill is a per-source
-    window (partitioned, never a global sort of the corpus), the
-    20-row budget table broadcasts, and the scan reads only the
-    columns the token count needs (no lang)."""
+    """x_token_budget_sample: the corpus-scale cumulative sum is a
+    TWO-LEVEL prefix sum — the wide window partitions by (source,
+    shard) so no task ever sorts a whole source; the tiny offset
+    table and the 20-row budget table broadcast; scan pruned."""
+    from ziggurat_spark.plans import formatted_plan
+
     df = q(specs, "x_token_budget_sample", spark)
-    assert broadcast_join_count(df) >= 1
+    plan = formatted_plan(df).lower()
+    # the in-shard window must be keyed by shard (the two-level
+    # spelling); a plain per-source window plan has no shard column
+    assert "shard" in plan
+    assert broadcast_join_count(df) >= 2  # offsets + budget
     assert not has_cartesian_product(df)
     for s in scan_read_schemas(df):
         assert "lang" not in s

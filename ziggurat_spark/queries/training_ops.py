@@ -264,10 +264,16 @@ def x_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
         "Knuth-hash order until the budget fills — the reproducible "
         "executor of a mixture plan's 'take N tokens from source S' "
         "(same doc set on every run, every engine, any partitioning; "
-        "no rand()). Scale shape: one per-source cumulative window "
-        "(per-shard, never a global sort — the x_sequence_packing "
-        "precedent) and a broadcast 20-row budget table; the summary "
-        "is a map-side collapsing agg."
+        "no rand()). Scale shape: the cumulative sum is a TWO-LEVEL "
+        "prefix sum — hash-RANGE shards within each source carry "
+        "in-shard window cumsums, and a sources×shards-row offset "
+        "table (tiny, broadcast) adds each shard's prior-shard mass "
+        "— so no single task ever sorts a whole source (a naive "
+        "per-source window serializes a 50 TB source into one task "
+        "at corpus scale). Budget table broadcast; the summary is a "
+        "map-side collapsing agg. The oracle spells the same order "
+        "as one window because range-sharding preserves the (hb, "
+        "doc_id) order exactly."
     ),
     tags=("corpus", "sampling"),
 )
@@ -291,12 +297,37 @@ def x_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.count("*").cast("bigint").alias("n_docs"),
     )
-    w = (
-        W.partitionBy("source")
+    # Two-level prefix sum. Shards are RANGE buckets of hb, so
+    # (shard asc, hb asc, doc_id asc) is exactly the admission order
+    # and in-shard cumsum + prior-shard offset ≡ the per-source
+    # cumulative sum — but each window task sorts only its shard.
+    n_shards = 16
+    d = d.withColumn(
+        "shard", F.expr(f"CAST((hb * {n_shards}) div 1000003 AS INT)")
+    )
+    w_shard = (
+        W.partitionBy("source", "shard")
         .orderBy("hb", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = d.withColumn("c", F.sum("nt").over(w))
+    in_shard = d.withColumn("c_in", F.sum("nt").over(w_shard))
+    # sources × shards rows: exclusive running offset per shard
+    w_off = (
+        W.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    )
+    offsets = (
+        d.groupBy("source", "shard")
+        .agg(F.sum("nt").alias("shard_nt"))
+        .withColumn(
+            "off", F.coalesce(F.sum("shard_nt").over(w_off), F.lit(0))
+        )
+        .select("source", "shard", "off")
+    )
+    cum = in_shard.join(
+        F.broadcast(offsets), ["source", "shard"]
+    ).withColumn("c", F.col("c_in") + F.col("off"))
     sel = (
         cum.join(F.broadcast(bud.select("source", "budget_tokens")), "source")
         .filter(F.col("c") <= F.col("budget_tokens"))
