@@ -266,16 +266,16 @@ PACK_BUDGET = 2048
         "Training-sequence packing: documents shuffle deterministically "
         "(md5 of doc_id), then fill fixed token-budget bins by running "
         "cumulative sum — bin = floor(tokens_before / budget), the "
-        "contiguous-fill packing rule. Partitioned BY SOURCE so the "
-        "running sum is a per-shard window, never a single global "
-        "sort — each domain packs independently, which is also what a "
-        "sharded corpus build wants. Integer-exact end to end."
+        "contiguous-fill packing rule. The running sum is a TWO-LEVEL "
+        "prefix sum (operators/scale.py): hex-digit range shards "
+        "within each source carry in-shard cumsums plus a broadcast "
+        "offset table, so even a source holding most of the corpus "
+        "never serializes into one sort task. Integer-exact end to "
+        "end; bit-identical to the one-window oracle."
     ),
     tags=("corpus", "packing"),
 )
 def x_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     toks = load_table(spark, sf, "documents").select(
         "source",
         "doc_id",
@@ -284,12 +284,20 @@ def x_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("k", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    binned = toks.withColumn("cum_tok", F.sum("n_tok").over(w)).select(
+    # two-level prefix sum (operators/scale.py): the first hex digit
+    # of the md5 key is a RANGE bucket of the lexicographic order, so
+    # the packing is bit-identical to the one-window oracle while no
+    # task ever sorts a whole source
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    binned = two_level_prefix_sum(
+        toks,
+        ["source"],
+        ["k", "doc_id"],
+        "n_tok",
+        F.substring("k", 1, 1),
+        out_col="cum_tok",
+    ).select(
         "source",
         "doc_id",
         "n_tok",

@@ -25,11 +25,12 @@ crawl" and "tokenized shards", extending the LLM-pipeline surface
   audits watch to decide when more crawl stops adding information.
 
 Scale shapes: importance ranking is one token fan-out + a 64-row
-broadcast ratio table + one doc-keyed agg; budget sampling is one
-per-source cumulative window (per-shard, never a global sort — the
-x_sequence_packing precedent); the classifier is shuffle-free column
-math; novelty is one shingle groupBy + equality join-back (the
-x_exact_substring_dedup shape — never all-pairs).
+broadcast ratio table + one doc-keyed agg; budget sampling's
+cumulative fill is a TWO-LEVEL prefix sum over hash-range shards
+(operators/scale.py — no task ever sorts a whole source); the
+classifier is shuffle-free column math; novelty is one shingle
+groupBy + equality join-back (the x_exact_substring_dedup shape —
+never all-pairs).
 """
 
 from __future__ import annotations
@@ -278,8 +279,6 @@ def x_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     tags=("corpus", "sampling"),
 )
 def x_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf, "documents")
     d = docs.select(
         "doc_id",
@@ -297,37 +296,20 @@ def x_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.count("*").cast("bigint").alias("n_docs"),
     )
-    # Two-level prefix sum. Shards are RANGE buckets of hb, so
-    # (shard asc, hb asc, doc_id asc) is exactly the admission order
-    # and in-shard cumsum + prior-shard offset ≡ the per-source
-    # cumulative sum — but each window task sorts only its shard.
-    n_shards = 16
-    d = d.withColumn(
-        "shard", F.expr(f"CAST((hb * {n_shards}) div 1000003 AS INT)")
+    # Two-level prefix sum (operators/scale.py): shards are RANGE
+    # buckets of hb, so (shard asc, hb asc, doc_id asc) is exactly
+    # the admission order — bit-identical to the one-window oracle,
+    # but no task ever sorts a whole source.
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    cum = two_level_prefix_sum(
+        d,
+        ["source"],
+        ["hb", "doc_id"],
+        "nt",
+        F.expr("CAST((hb * 16) div 1000003 AS INT)"),
+        out_col="c",
     )
-    w_shard = (
-        W.partitionBy("source", "shard")
-        .orderBy("hb", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    in_shard = d.withColumn("c_in", F.sum("nt").over(w_shard))
-    # sources × shards rows: exclusive running offset per shard
-    w_off = (
-        W.partitionBy("source")
-        .orderBy("shard")
-        .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
-    )
-    offsets = (
-        d.groupBy("source", "shard")
-        .agg(F.sum("nt").alias("shard_nt"))
-        .withColumn(
-            "off", F.coalesce(F.sum("shard_nt").over(w_off), F.lit(0))
-        )
-        .select("source", "shard", "off")
-    )
-    cum = in_shard.join(
-        F.broadcast(offsets), ["source", "shard"]
-    ).withColumn("c", F.col("c_in") + F.col("off"))
     sel = (
         cum.join(F.broadcast(bud.select("source", "budget_tokens")), "source")
         .filter(F.col("c") <= F.col("budget_tokens"))
@@ -630,12 +612,16 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
             "budget_tokens"
         ),
     )
-    cum_w = (
-        W.partitionBy("source")
-        .orderBy("hb", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    cum = two_level_prefix_sum(
+        sel0,
+        ["source"],
+        ["hb", "doc_id"],
+        "nt",
+        F.expr("CAST((hb * 16) div 1000003 AS INT)"),
+        out_col="c",
     )
-    cum = sel0.withColumn("c", F.sum("nt").over(cum_w))
     s = (
         cum.join(
             F.broadcast(bud.select("source", "budget_tokens")), "source"
