@@ -609,12 +609,16 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
         deduped.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(dirty, "doc_id", "left_anti")
     )
-    wp = (
-        W.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = clean.withColumn("ct", F.sum("n_tokens").over(wp)).select(
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    packed = two_level_prefix_sum(
+        clean.withColumn("hk", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        ["hk", "doc_id"],
+        "n_tokens",
+        F.substring("hk", 1, 1),
+        out_col="ct",
+    ).select(
         "source",
         "doc_id",
         "n_tokens",
@@ -663,7 +667,7 @@ def x_corpus_pipeline_v2(spark: SparkSession, sf: str) -> DataFrame:
     tags=("corpus", "packing", "audit"),
 )
 def x_shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
 
     toks = load_table(spark, sf, "documents").select(
         "source",
@@ -673,13 +677,15 @@ def x_shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("k", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     bins = (
-        toks.withColumn("ct", F.sum("n_tok").over(w))
+        two_level_prefix_sum(
+            toks,
+            ["source"],
+            ["k", "doc_id"],
+            "n_tok",
+            F.substring("k", 1, 1),
+            out_col="ct",
+        )
         .select(
             "source",
             F.expr(f"(ct - n_tok) div {PACK_BUDGET}").alias("bin"),
