@@ -719,3 +719,53 @@ def test_bpe_apply_expr_null_merge_is_noop(spark):
         [("a b c",)], "sp string"
     ).selectExpr("sp", "CAST(NULL AS STRING) AS mp")
     assert df.selectExpr(_BPE_APPLY_EXPR).collect()[0]["sp"] == "a b c"
+
+
+# -- two-level prefix sum ≡ single-window cumulative sum ----------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=0, max_value=999),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_two_level_prefix_sum_equals_single_window(spark, rows):
+    """operators/scale.two_level_prefix_sum must equal the naive
+    per-group window cumsum for ANY range-bucketing of the leading
+    order key — including empty shards, single-row groups and
+    duplicate order keys (tie-broken by the id column)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    data = [(g, k, i, v) for i, (g, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, k long, id long, v long")
+    w = (
+        W.partitionBy("g")
+        .orderBy("k", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r["g"], r["id"]): r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["c"]
+        for r in two_level_prefix_sum(
+            df,
+            ["g"],
+            ["k", "id"],
+            "v",
+            F.expr("CAST((k * 7) div 1000 AS INT)"),  # 7 range shards
+            out_col="c",
+        ).collect()
+    }
+    assert got == want
