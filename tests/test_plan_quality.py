@@ -877,3 +877,15 @@ def test_corpus_pipeline_v4_broadcasts_no_cartesian(spark, specs):
     assert "EvalPython" not in plan
     assert broadcast_join_count(df) >= 2
     assert not has_cartesian_product(df)
+
+
+def test_embedding_quality_audit_single_scan_no_join(spark, specs):
+    """x_embedding_quality_audit: the whole audit collapses in one
+    scan + one aggregation — no join, no Python eval node."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_embedding_quality_audit", spark)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert len(scan_read_schemas(df)) == 1
+    assert "Join" not in plan.replace("SortMergeJoin", "Join")

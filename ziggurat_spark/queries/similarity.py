@@ -928,3 +928,89 @@ def x_rag_context_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_doc", "rnk")
     )
+
+
+#: expected embedding dimensionality for the hygiene audit
+AUDIT_DIM = 64
+
+
+@register(
+    "x_embedding_quality_audit",
+    oracle=(
+        f"WITH e AS (SELECT vec_id, embedding, "
+        f"CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null, "
+        f"CASE WHEN embedding IS NOT NULL AND len(embedding) <> {AUDIT_DIM}"
+        f" THEN 1 ELSE 0 END AS bad_dim, "
+        f"CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,"
+        f" x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 1 ELSE 0 END AS has_nan"
+        f" FROM embeddings), "
+        f"n AS (SELECT e.*, CASE WHEN is_null = 0 AND has_nan = 0 THEN "
+        f"CAST(round(1000 * sqrt({_dot('embedding', 'embedding', 1)}))"
+        f" AS BIGINT) END AS norm_milli FROM e), "
+        f"f AS (SELECT *, CASE WHEN norm_milli = 0 THEN 1 ELSE 0 END"
+        f" AS is_zero FROM n) "
+        f"SELECT CAST(count(*) AS BIGINT) AS n_vectors, "
+        f"CAST(sum(is_null) AS BIGINT) AS null_vectors, "
+        f"CAST(sum(bad_dim) AS BIGINT) AS bad_dim_vectors, "
+        f"CAST(sum(has_nan) AS BIGINT) AS nan_vectors, "
+        f"CAST(COALESCE(sum(is_zero), 0) AS BIGINT) AS zero_vectors, "
+        f"CAST(min(norm_milli) AS BIGINT) AS min_norm_milli, "
+        f"CAST(sum(norm_milli) // count(norm_milli) AS BIGINT)"
+        f" AS mean_norm_milli, "
+        f"CAST(max(norm_milli) AS BIGINT) AS max_norm_milli FROM f"
+    ),
+    doc=(
+        "Embedding-table hygiene audit — the pre-flight check every "
+        "ANN/retrieval build needs: NULL vectors, wrong-dimension "
+        "vectors, NaN contamination, zero vectors (cosine is "
+        "undefined on them — they silently poison similarity "
+        "ranking), and the norm distribution (per-vector milli-norms "
+        "rounded to integers so min/mean/max grade engine-exact). "
+        "One scan, one map-side-collapsing aggregation — a 100 TB "
+        "embedding store audits in a single pass. The norm fold is "
+        "the same left-fold dot product the similarity family uses "
+        "(bit-identical doubles across engines)."
+    ),
+    tags=("similarity", "quality"),
+)
+def x_embedding_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings", fan_out=True).select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "CASE WHEN embedding IS NULL THEN 1 ELSE 0 END"
+        ).alias("is_null"),
+        F.expr(
+            f"CASE WHEN embedding IS NOT NULL AND size(embedding) <> "
+            f"{AUDIT_DIM} THEN 1 ELSE 0 END"
+        ).alias("bad_dim"),
+        F.expr(
+            "CASE WHEN embedding IS NOT NULL AND exists(embedding, "
+            "x -> isnan(CAST(x AS DOUBLE))) THEN 1 ELSE 0 END"
+        ).alias("has_nan"),
+    )
+    n = e.withColumn(
+        "norm_milli",
+        F.expr(
+            f"CASE WHEN is_null = 0 AND has_nan = 0 THEN "
+            f"CAST(round(1000 * sqrt({_dot('embedding', 'embedding', 0)}))"
+            f" AS BIGINT) END"
+        ),
+    ).withColumn(
+        "is_zero",
+        F.expr("CASE WHEN norm_milli = 0 THEN 1 ELSE 0 END"),
+    )
+    return n.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("is_null").cast("bigint").alias("null_vectors"),
+        F.sum("bad_dim").cast("bigint").alias("bad_dim_vectors"),
+        F.sum("has_nan").cast("bigint").alias("nan_vectors"),
+        F.coalesce(F.sum("is_zero"), F.lit(0))
+        .cast("bigint")
+        .alias("zero_vectors"),
+        F.min("norm_milli").cast("bigint").alias("min_norm_milli"),
+        F.expr(
+            "CAST(sum(norm_milli) div count(norm_milli) AS BIGINT)"
+        ).alias("mean_norm_milli"),
+        F.max("norm_milli").cast("bigint").alias("max_norm_milli"),
+    )
