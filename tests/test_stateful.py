@@ -285,3 +285,46 @@ def test_stream_budget_maintenance_batching_independent(spark):
         ss.STREAM_BUDGET_SRC_FILES = prev
     assert [tuple(r) for r in one] == [tuple(r) for r in seven]
     assert len(one) > 0
+
+
+def test_stream_budget_maintenance_tiny_budget_watermark_churn(spark):
+    """A tiny budget makes nearly every merge overflow, so the
+    watermark advances repeatedly and most arrivals hit the
+    reject-on-arrival path — compare against an independently
+    computed batch prefix (pandas) rather than the op's own oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev_budget = ss.STREAM_BUDGET_TOKENS
+    prev_files = ss.STREAM_BUDGET_SRC_FILES
+    try:
+        ss.STREAM_BUDGET_TOKENS = 60
+        ss.STREAM_BUDGET_SRC_FILES = 5
+        got = {
+            r["source"]: (r["docs_selected"], r["tokens_selected"], r["id_checksum"])
+            for r in ss.x_stream_budget_maintenance(spark, sf).collect()
+        }
+    finally:
+        ss.STREAM_BUDGET_TOKENS = prev_budget
+        ss.STREAM_BUDGET_SRC_FILES = prev_files
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    docs["nt"] = docs["text"].str.strip().str.split(r"\s+").str.len()
+    docs["hk"] = docs["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    want = {}
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["hk", "doc_id"])
+        cum = g["nt"].cumsum()
+        sel = g[cum <= 60]
+        want[src] = (
+            len(sel),
+            int(sel["nt"].sum()),
+            int(sel["doc_id"].sum()),
+        )
+    assert got == want
