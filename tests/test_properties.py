@@ -769,3 +769,49 @@ def test_two_level_prefix_sum_equals_single_window(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+# -- token-shingle fan-out vs a pure-Python model -----------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "d", "ee"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_shingle_expr_matches_python_model(spark, docs):
+    """The K-token stride-1 shingle fan-out (x_exact_substring_dedup /
+    x_ngram_novelty spelling) is a SHARED definition on both engines —
+    a flaw would pass parity. Pin the Spark expression against a
+    pure-Python model, including docs shorter than K (no shingles)
+    and exactly-K docs (one shingle)."""
+    from pyspark.sql import functions as F
+
+    K = 5
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tk array<string>")
+    sh_expr = (
+        f"if(size(tk) < {K}, array(), "
+        f"transform(sequence(1, size(tk) - {K - 1}), "
+        f"i -> array_join(slice(tk, i, {K}), ' ')))"
+    )
+    got = {}
+    for r in df.select("doc_id", F.expr(sh_expr).alias("sh")).collect():
+        got[r["doc_id"]] = list(r["sh"])
+    want = {
+        i: [
+            " ".join(toks[j : j + K])
+            for j in range(len(toks) - K + 1)
+        ]
+        if len(toks) >= K
+        else []
+        for i, toks in rows
+    }
+    assert got == want
