@@ -5,7 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is materialized through the noop sink (full row
 production, no collect/driver transfer) so the measured time is the
-real plan execution, including sorts and exchanges.
+real plan execution, including sorts and exchanges. Per BASELINE.md's
+protocol each query is timed over 3 interleaved passes and the MEDIAN
+is the graded number (min + raw passes ride in BENCH_FULL.json), so a
+transient host stall can no longer eat a round's perf story.
 
 Output protocol: the harness that invokes this script keeps only the
 LAST ~2000 characters of stdout, so the single printed JSON line is
@@ -40,7 +43,12 @@ def build_summary(
     """Compact stdout summary: stats + as many of the slowest queries
     as fit ``byte_budget`` when JSON-encoded. The invoking harness
     keeps only the last ~2000 chars of stdout, so the line MUST stay
-    under that to parse whole (tests/test_bench_protocol.py pins it)."""
+    under that to parse whole (tests/test_bench_protocol.py pins it).
+
+    ``timings`` carries the per-query MEDIAN of the measured passes
+    (BASELINE.md bench protocol: wall-clock per query, median of 3).
+    Empty ``timings`` yields null stats rather than an IndexError —
+    this function is the pinned public protocol surface."""
     vals = sorted(timings.values())
     summary = {
         "metric": "total wall-clock, full query surface (noop sink)",
@@ -48,8 +56,8 @@ def build_summary(
         "unit": "sec",
         "sf": sf,
         "queries_n": len(timings),
-        "median_s": round(vals[len(vals) // 2], 3),
-        "p90_s": round(vals[int(len(vals) * 0.9)], 3),
+        "median_s": round(vals[len(vals) // 2], 3) if vals else None,
+        "p90_s": round(vals[int(len(vals) * 0.9)], 3) if vals else None,
         "stream_pipeline_records_per_s": stream_rps,
         "retry_pump_redelivery_s": pump_s,
         "detail": "BENCH_FULL.json",
@@ -96,17 +104,28 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        # time build + materialization: for plain queries the build
-        # is plan-only (sub-ms), but streaming/iterative entries do
-        # their real work inside the builder — excluding it would
-        # under-report exactly the expensive queries
-        t0 = time.perf_counter()
-        df = specs[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # BASELINE.md:45 protocol: wall-clock per query, MEDIAN OF 3.
+    # One pass per round-robin sweep (q1 q2 ... qN, three times) so a
+    # transient host stall degrades one pass of many queries instead
+    # of all passes of one query — the round-4 drift lesson.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes: dict[str, list[float]] = {name: [] for name in specs}
+    for _ in range(n_passes):
+        for name in sorted(specs):
+            # time build + materialization: for plain queries the
+            # build is plan-only (sub-ms), but streaming/iterative
+            # entries do their real work inside the builder —
+            # excluding it would under-report exactly the expensive
+            # queries
+            t0 = time.perf_counter()
+            df = specs[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            passes[name].append(time.perf_counter() - t0)
 
+    timings = {
+        name: round(sorted(vals)[len(vals) // 2], 4)
+        for name, vals in passes.items()
+    }
     total = round(sum(timings.values()), 4)
 
     # BASELINE.md bench protocol extras: streaming route-pipeline
@@ -138,12 +157,22 @@ def main() -> None:
     pump_s = round(pump_wall, 4)
 
     # Complete per-query map → file (the invoking harness truncates
-    # stdout, so the full detail lives here).
+    # stdout, so the full detail lives here). "queries" keeps the
+    # median (the graded number); min and the raw passes ride along
+    # so drift analysis never needs a re-run.
     full = {
         "metric": "total wall-clock, full query surface (noop sink)",
         "value": total,
         "unit": "sec",
+        "protocol": f"median of {n_passes} interleaved passes",
         "queries": timings,
+        "queries_min": {
+            name: round(min(vals), 4) for name, vals in passes.items()
+        },
+        "queries_passes": {
+            name: [round(v, 4) for v in vals]
+            for name, vals in passes.items()
+        },
         "sf": sf,
         "stream_pipeline_records_per_s": stream_rps,
         "retry_pump_redelivery_s": pump_s,

@@ -35,6 +35,17 @@ def test_bench_line_carries_slowest_queries_first():
     assert len(s["queries"]) >= 20  # informative, not just stats
 
 
+def test_bench_summary_empty_timings_yields_null_stats():
+    # build_summary is the pinned public protocol surface: an empty
+    # timings map must degrade to null stats, not IndexError
+    from bench import build_summary
+
+    s = build_summary({}, 0.0, 0.1, 0.0, 0.0)
+    assert s["queries_n"] == 0
+    assert s["median_s"] is None and s["p90_s"] is None
+    assert json.loads(json.dumps(s))["median_s"] is None
+
+
 def test_bench_summary_stats_present():
     s = _summary(274)
     for key in (

@@ -279,6 +279,39 @@ def test_statsd_timing_multiplicity_one_datagram_per_variant():
         srv.close()
 
 
+def test_statsd_timing_multiplicity_splits_at_rate_floor():
+    """Boundary of the 1e-8 rate floor (round-4 advisor): at
+    n = 1e8 one datagram per variant still encodes the multiplicity
+    exactly (@0.00000001); at n = 1e8 + 3 the stamp would clamp, so
+    the count is SPLIT into a full-cap datagram plus a remainder
+    datagram — the server-side 1/rate scale-up again reconstructs
+    the exact count."""
+    import socket
+
+    reg, exp, srv = _statsd_pair()
+    cap = 10**8
+    try:
+        reg.report_histogram("orders", "delay", 2.5, n=cap)
+        lines = _drain(srv, 2)
+        assert all("|ms|@0.00000001|" in ln for ln in lines), lines
+
+        reg.report_histogram("orders", "delay", 2.5, n=cap + 3)
+        lines = sorted(_drain(srv, 4))
+        full = [ln for ln in lines if "|ms|@0.00000001|" in ln]
+        rest = [ln for ln in lines if "|ms|@0.33333333" in ln]
+        assert len(full) == 2 and len(rest) == 2, lines
+
+        srv.settimeout(0.2)
+        try:
+            srv.recv(4096)
+            raise AssertionError("extra datagram emitted")
+        except socket.timeout:
+            pass
+    finally:
+        exp.terminate()
+        srv.close()
+
+
 def test_statsd_rate_actually_samples():
     """rate < 1.0 must drop packets client-side — an always-send
     client stamped @rate makes the server over-count by 1/rate."""

@@ -771,6 +771,55 @@ def test_two_level_prefix_sum_equals_single_window(spark, rows):
     assert got == want
 
 
+def test_two_level_prefix_sum_null_group_and_temp_clash(spark):
+    """Round-4 advisor hardening: (1) a NULL partition-key value must
+    form its own group exactly as the single-window PARTITION BY
+    would (the offset join-back is null-safe, not a silent
+    inner-join drop); (2) caller columns colliding with the internal
+    temp names raise instead of being clobbered."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    data = [
+        (None, 1, 0, 10),
+        (None, 900, 1, 5),
+        ("a", 1, 2, 7),
+        ("a", 500, 3, 2),
+        (None, 400, 4, 3),
+    ]
+    df = spark.createDataFrame(data, "g string, k long, id long, v long")
+    w = (
+        W.partitionBy("g")
+        .orderBy("k", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r["g"], r["id"]): r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["c"]
+        for r in two_level_prefix_sum(
+            df,
+            ["g"],
+            ["k", "id"],
+            "v",
+            F.expr("CAST((k * 3) div 1000 AS INT)"),
+            out_col="c",
+        ).collect()
+    }
+    assert got == want
+
+    clash = df.withColumnRenamed("v", "__zs_tlps_shard")
+    with pytest.raises(ValueError, match="temp column clash"):
+        two_level_prefix_sum(
+            clash, ["g"], ["k", "id"], "__zs_tlps_shard", F.lit(0)
+        )
+
+
 # -- token-shingle fan-out vs a pure-Python model -----------------------
 
 

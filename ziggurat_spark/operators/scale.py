@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+#: internal column prefix — collision-resistant against caller frames
+_TMP = "__zs_tlps_"
+
+
 def two_level_prefix_sum(
     df: DataFrame,
     part_cols: list[str],
@@ -42,33 +46,62 @@ def two_level_prefix_sum(
     spellings: ``(hb * 16) div (hb_modulus)`` for an integer hash
     column, ``substring(hex_key, 1, 1)`` for a lowercase hex string.
 
+    NULL semantics: the offset join-back is NULL-SAFE on the
+    partition keys (``<=>``), so a NULL partition-key value forms its
+    own group exactly as the single-window ``PARTITION BY`` would —
+    the two spellings stay bit-identical even on NULL-keyed rows.
+    NULL ORDER values still sort wherever the window sort puts them;
+    keep ``shard_expr`` consistent with that placement (a NULL shard
+    compares as its own range bucket via the same null-safe key).
+
     Returns ``df`` plus ``out_col``; the internal shard/offset
-    columns are dropped. The offset table carries one row per
-    (group, shard) — broadcast it stays off the shuffle path.
+    columns (``__zs_tlps_*``) are dropped and collision-checked
+    against the caller's columns. The offset table carries one row
+    per (group, shard) — broadcast it stays off the shuffle path.
     """
-    d = df.withColumn("_shard", shard_expr)
+    c_shard, c_in, c_off = _TMP + "shard", _TMP + "cum_in", _TMP + "off"
+    taken = set(df.columns)
+    for c in (c_shard, c_in, c_off, *(_TMP + "p" + p for p in part_cols)):
+        if c in taken:
+            raise ValueError(f"two_level_prefix_sum temp column clash: {c}")
+    d = df.withColumn(c_shard, shard_expr)
     w_in = (
-        W.partitionBy(*part_cols, "_shard")
+        W.partitionBy(*part_cols, c_shard)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_off = (
         W.partitionBy(*part_cols)
-        .orderBy("_shard")
+        .orderBy(c_shard)
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    # offset side renames its keys so the null-safe join condition is
+    # unambiguous and nothing shadows the caller's columns
     offsets = (
-        d.groupBy(*part_cols, "_shard")
-        .agg(F.sum(val_col).alias("_shard_sum"))
+        d.groupBy(*part_cols, c_shard)
+        .agg(F.sum(val_col).alias(_TMP + "shard_sum"))
         .withColumn(
-            "_off",
-            F.coalesce(F.sum("_shard_sum").over(w_off), F.lit(0)),
+            c_off,
+            F.coalesce(F.sum(_TMP + "shard_sum").over(w_off), F.lit(0)),
         )
-        .select(*part_cols, "_shard", "_off")
+        .select(
+            *[F.col(p).alias(_TMP + "p" + p) for p in part_cols],
+            F.col(c_shard).alias(_TMP + "pshard"),
+            c_off,
+        )
     )
+    cond = F.col(c_shard).eqNullSafe(F.col(_TMP + "pshard"))
+    for p in part_cols:
+        cond = cond & F.col(p).eqNullSafe(F.col(_TMP + "p" + p))
     return (
-        d.withColumn("_cum_in", F.sum(val_col).over(w_in))
-        .join(F.broadcast(offsets), [*part_cols, "_shard"])
-        .withColumn(out_col, F.col("_cum_in") + F.col("_off"))
-        .drop("_shard", "_cum_in", "_off")
+        d.withColumn(c_in, F.sum(val_col).over(w_in))
+        .join(F.broadcast(offsets), cond)
+        .withColumn(out_col, F.col(c_in) + F.col(c_off))
+        .drop(
+            c_shard,
+            c_in,
+            c_off,
+            _TMP + "pshard",
+            *[_TMP + "p" + p for p in part_cols],
+        )
     )

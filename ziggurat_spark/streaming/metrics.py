@@ -270,6 +270,12 @@ class StatsdExporter:
         for name, tags in self._variants(topic_entity, ns, metric):
             self._send(f"{name}:{value}|c|@{rate}{tags}")
 
+    #: largest multiplicity a single @rate stamp can carry exactly:
+    #: _fmt_rate floors at 1e-8, so one datagram can encode at most
+    #: rate·1e8 samples before the server-side 1/rate scale-up
+    #: under-reports. update_timing splits above this bound.
+    _RATE_FLOOR_INV = 10**8
+
     def update_timing(
         self, topic_entity: str, ns: str, value: float, n: int = 1
     ) -> None:
@@ -278,11 +284,23 @@ class StatsdExporter:
         # 1/sample-rate, so @{rate/n} encodes "this value occurred n
         # times" without n sendto() calls on the listener thread (a
         # hot micro-batch can carry tens of thousands of samples).
+        # Above rate·1e8 samples the 1e-8 rate floor would clamp the
+        # stamp, so the multiplicity is SPLIT across ceil(n/cap)
+        # datagrams, each within the exactly-representable range
+        # (residual bias: @rate truncates — not rounds — at 8
+        # decimals, ≤ 1 part in 1e8 of the reported count).
         if n <= 0 or not self._sampled():
             return
-        rate = self._fmt_rate(self.rate / n)
+        cap = max(1, int(self.rate * self._RATE_FLOOR_INV))
+        chunks = [cap] * (n // cap)
+        if n % cap:
+            chunks.append(n % cap)
         for name, tags in self._variants(topic_entity, ns, None):
-            self._send(f"{name}:{_statsd_num(value)}|ms|@{rate}{tags}")
+            for chunk in chunks:
+                rate = self._fmt_rate(self.rate / chunk)
+                self._send(
+                    f"{name}:{_statsd_num(value)}|ms|@{rate}{tags}"
+                )
 
     def terminate(self) -> None:
         self._sock.close()
