@@ -2483,3 +2483,191 @@ def x_stream_budget_restart(spark: SparkSession, sf: str) -> DataFrame:
     replayed = spark.read.parquet(os.path.join(base, "probe_input"))
     fold(replayed, replay_probe["bid"])
     return _budget_grade(spark, docs, state)
+
+
+#: streaming ANN maintenance: SQ8 quantization grid + IVF cell scheme
+#: shared with the batch ANN family (similarity.py) so the streamed
+#: index must converge to the batch build exactly
+ANN_MAINT_QUANT = (
+    "transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+)
+ANN_MAINT_K = 3
+ANN_MAINT_SRC_FILES = 4
+_ANN_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _ann_upsert_batch(spark, workdir, state, batch, bid, cent):
+    """One micro-batch of the streaming IVF maintenance: quantize,
+    assign each vector to its cell (broadcast codebook, integer-dot
+    argmax with the batch family's (cs DESC, cent_id ASC) tie-break),
+    then MERGE into the cell-partitioned state — only the touched
+    cell directories are rewritten (bucketed_lww_merge), untouched
+    cells carry over by reference. Keyed overwrite on vec_id makes a
+    replayed batch a byte-level no-op on the index contents."""
+    qb = batch.select("vec_id", F.expr(ANN_MAINT_QUANT).alias("q"))
+    assigned = (
+        qb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "q",
+            "cent_id",
+            F.expr(_ANN_QDOT.format(a="q", b="cq")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cent_id, struct(cs, -cent_id))").alias(
+                "cent_id"
+            ),
+            F.any_value("q").alias("q"),  # identical across the fan-out
+        )
+    )
+    proj = assigned.withColumn("kb", F.col("cent_id"))
+    return bucketed_lww_merge(
+        spark,
+        workdir,
+        state,
+        proj,
+        bid,
+        key="vec_id",
+        order_cols=(F.desc("vec_id"),),  # rows are identical per key
+    )
+
+
+@register(
+    "x_stream_ann_maintain",
+    oracle=(
+        f"WITH qv AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS q "
+        f"FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cent_id, q AS cq FROM qv "
+        f"WHERE vec_id % {97} = 0), "
+        f"a0 AS (SELECT qv.vec_id, qv.q, c.cent_id, "
+        f"CAST(list_sum(list_transform(list_zip(q, cq), s -> s[1] * s[2]))"
+        f" AS BIGINT) AS cs FROM qv, cent c), "
+        f"assign AS (SELECT vec_id, q, cent_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY cs DESC, cent_id) AS ar FROM a0) WHERE ar = 1), "
+        f"cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(vec_id) AS BIGINT) AS chk FROM assign GROUP BY cent_id), "
+        f"q0 AS (SELECT q AS qq, cent_id AS qcell FROM assign "
+        f"WHERE vec_id = 0), "
+        f"prs AS (SELECT a.vec_id AS nid, "
+        f"CAST(list_sum(list_transform(list_zip(a.q, q0.qq), "
+        f"s -> s[1] * s[2])) AS BIGINT) AS score "
+        f"FROM assign a, q0 WHERE a.cent_id = q0.qcell AND a.vec_id <> 0), "
+        f"topk AS (SELECT nid, score, row_number() OVER "
+        f"(ORDER BY score DESC, nid) AS rnk FROM prs) "
+        f"SELECT 'cell' AS kind, CAST(cent_id AS BIGINT) AS k, "
+        f"n AS a, chk AS b FROM cells "
+        f"UNION ALL "
+        f"SELECT 'topk', CAST(rnk AS BIGINT), CAST(nid AS BIGINT), score "
+        f"FROM topk WHERE rnk <= {ANN_MAINT_K} "
+        f"ORDER BY kind, k"
+    ),
+    doc=(
+        "Streaming ANN index maintenance (round-4 judge #6): "
+        "embedding micro-batches upsert SQ8-quantized vectors into "
+        "their IVF cell partitions — the x_stream_upsert_state "
+        "touched-only bucket pattern applied to a live vector index. "
+        "The codebook (centroids: vec_id % 97, the batch family's "
+        "scheme) is fixed up front as a trained IVF codebook would "
+        "be; each micro-batch quantizes, cell-assigns via broadcast "
+        "integer-dot argmax, and rewrites ONLY the cell directories "
+        "it touches (untouched cells carry over by reference — "
+        "tests/test_stateful.py pins the byte-identical contract). "
+        "Keyed overwrite on vec_id makes crash re-delivery "
+        "idempotent. Graded against the BATCH index build: final "
+        "per-cell counts + id checksums, and the top-3 integer-dot "
+        "neighbors of query vector 0 served FROM THE STREAMED STATE "
+        "must equal the one-shot batch assignment. At 100 TB: cells "
+        "are directory partitions of a real table, per-batch I/O "
+        "stays O(touched cells + batch) — never O(index)."
+    ),
+    tags=("streaming", "similarity", "ann", "upsert"),
+)
+@_sized_state
+def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_ann_")
+    emb.select("vec_id", "embedding").repartition(
+        ANN_MAINT_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    # the trained codebook, fixed before the stream starts (and
+    # pinned: a per-batch-derived codebook would drift the cells)
+    cent = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.expr(ANN_MAINT_QUANT).alias("cq"),
+        )
+        .localCheckpoint()
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = tempfile.mkdtemp(prefix="zs_stream_ann_state_")
+    state: dict = {}
+
+    def _fold(b, bid):
+        _ann_upsert_batch(spark, workdir, state, b, bid, cent)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final = spark.read.parquet(*sorted(state.values()))
+    cells = final.groupBy("cent_id").agg(
+        F.count("*").cast("bigint").alias("a"),
+        F.sum("vec_id").cast("bigint").alias("b"),
+    )
+    q0 = final.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("cent_id").alias("qcell")
+    )
+    prs = final.join(
+        F.broadcast(q0),
+        (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != 0),
+    ).select(
+        F.col("vec_id").alias("nid"),
+        F.expr(_ANN_QDOT.format(a="q", b="qq")).alias("score"),
+    )
+    topk = (
+        prs.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("score"), F.asc("nid"))
+            ),
+        )
+        .filter(F.col("rnk") <= ANN_MAINT_K)
+        .select(
+            F.lit("topk").alias("kind"),
+            F.col("rnk").cast("bigint").alias("k"),
+            F.col("nid").cast("bigint").alias("a"),
+            F.col("score").alias("b"),
+        )
+    )
+    return (
+        cells.select(
+            F.lit("cell").alias("kind"),
+            F.col("cent_id").cast("bigint").alias("k"),
+            "a",
+            "b",
+        )
+        .unionByName(topk)
+        .orderBy("kind", "k")
+    )
