@@ -137,16 +137,21 @@ def main() -> None:
     n_events = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     )
-    t0 = time.perf_counter()
-    specs["x_stream_route_outcomes"].spark(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    stream_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    specs["x_retry_pump"].spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    pump_wall = time.perf_counter() - t0
+
+    def _median_wall(name: str) -> float:
+        # same median-of-3 protocol as the per-query timings: the
+        # round-4 drift hit these single-pass extras hardest
+        walls = []
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            specs[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(time.perf_counter() - t0)
+        return sorted(walls)[len(walls) // 2]
+
+    stream_wall = _median_wall("x_stream_route_outcomes")
+    pump_wall = _median_wall("x_retry_pump")
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
