@@ -394,3 +394,24 @@ class TestAnnUpsertTouchedOnly:
         # crash re-delivery: the same batch arrives again
         _ann_upsert_batch(spark, workdir, state, b1, 2, cent)
         assert contents() == want
+
+
+def test_stream_dsir_maintain_batching_independent(spark):
+    """Mergeable-count state via keyed per-batch partials: the final
+    ratio table must be identical at ANY chunking — 1 file (one
+    micro-batch = the batch answer by construction) vs 7 files —
+    including the in-op verbatim re-delivery of the first batch
+    (a naive in-place sum would double-count it)."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_DSIR_SRC_FILES
+    try:
+        ss.STREAM_DSIR_SRC_FILES = 1
+        one = ss.x_stream_dsir_maintain(spark, sf).collect()
+        ss.STREAM_DSIR_SRC_FILES = 7
+        seven = ss.x_stream_dsir_maintain(spark, sf).collect()
+    finally:
+        ss.STREAM_DSIR_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0
