@@ -415,3 +415,23 @@ def test_stream_dsir_maintain_batching_independent(spark):
         ss.STREAM_DSIR_SRC_FILES = prev
     assert [tuple(r) for r in one] == [tuple(r) for r in seven]
     assert len(one) > 0
+
+
+def test_stream_dsir_compact_state_layout_bounded(spark):
+    """After compaction the state directory holds exactly ONE epoch
+    file and ONE live keyed partial (plus the retained raw inputs) —
+    O(epochs + live batches), not O(batches) — and the ratio table
+    from the compacted state matches the uncompacted op's."""
+    import os
+
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    statedir, live = ss._dsir_compacted_state(spark, sf)
+    names = sorted(os.listdir(statedir))
+    assert [n for n in names if n.startswith("epoch_")] == ["epoch_0"]
+    assert len([n for n in names if n.startswith("part_b")]) == 1
+    got = ss._dsir_ratio_table(spark, live).collect()
+    want = ss.x_stream_dsir_maintain(spark, sf).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0

@@ -1820,9 +1820,9 @@ def x_stream_mixture_monitor(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     src_dir = tempfile.mkdtemp(prefix="zs_stream_mixmon_")
-    docs.select("doc_id", "source", "text").repartition(
-        STREAM_DSIR_SRC_FILES
-    ).write.mode("overwrite").parquet(src_dir)
+    docs.select("doc_id", "source", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2583,9 +2583,15 @@ def _ann_upsert_batch(spark, workdir, state, batch, bid, cent):
         "idempotent. Graded against the BATCH index build: final "
         "per-cell counts + id checksums, and the top-3 integer-dot "
         "neighbors of query vector 0 served FROM THE STREAMED STATE "
-        "must equal the one-shot batch assignment. At 100 TB: cells "
-        "are directory partitions of a real table, per-batch I/O "
-        "stays O(touched cells + batch) — never O(index)."
+        "must equal the one-shot batch assignment. The serve path is "
+        "cell-pruned: the query's cell comes from a 1-row codebook "
+        "argmax and only THAT cell's directory is read — touched-"
+        "only applies to index reads as well as writes (the full-"
+        "index read is reserved for the per-cell audit, which needs "
+        "it by definition). At 100 TB: cells are directory "
+        "partitions of a real table, per-batch I/O stays O(touched "
+        "cells + batch) and per-query I/O stays O(probed cells) — "
+        "never O(index)."
     ),
     tags=("streaming", "similarity", "ann", "upsert"),
 )
@@ -2631,17 +2637,36 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # audit path: per-cell counts read the whole index (that IS the
+    # audit); the QUERY path below must not
     final = spark.read.parquet(*sorted(state.values()))
     cells = final.groupBy("cent_id").agg(
         F.count("*").cast("bigint").alias("a"),
         F.sum("vec_id").cast("bigint").alias("b"),
     )
-    q0 = final.filter(F.col("vec_id") == 0).select(
-        F.col("q").alias("qq"), F.col("cent_id").alias("qcell")
+    # serve path: locate the query's cell from the CODEBOOK (one
+    # 1-row broadcast argmax — a bounded control-plane read, the
+    # same class as a centroid sync), then read ONLY that cell's
+    # directory: touched-only applies to index READS as well as
+    # writes — at 100 TB this is the difference between scanning
+    # one partition and scanning the index
+    qcell = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.expr(ANN_MAINT_QUANT).alias("qq"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "cent_id",
+            F.expr(_ANN_QDOT.format(a="qq", b="cq")).alias("cs"),
+        )
+        .agg(F.expr("max_by(cent_id, struct(cs, -cent_id))").alias("c"))
+        .collect()[0]["c"]
     )
-    prs = final.join(
-        F.broadcast(q0),
-        (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != 0),
+    cell_df = spark.read.parquet(state[qcell])
+    q0 = cell_df.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq")
+    )
+    prs = cell_df.filter(F.col("vec_id") != 0).crossJoin(
+        F.broadcast(q0)
     ).select(
         F.col("vec_id").alias("nid"),
         F.expr(_ANN_QDOT.format(a="q", b="qq")).alias("score"),
@@ -2704,6 +2729,75 @@ def _dsir_maintain_oracle() -> str:
     )
 
 
+def _dsir_partial(b: DataFrame) -> DataFrame:
+    """One micro-batch's DSIR bucket-count partial (b, c_r, c_t) —
+    shared by the maintenance and compaction ops."""
+    from ziggurat_spark.queries.training_ops import (
+        DSIR_BUCKETS,
+        DSIR_TARGET,
+    )
+
+    tok = (
+        b.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("source", F.lower("t").alias("tok"))
+    )
+    return (
+        tok.select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast(
+                    "bigint"
+                )
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("bigint").alias("c_r"),
+            F.sum(
+                F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c_t"),
+        )
+    )
+
+
+def _dsir_ratio_table(spark: SparkSession, paths: list) -> DataFrame:
+    """Sum count partials/epochs → Laplace ratio table (the grade)."""
+    from ziggurat_spark.queries.training_ops import DSIR_BUCKETS
+
+    cnt = (
+        spark.read.parquet(*paths)
+        .groupBy("b")
+        .agg(
+            F.sum("c_r").cast("bigint").alias("c_r"),
+            F.sum("c_t").cast("bigint").alias("c_t"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("c_r").cast("bigint").alias("t_r"),
+        F.sum("c_t").cast("bigint").alias("t_t"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bucket"),
+            "c_r",
+            "c_t",
+            F.expr(
+                f"CAST((1000000 * (c_t + 1) * (t_r + {DSIR_BUCKETS})) div "
+                f"((c_r + 1) * (t_t + {DSIR_BUCKETS})) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @register(
     "x_stream_dsir_maintain",
     oracle=_dsir_maintain_oracle(),
@@ -2733,17 +2827,13 @@ def _dsir_maintain_oracle() -> str:
 )
 @_sized_state
 def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
-    from ziggurat_spark.queries.training_ops import (
-        DSIR_BUCKETS,
-        DSIR_TARGET,
-    )
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
     src_dir = tempfile.mkdtemp(prefix="zs_stream_dsir_")
-    docs.select("doc_id", "source", "text").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
+    docs.select("doc_id", "source", "text").repartition(
+        STREAM_DSIR_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2753,41 +2843,9 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
     statedir = tempfile.mkdtemp(prefix="zs_stream_dsir_state_")
     probe: dict = {}
 
-    def _partial(b: DataFrame) -> DataFrame:
-        tok = (
-            b.select(
-                "source",
-                F.explode(
-                    F.split(F.trim(F.col("text")), r"\s+")
-                ).alias("t"),
-            )
-            .filter(F.col("t") != "")
-            .select("source", F.lower("t").alias("tok"))
-        )
-        return (
-            tok.select(
-                "source",
-                (
-                    F.conv(
-                        F.substring(F.md5("tok"), 1, 14), 16, 10
-                    ).cast("bigint")
-                    % DSIR_BUCKETS
-                ).alias("b"),
-            )
-            .groupBy("b")
-            .agg(
-                F.count("*").cast("bigint").alias("c_r"),
-                F.sum(
-                    F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("c_t"),
-            )
-        )
-
     def _fold(b, bid):
         # keyed overwrite: THIS batch's partial, replay-idempotent
-        _partial(b).coalesce(1).write.mode("overwrite").parquet(
+        _dsir_partial(b).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(statedir, f"part_b{bid}")
         )
         if not probe:
@@ -2808,7 +2866,7 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
     # crash re-delivery BEFORE grading: the first batch arrives again
     # and must rewrite its own partial, not add a new one
     replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
-    _partial(replayed).coalesce(1).write.mode("overwrite").parquet(
+    _dsir_partial(replayed).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(statedir, f"part_b{probe['bid']}")
     )
 
@@ -2817,28 +2875,121 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
         for d in sorted(os.listdir(statedir))
         if d.startswith("part_b")
     ]
-    cnt = (
-        spark.read.parquet(*parts)
-        .groupBy("b")
-        .agg(
-            F.sum("c_r").cast("bigint").alias("c_r"),
-            F.sum("c_t").cast("bigint").alias("c_t"),
+    return _dsir_ratio_table(spark, parts)
+
+
+def _dsir_compacted_state(spark: SparkSession, sf: str) -> tuple:
+    """Run the DSIR maintenance stream, then COMPACT: every partial
+    for a batch strictly older than the newest committed batch is
+    summed into one epoch file and deleted; only the newest batch's
+    partial stays keyed. Then the newest batch is re-delivered
+    verbatim (the only batch a checkpoint-coordinated engine can
+    legitimately replay — older ones are committed, which is exactly
+    why compacting them is safe: the changelog-truncation contract).
+    Returns (statedir, live_paths)."""
+    import shutil as _sh
+
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_dsirc_")
+    docs.select("doc_id", "source", "text").repartition(
+        STREAM_DSIR_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    statedir = tempfile.mkdtemp(prefix="zs_stream_dsirc_state_")
+    seen: dict = {}
+
+    def _fold(b, bid):
+        _dsir_partial(b).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, f"part_b{bid}")
         )
-    )
-    tot = cnt.agg(
-        F.sum("c_r").cast("bigint").alias("t_r"),
-        F.sum("c_t").cast("bigint").alias("t_t"),
-    )
-    return (
-        cnt.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("b").alias("bucket"),
-            "c_r",
-            "c_t",
-            F.expr(
-                f"CAST((1000000 * (c_t + 1) * (t_r + {DSIR_BUCKETS})) div "
-                f"((c_r + 1) * (t_t + {DSIR_BUCKETS})) AS BIGINT)"
-            ).alias("ratio_ppm"),
+        # keep every batch's raw input so the LAST one can replay
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, f"input_b{bid}")
         )
-        .orderBy("bucket")
+        seen[bid] = True
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    last = max(seen)
+    olds = [
+        os.path.join(statedir, f"part_b{bid}")
+        for bid in sorted(seen)
+        if bid != last
+    ]
+    if olds:
+        # compact committed history into one epoch file; the sum of
+        # sums is the sum — mergeable state makes compaction a pure
+        # reshape, and it is itself a keyed overwrite (epoch_0)
+        (
+            spark.read.parquet(*olds)
+            .groupBy("b")
+            .agg(
+                F.sum("c_r").cast("bigint").alias("c_r"),
+                F.sum("c_t").cast("bigint").alias("c_t"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(statedir, "epoch_0"))
+        )
+        for p in olds:
+            _sh.rmtree(p)
+
+    # crash re-delivery of the LIVE batch after compaction: its
+    # keyed partial rewrites in place, the epoch is untouched
+    replayed = spark.read.parquet(
+        os.path.join(statedir, f"input_b{last}")
     )
+    _dsir_partial(replayed).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(statedir, f"part_b{last}"))
+
+    live = [
+        os.path.join(statedir, d)
+        for d in sorted(os.listdir(statedir))
+        if d.startswith(("part_b", "epoch_"))
+    ]
+    return statedir, live
+
+
+@register(
+    "x_stream_dsir_compact",
+    oracle=_dsir_maintain_oracle(),
+    doc=(
+        "State COMPACTION for the keyed-partials loop — the upgrade "
+        "path SCALE.md §18 names for unbounded streams: per-batch "
+        "partials grow O(batches), so committed history is folded "
+        "into one epoch file (sum of sums = sum: mergeable state "
+        "makes compaction a pure reshape) and the superseded "
+        "partials are deleted; only the newest batch's partial stays "
+        "keyed. Compaction is coordinated with the checkpoint "
+        "contract: a streaming engine only replays batches at-or-"
+        "after the last committed offset, so compacting strictly-"
+        "older partials can never meet a replay — proven in-op by "
+        "re-delivering the LIVE batch verbatim AFTER compaction "
+        "(its keyed partial rewrites in place; the epoch is "
+        "untouched). Graded: the post-compaction ratio table equals "
+        "the batch-computed one exactly — same oracle as "
+        "x_stream_dsir_maintain; state on disk is one epoch + one "
+        "live partial instead of one file per batch "
+        "(tests/test_stateful.py pins the layout)."
+    ),
+    tags=("streaming", "sampling", "corpus", "recovery"),
+)
+@_sized_state
+def x_stream_dsir_compact(spark: SparkSession, sf: str) -> DataFrame:
+    _, live = _dsir_compacted_state(spark, sf)
+    return _dsir_ratio_table(spark, live)
