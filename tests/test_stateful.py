@@ -435,3 +435,23 @@ def test_stream_dsir_compact_state_layout_bounded(spark):
     want = ss.x_stream_dsir_maintain(spark, sf).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_stream_lsh_maintain_batching_independent(spark):
+    """Online LSH detection must converge to the SAME candidate-pair
+    set at any chunking: 1 file (everything is within-batch) vs 7
+    files (most pairs cross the history boundary), both including
+    the in-op first-batch replay."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_LSH_SRC_FILES
+    try:
+        ss.STREAM_LSH_SRC_FILES = 1
+        one = ss.x_stream_lsh_maintain(spark, sf).collect()
+        ss.STREAM_LSH_SRC_FILES = 7
+        seven = ss.x_stream_lsh_maintain(spark, sf).collect()
+    finally:
+        ss.STREAM_LSH_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0

@@ -2993,3 +2993,177 @@ def _dsir_compacted_state(spark: SparkSession, sf: str) -> tuple:
 def x_stream_dsir_compact(spark: SparkSession, sf: str) -> DataFrame:
     _, live = _dsir_compacted_state(spark, sf)
     return _dsir_ratio_table(spark, live)
+
+
+#: micro-batch fan-out for the online LSH detector; module-level so
+#: the batching-independence test can vary it
+STREAM_LSH_SRC_FILES = 4
+
+
+def _lsh_maintain_oracle() -> str:
+    """Identical pair semantics to x_minhash_lsh_pairs: the streamed
+    detector must converge to the batch candidate set exactly."""
+    from ziggurat_spark.queries.dedup import (
+        BANDS,
+        MINHASH_SHINGLE_K,
+        _duck_band_key,
+        _duck_shingle_cte,
+    )
+
+    return (
+        _duck_shingle_cte(MINHASH_SHINGLE_K)
+        + ", bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, ({_duck_band_key(b)}) AS bucket"
+            f" FROM sh"
+            for b in range(BANDS)
+        )
+        + ") SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = "
+        "b.bucket AND a.doc_id < b.doc_id WHERE a.bucket IS NOT NULL "
+        "ORDER BY a, b"
+    )
+
+
+@register(
+    "x_stream_lsh_maintain",
+    oracle=_lsh_maintain_oracle(),
+    doc=(
+        "ONLINE near-duplicate detection — the LSH index maintained "
+        "live: each micro-batch MinHashes its documents (the Arrow "
+        "signature UDF), appends its (band, bucket, doc_id) rows to "
+        "the band index under a batch-keyed overwrite, and detects "
+        "candidates by probing the HISTORIC index with the batch's "
+        "bands BROADCAST — the history side never shuffles (each "
+        "history partition probes a hash map of the small arrival "
+        "set), so a hot bucket in history costs a scan, never a "
+        "quadratic task; within-batch pairs come from the tiny batch "
+        "self-join. Detected pairs land under the batch's key, so "
+        "crash re-delivery rewrites (the replay may legitimately see "
+        "pairs involving LATER docs — those are already recorded "
+        "under the later batches' keys, and the graded DISTINCT "
+        "union is unchanged; proven in-op by replaying the first "
+        "batch before grading). Graded: the union of per-batch "
+        "detections equals the one-shot batch LSH candidate set "
+        "exactly (same oracle as x_minhash_lsh_pairs). Per-batch "
+        "work: O(batch signatures + history scan); at 100 TB the "
+        "band index becomes a (band, bucket)-partitioned table and "
+        "the history scan prunes to the batch's buckets."
+    ),
+    tags=("streaming", "dedup", "lsh"),
+)
+@_sized_state
+def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.functions import texthash_udfs as THU
+    from ziggurat_spark.queries.dedup import (
+        BANDS,
+        MINHASH_SHINGLE_K,
+        ROWS_PER_BAND,
+    )
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_lsh_")
+    docs.select("doc_id", "text").repartition(
+        STREAM_LSH_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    statedir = tempfile.mkdtemp(prefix="zs_stream_lsh_state_")
+    probe: dict = {}
+
+    def _bands(b: DataFrame) -> DataFrame:
+        # a micro-batch is ONE source file = one task; spread the
+        # Arrow signature UDF across the executor pool first
+        spread = b.repartition(spark.sparkContext.defaultParallelism)
+        return spread.select(
+            "doc_id",
+            F.posexplode(
+                THU.lsh_buckets_udf(
+                    MINHASH_SHINGLE_K, BANDS, ROWS_PER_BAND
+                )("text")
+            ).alias("band", "bucket"),
+        )
+
+    def _fold(b, bid):
+        key = f"b{bid}"
+        batch_bands = _bands(b).localCheckpoint()  # 2 consumers
+        # historic index = every band file EXCEPT this batch's own
+        # key (re-delivery must not self-join against itself twice)
+        hist_dirs = [
+            os.path.join(statedir, d)
+            for d in sorted(os.listdir(statedir))
+            if d.startswith("bands_") and d != f"bands_{key}"
+        ]
+        new_pairs = None
+        if hist_dirs:
+            hist = spark.read.parquet(*hist_dirs)
+            # broadcast the ARRIVALS: the history side never
+            # shuffles, hot buckets cost a scan, not a hot task
+            m = hist.join(
+                F.broadcast(
+                    batch_bands.select(
+                        F.col("band").alias("nband"),
+                        F.col("bucket").alias("nbucket"),
+                        F.col("doc_id").alias("ndoc"),
+                    )
+                ),
+                (F.col("band") == F.col("nband"))
+                & (F.col("bucket") == F.col("nbucket"))
+                & (F.col("doc_id") != F.col("ndoc")),
+            ).select(
+                F.least("doc_id", "ndoc").alias("a"),
+                F.greatest("doc_id", "ndoc").alias("b"),
+            )
+            new_pairs = m
+        # within-batch pairs: tiny self-join on the broadcast side
+        w = batch_bands.alias("x").join(
+            F.broadcast(batch_bands.alias("y")),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        pairs = w if new_pairs is None else new_pairs.unionByName(w)
+        pairs.distinct().coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, f"pairs_{key}")
+        )
+        batch_bands.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, f"bands_{key}")
+        )
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(statedir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery BEFORE grading: the first batch arrives again;
+    # keyed overwrites + own-key-excluded history keep the graded
+    # union unchanged
+    replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
+    _fold(replayed, probe["bid"])
+
+    pair_dirs = [
+        os.path.join(statedir, d)
+        for d in sorted(os.listdir(statedir))
+        if d.startswith("pairs_")
+    ]
+    return (
+        spark.read.parquet(*pair_dirs)
+        .distinct()
+        .orderBy("a", "b")
+    )
