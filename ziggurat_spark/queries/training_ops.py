@@ -696,3 +696,119 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: curriculum phases: each source's token mass split into equal
+#: thirds along the quality-score ranking (best first)
+CURRICULUM_PHASES = 3
+
+_QC_FEATURE_CTE = (
+    f"qf AS (SELECT doc_id, "
+    f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    f" AS n_tokens, "
+    f"CAST(len(list_filter(string_split_regex(trim(lower(text)),"
+    f" '\\s+'), t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop, "
+    f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',"
+    f" '', 'g')) AS BIGINT) AS n_punct, "
+    f"CAST(length(text) - length(regexp_replace(text, '[A-Z]', '',"
+    f" 'g')) AS BIGINT) AS n_upper, "
+    f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)"
+    f" AS n_nonspace, "
+    f"CAST(greatest(length(text), 1) AS BIGINT) AS n_chars "
+    f"FROM documents), "
+    f"qp AS (SELECT doc_id, n_tokens, "
+    f"CAST((1000000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)"
+    f" AS stop_ppm, "
+    f"CAST((1000000 * n_punct) // n_chars AS BIGINT) AS punct_ppm, "
+    f"CAST((1000000 * n_upper) // n_chars AS BIGINT) AS upper_ppm, "
+    f"CAST((1000 * n_nonspace) // greatest(n_tokens, 1) AS BIGINT)"
+    f" AS mean_wlen_milli FROM qf)"
+)
+
+
+@register(
+    "x_curriculum_schedule",
+    oracle=(
+        f"WITH {_QC_FEATURE_CTE}, "
+        f"s AS (SELECT qp.doc_id, d.source, qp.n_tokens AS nt, "
+        f"CAST(1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 * punct_ppm"
+        f" - upper_ppm - 100 * abs(mean_wlen_milli - 5000) AS BIGINT)"
+        f" AS score FROM qp JOIN documents d USING (doc_id)), "
+        f"tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS t "
+        f"FROM s GROUP BY source), "
+        f"cum AS (SELECT s.*, sum(nt) OVER (PARTITION BY source "
+        f"ORDER BY -score, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS c FROM s), "
+        f"ph AS (SELECT cum.source, least({CURRICULUM_PHASES - 1}, "
+        f"CAST(({CURRICULUM_PHASES} * (c - nt)) // greatest(t, 1)"
+        f" AS BIGINT)) AS phase, nt, score, doc_id "
+        f"FROM cum JOIN tot ON tot.source = cum.source) "
+        f"SELECT source, phase, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(nt) AS BIGINT) AS tokens, "
+        f"CAST(sum(score) AS BIGINT) AS score_sum, "
+        f"CAST(sum(doc_id) AS BIGINT) AS id_checksum "
+        f"FROM ph GROUP BY source, phase ORDER BY source, phase"
+    ),
+    doc=(
+        "Curriculum scheduling: each source's documents are ranked "
+        "by the quality-classifier score (best first, doc_id "
+        "tie-break) and split into 3 curriculum phases holding equal "
+        "thirds of the source's TOKEN mass — phase 0 is what "
+        "curriculum-style training consumes first, phase boundaries "
+        "land on token share (not doc count) so long documents "
+        "don't skew a phase. The running token sum along the score "
+        "ranking is a TWO-LEVEL prefix sum (operators/scale.py) with "
+        "arithmetic-shift range shards of the negated score, so no "
+        "task ever sorts a whole source even though the order key "
+        "here is a computed ranking, not a hash. Integer-exact; "
+        "graded per (source, phase) by doc/token counts, score sum "
+        "and id checksum."
+    ),
+    tags=("corpus", "sampling", "curriculum"),
+)
+def x_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    docs = load_table(spark, sf, "documents")
+    s = (
+        _qc_feature_frame(docs)
+        .select("doc_id", F.col("n_tokens").alias("nt"), "score_micro")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("neg", F.expr("0L - score_micro"))
+    )
+    tot = s.groupBy("source").agg(
+        F.sum("nt").cast("bigint").alias("t")
+    )
+    # shards = arithmetic-shift range buckets of the (negated) score:
+    # monotone in the leading order key, so (shard asc, neg asc,
+    # doc_id asc) is exactly the ranking order — bit-identical to
+    # the oracle's single window
+    cum = two_level_prefix_sum(
+        s,
+        ["source"],
+        ["neg", "doc_id"],
+        "nt",
+        F.expr("CAST(neg >> 27 AS INT)"),
+        out_col="c",
+    )
+    ph = cum.join(F.broadcast(tot), "source").select(
+        "source",
+        "doc_id",
+        "nt",
+        "score_micro",
+        F.expr(
+            f"least({CURRICULUM_PHASES - 1}, "
+            f"CAST(({CURRICULUM_PHASES} * (c - nt)) div greatest(t, 1)"
+            f" AS BIGINT))"
+        ).alias("phase"),
+    )
+    return (
+        ph.groupBy("source", "phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("tokens"),
+            F.sum("score_micro").cast("bigint").alias("score_sum"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source", "phase")
+    )
