@@ -842,6 +842,23 @@ def test_cluster_pipeline_builds_graph_once(spark, specs):
     assert not has_cartesian_product(df)
 
 
+def test_curriculum_schedule_sharded_ranking_cumsum(spark, specs):
+    """x_curriculum_schedule: the running token sum along the score
+    RANKING must be the two-level spelling (shard column in the
+    window keys — no task sorts a whole source even on a computed
+    order key), with the offset and per-source total tables riding
+    broadcast joins; scan pruned to the needed columns."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_curriculum_schedule", spark)
+    plan = formatted_plan(df).lower()
+    assert "shard" in plan  # two-level prefix sum, not a bare window
+    assert broadcast_join_count(df) >= 2  # offsets + per-source totals
+    assert not has_cartesian_product(df)
+    for s in scan_read_schemas(df):
+        assert "lang" not in s
+
+
 def test_dsir_10k_buckets_ratio_table_still_broadcasts(spark, specs):
     """x_dsir_importance_10k (round-4 judge #5): at DSIR's web-scale
     feature-space size the 10k-row ratio table must STILL ride a
