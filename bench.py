@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,6 +31,15 @@ import pandas as pd
 REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+
+
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, or None where /proc is absent."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
 
 
 def build_summary(
@@ -110,7 +120,12 @@ def main() -> None:
     # of all passes of one query — the round-4 drift lesson.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     passes: dict[str, list[float]] = {name: [] for name in specs}
+    # host-drift markers: timestamp + /proc/loadavg at each pass
+    # boundary, so a cross-record comparison can separate "host was
+    # loaded" from "code regressed" without overlap-ratio arguments
+    pass_markers: list[dict] = []
     for _ in range(n_passes):
+        marker = {"start_unix": round(time.time(), 1), "loadavg_start": _loadavg()}
         for name in sorted(specs):
             # time build + materialization: for plain queries the
             # build is plan-only (sub-ms), but streaming/iterative
@@ -121,9 +136,15 @@ def main() -> None:
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             passes[name].append(time.perf_counter() - t0)
+        marker["end_unix"] = round(time.time(), 1)
+        marker["loadavg_end"] = _loadavg()
+        pass_markers.append(marker)
 
+    # statistics.median, not sorted()[n//2]: with an even pass count
+    # the upper-middle element is the SLOWER pass, skewing the graded
+    # number pessimistically; the true median averages the middle two
     timings = {
-        name: round(sorted(vals)[len(vals) // 2], 4)
+        name: round(statistics.median(vals), 4)
         for name, vals in passes.items()
     }
     total = round(sum(timings.values()), 4)
@@ -148,7 +169,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             walls.append(time.perf_counter() - t0)
-        return sorted(walls)[len(walls) // 2]
+        return statistics.median(walls)
 
     stream_wall = _median_wall("x_stream_route_outcomes")
     pump_wall = _median_wall("x_retry_pump")
@@ -181,6 +202,7 @@ def main() -> None:
         "sf": sf,
         "stream_pipeline_records_per_s": stream_rps,
         "retry_pump_redelivery_s": pump_s,
+        "pass_markers": pass_markers,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

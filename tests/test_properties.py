@@ -818,6 +818,14 @@ def test_two_level_prefix_sum_null_group_and_temp_clash(spark):
         two_level_prefix_sum(
             clash, ["g"], ["k", "id"], "__zs_tlps_shard", F.lit(0)
         )
+    # round-5 advisor: the guard must cover the WHOLE temp namespace,
+    # not an enumerated subset — __zs_tlps_pshard used to slip past
+    # and hit an ambiguous-reference failure downstream
+    for name in ("__zs_tlps_pshard", "__zs_tlps_shard_sum",
+                 "__zs_tlps_anything_future"):
+        bad = df.withColumnRenamed("v", name)
+        with pytest.raises(ValueError, match="temp column clash"):
+            two_level_prefix_sum(bad, ["g"], ["k", "id"], name, F.lit(0))
 
 
 # -- token-shingle fan-out vs a pure-Python model -----------------------

@@ -121,6 +121,27 @@ def dot64_udf(dim: int = 64):
     return dot
 
 
+def qdot_int_udf():
+    """Exact integer dot product of two ``array<bigint>`` columns —
+    the Arrow twin of the interpreted
+    ``aggregate(zip_with(a, b, *), 0, +)`` spelling used by the
+    quantized-ANN family. Integer arithmetic is exact in any
+    evaluation order, so parity with the DuckDB oracle is unaffected;
+    vectorized over the Arrow batch (the interpreted lambda runs
+    row-at-a-time with no codegen — the round-3 bloom lesson)."""
+    import numpy as np
+
+    @F.pandas_udf("bigint")
+    def qdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.vstack([np.asarray(v, dtype=np.int64) for v in a])
+        B = np.vstack([np.asarray(v, dtype=np.int64) for v in b])
+        return pd.Series((A * B).sum(axis=1))
+
+    return qdot
+
+
 def marker_counts_udf(marker_sets: tuple[tuple[str, ...], ...]):
     """One tokenization pass counting hits per marker set (the SQL
     spelling re-evaluates the tokenize chain once per language when

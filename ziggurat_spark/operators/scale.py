@@ -60,9 +60,12 @@ def two_level_prefix_sum(
     per (group, shard) — broadcast it stays off the shuffle path.
     """
     c_shard, c_in, c_off = _TMP + "shard", _TMP + "cum_in", _TMP + "off"
-    taken = set(df.columns)
-    for c in (c_shard, c_in, c_off, *(_TMP + "p" + p for p in part_cols)):
-        if c in taken:
+    # reject ANY caller column in the temp namespace (not just the
+    # ones this version happens to use): a caller column named e.g.
+    # __zs_tlps_pshard would otherwise slip past an enumerated check
+    # and hit an ambiguous-reference failure (or be silently dropped)
+    for c in df.columns:
+        if c.startswith(_TMP):
             raise ValueError(f"two_level_prefix_sum temp column clash: {c}")
     d = df.withColumn(c_shard, shard_expr)
     w_in = (

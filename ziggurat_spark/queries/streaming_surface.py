@@ -2494,10 +2494,18 @@ ANN_MAINT_QUANT = (
 )
 ANN_MAINT_K = 3
 ANN_MAINT_SRC_FILES = 4
-_ANN_QDOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-)
+
+
+def _qdot(a: str, b: str):
+    """Exact integer dot of two quantized vectors — the Arrow UDF
+    twin (texthash_udfs.qdot_int_udf) of the interpreted
+    ``aggregate(zip_with(...))`` spelling: per micro-batch × cells
+    fan-out the interpreted lambda runs row-at-a-time with no
+    codegen; at real arrival rates the Arrow batch path is the only
+    spelling that holds (the round-3 bloom lesson: 58 s → 0.7 s)."""
+    from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+
+    return qdot_int_udf()(F.col(a), F.col(b))
 
 
 def _ann_upsert_batch(spark, workdir, state, batch, bid, cent):
@@ -2508,14 +2516,19 @@ def _ann_upsert_batch(spark, workdir, state, batch, bid, cent):
     cell directories are rewritten (bucketed_lww_merge), untouched
     cells carry over by reference. Keyed overwrite on vec_id makes a
     replayed batch a byte-level no-op on the index contents."""
-    qb = batch.select("vec_id", F.expr(ANN_MAINT_QUANT).alias("q"))
+    # spread the one-file micro-batch before the Arrow UDF fan-out
+    # (single input file → single task otherwise; the standing
+    # repartition-before-codec pattern)
+    qb = batch.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", F.expr(ANN_MAINT_QUANT).alias("q"))
     assigned = (
         qb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             "q",
             "cent_id",
-            F.expr(_ANN_QDOT.format(a="q", b="cq")).alias("cs"),
+            _qdot("q", "cq").alias("cs"),
         )
         .groupBy("vec_id")
         .agg(
@@ -2650,17 +2663,29 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
     # directory: touched-only applies to index READS as well as
     # writes — at 100 TB this is the difference between scanning
     # one partition and scanning the index
-    qcell = (
+    qrows = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.expr(ANN_MAINT_QUANT).alias("qq"))
         .crossJoin(F.broadcast(cent))
         .select(
             "cent_id",
-            F.expr(_ANN_QDOT.format(a="qq", b="cq")).alias("cs"),
+            _qdot("qq", "cq").alias("cs"),
         )
         .agg(F.expr("max_by(cent_id, struct(cs, -cent_id))").alias("c"))
-        .collect()[0]["c"]
+        .collect()
     )
+    qcell = qrows[0]["c"] if qrows else None
+    cells_out = cells.select(
+        F.lit("cell").alias("kind"),
+        F.col("cent_id").cast("bigint").alias("k"),
+        "a",
+        "b",
+    )
+    if qcell is None or qcell not in state:
+        # no query vector (vec_id 0 absent) or its cell was never
+        # touched by the stream: degrade to the cells-only audit
+        # instead of crashing — siblings degrade the same way
+        return cells_out.orderBy("kind", "k")
     cell_df = spark.read.parquet(state[qcell])
     q0 = cell_df.filter(F.col("vec_id") == 0).select(
         F.col("q").alias("qq")
@@ -2669,7 +2694,7 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(q0)
     ).select(
         F.col("vec_id").alias("nid"),
-        F.expr(_ANN_QDOT.format(a="q", b="qq")).alias("score"),
+        _qdot("q", "qq").alias("score"),
     )
     topk = (
         prs.withColumn(
@@ -2686,16 +2711,7 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
             F.col("score").alias("b"),
         )
     )
-    return (
-        cells.select(
-            F.lit("cell").alias("kind"),
-            F.col("cent_id").cast("bigint").alias("k"),
-            "a",
-            "b",
-        )
-        .unionByName(topk)
-        .orderBy("kind", "k")
-    )
+    return cells_out.unionByName(topk).orderBy("kind", "k")
 
 
 #: micro-batch fan-out for the DSIR maintenance stream; module-level
