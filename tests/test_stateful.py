@@ -437,6 +437,45 @@ def test_stream_dsir_compact_state_layout_bounded(spark):
     assert len(got) > 0
 
 
+def test_stream_lsh_compact_state_layout_bounded(spark):
+    """After compaction the LSH state directory holds exactly ONE
+    epoch file per kind and ONE live keyed partial per kind — and
+    nothing else (committed raw inputs are deleted too): state is
+    O(epochs + live batch), not O(batches). The compacted pair set
+    must equal the uncompacted op's."""
+    import os
+
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    statedir = ss._lsh_compacted_state(spark, sf)
+    names = sorted(os.listdir(statedir))
+    assert [n for n in names if n.startswith("bands_epoch")] == [
+        "bands_epoch_0"
+    ]
+    assert [n for n in names if n.startswith("pairs_epoch")] == [
+        "pairs_epoch_0"
+    ]
+    assert len([n for n in names if n.startswith("bands_b")]) == 1
+    assert len([n for n in names if n.startswith("pairs_b")]) == 1
+    assert len([n for n in names if n.startswith("input_b")]) == 1
+    pair_dirs = [
+        os.path.join(statedir, d)
+        for d in names
+        if d.startswith("pairs_")
+    ]
+    got = sorted(
+        (r["a"], r["b"])
+        for r in spark.read.parquet(*pair_dirs).distinct().collect()
+    )
+    want = sorted(
+        (r["a"], r["b"])
+        for r in ss.x_stream_lsh_maintain(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_lsh_maintain_batching_independent(spark):
     """Online LSH detection must converge to the SAME candidate-pair
     set at any chunking: 1 file (everything is within-batch) vs 7

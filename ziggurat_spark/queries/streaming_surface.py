@@ -3041,60 +3041,26 @@ def _lsh_maintain_oracle() -> str:
     )
 
 
-@register(
-    "x_stream_lsh_maintain",
-    oracle=_lsh_maintain_oracle(),
-    doc=(
-        "ONLINE near-duplicate detection — the LSH index maintained "
-        "live: each micro-batch MinHashes its documents (the Arrow "
-        "signature UDF), appends its (band, bucket, doc_id) rows to "
-        "the band index under a batch-keyed overwrite, and detects "
-        "candidates by probing the HISTORIC index with the batch's "
-        "bands BROADCAST — the history side never shuffles (each "
-        "history partition probes a hash map of the small arrival "
-        "set), so a hot bucket in history costs a scan, never a "
-        "quadratic task; within-batch pairs come from the tiny batch "
-        "self-join. Detected pairs land under the batch's key, so "
-        "crash re-delivery rewrites (the replay may legitimately see "
-        "pairs involving LATER docs — those are already recorded "
-        "under the later batches' keys, and the graded DISTINCT "
-        "union is unchanged; proven in-op by replaying the first "
-        "batch before grading). Graded: the union of per-batch "
-        "detections equals the one-shot batch LSH candidate set "
-        "exactly (same oracle as x_minhash_lsh_pairs). Per-batch "
-        "work: O(batch signatures + history scan); at 100 TB the "
-        "band index becomes a (band, bucket)-partitioned table and "
-        "the history scan prunes to the batch's buckets."
-    ),
-    tags=("streaming", "dedup", "lsh"),
-)
-@_sized_state
-def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
+def _lsh_fold(spark: SparkSession, statedir: str):
+    """Shared micro-batch fold for the online LSH detector: MinHash
+    the batch (Arrow signature UDF, batch spread across the executor
+    pool first — one source file is otherwise one task), probe the
+    HISTORIC band index with the batch broadcast (the history side
+    never shuffles; a hot bucket costs a scan, never a quadratic
+    task), and write this batch's bands + detected pairs under a
+    batch-keyed overwrite (crash re-delivery rewrites in place).
+    The history listing takes every ``bands_*`` entry except the
+    batch's own key — which is exactly what makes epoch compaction
+    transparent to it: a folded ``bands_epoch_*`` file is just more
+    history."""
     from ziggurat_spark.functions import texthash_udfs as THU
     from ziggurat_spark.queries.dedup import (
         BANDS,
         MINHASH_SHINGLE_K,
         ROWS_PER_BAND,
     )
-    from ziggurat_spark.tables import load_table
-
-    docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_lsh_")
-    docs.select("doc_id", "text").repartition(
-        STREAM_LSH_SRC_FILES
-    ).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    statedir = tempfile.mkdtemp(prefix="zs_stream_lsh_state_")
-    probe: dict = {}
 
     def _bands(b: DataFrame) -> DataFrame:
-        # a micro-batch is ONE source file = one task; spread the
-        # Arrow signature UDF across the executor pool first
         spread = b.repartition(spark.sparkContext.defaultParallelism)
         return spread.select(
             "doc_id",
@@ -3105,7 +3071,7 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("band", "bucket"),
         )
 
-    def _fold(b, bid):
+    def fold(b, bid):
         key = f"b{bid}"
         batch_bands = _bands(b).localCheckpoint()  # 2 consumers
         # historic index = every band file EXCEPT this batch's own
@@ -3152,6 +3118,58 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
         batch_bands.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(statedir, f"bands_{key}")
         )
+
+    return fold
+
+
+@register(
+    "x_stream_lsh_maintain",
+    oracle=_lsh_maintain_oracle(),
+    doc=(
+        "ONLINE near-duplicate detection — the LSH index maintained "
+        "live: each micro-batch MinHashes its documents (the Arrow "
+        "signature UDF), appends its (band, bucket, doc_id) rows to "
+        "the band index under a batch-keyed overwrite, and detects "
+        "candidates by probing the HISTORIC index with the batch's "
+        "bands BROADCAST — the history side never shuffles (each "
+        "history partition probes a hash map of the small arrival "
+        "set), so a hot bucket in history costs a scan, never a "
+        "quadratic task; within-batch pairs come from the tiny batch "
+        "self-join. Detected pairs land under the batch's key, so "
+        "crash re-delivery rewrites (the replay may legitimately see "
+        "pairs involving LATER docs — those are already recorded "
+        "under the later batches' keys, and the graded DISTINCT "
+        "union is unchanged; proven in-op by replaying the first "
+        "batch before grading). Graded: the union of per-batch "
+        "detections equals the one-shot batch LSH candidate set "
+        "exactly (same oracle as x_minhash_lsh_pairs). Per-batch "
+        "work: O(batch signatures + history scan); at 100 TB the "
+        "band index becomes a (band, bucket)-partitioned table and "
+        "the history scan prunes to the batch's buckets."
+    ),
+    tags=("streaming", "dedup", "lsh"),
+)
+@_sized_state
+def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_lsh_")
+    docs.select("doc_id", "text").repartition(
+        STREAM_LSH_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    statedir = tempfile.mkdtemp(prefix="zs_stream_lsh_state_")
+    probe: dict = {}
+    fold = _lsh_fold(spark, statedir)
+
+    def _fold(b, bid):
+        fold(b, bid)
         if not probe:
             probe["bid"] = bid
             b.coalesce(1).write.mode("overwrite").parquet(
@@ -3173,6 +3191,147 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
     replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
     _fold(replayed, probe["bid"])
 
+    pair_dirs = [
+        os.path.join(statedir, d)
+        for d in sorted(os.listdir(statedir))
+        if d.startswith("pairs_")
+    ]
+    return (
+        spark.read.parquet(*pair_dirs)
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+def _lsh_compacted_state(spark: SparkSession, sf: str) -> str:
+    """Run the online LSH maintenance stream, then COMPACT the band
+    index and pair sets: every batch strictly older than the newest
+    committed batch folds into ONE epoch file per kind
+    (``bands_epoch_0`` — band rows are key-unioned and batches own
+    disjoint docs, so union-of-unions IS the union; ``pairs_epoch_0``
+    — the graded quantity is a DISTINCT union, so the fold takes the
+    distinct union) and the superseded per-batch files AND their
+    retained raw inputs are deleted; only the newest batch stays
+    keyed. Safe by the checkpoint contract: a streaming engine only
+    replays batches at-or-after the last committed offset, so
+    compacted history can never meet a replay — proven in-op by
+    re-delivering the LIVE batch verbatim AFTER compaction (its
+    keyed files rewrite in place; the epoch is untouched, and the
+    fold's history listing picks the epoch up as just more history).
+    Returns the state directory."""
+    import shutil as _sh
+
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_lshc_")
+    docs.select("doc_id", "text").repartition(
+        STREAM_LSH_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    statedir = tempfile.mkdtemp(prefix="zs_stream_lshc_state_")
+    seen: dict = {}
+    fold = _lsh_fold(spark, statedir)
+
+    def _fold(b, bid):
+        fold(b, bid)
+        # keep each batch's raw input so the LAST one can replay
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, f"input_b{bid}")
+        )
+        seen[bid] = True
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    last = max(seen)
+    committed = [bid for bid in sorted(seen) if bid != last]
+    if committed:
+        # bands: plain union (disjoint doc ownership per batch);
+        # pairs: distinct union (the graded set union). Both folds
+        # are themselves keyed overwrites (epoch_0), so compaction
+        # is idempotent too.
+        (
+            spark.read.parquet(
+                *[
+                    os.path.join(statedir, f"bands_b{bid}")
+                    for bid in committed
+                ]
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(statedir, "bands_epoch_0"))
+        )
+        (
+            spark.read.parquet(
+                *[
+                    os.path.join(statedir, f"pairs_b{bid}")
+                    for bid in committed
+                ]
+            )
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(statedir, "pairs_epoch_0"))
+        )
+        for bid in committed:
+            for kind in ("bands", "pairs", "input"):
+                _sh.rmtree(os.path.join(statedir, f"{kind}_b{bid}"))
+
+    # crash re-delivery of the LIVE batch AFTER compaction: its
+    # history is now the epoch (same rows as the per-batch files it
+    # replaced), its keyed bands/pairs rewrite in place
+    replayed = spark.read.parquet(
+        os.path.join(statedir, f"input_b{last}")
+    )
+    fold(replayed, last)
+    return statedir
+
+
+@register(
+    "x_stream_lsh_compact",
+    oracle=_lsh_maintain_oracle(),
+    doc=(
+        "State COMPACTION for the online LSH detector — closes the "
+        "one O(batches) growth x_stream_lsh_maintain left: without "
+        "it a long-running ingest loop accumulates one bands_* + "
+        "one pairs_* file per micro-batch forever and every "
+        "trigger's history probe re-reads all of them (O(batches^2) "
+        "cumulative). Committed batches fold into ONE epoch file "
+        "per kind — band rows are key-unioned over disjoint "
+        "per-batch doc sets so plain union is exact, and the pair "
+        "set is graded as a DISTINCT union so the distinct union is "
+        "exact — superseded per-batch files (and their retained raw "
+        "inputs) are deleted, and only the live batch stays keyed. "
+        "Coordinated with the checkpoint contract exactly like "
+        "x_stream_dsir_compact: only the live batch can ever be "
+        "replayed, proven in-op by re-delivering it verbatim AFTER "
+        "compaction (keyed rewrite in place; epoch untouched — the "
+        "fold's history listing treats the epoch as just more "
+        "history). Graded: the post-compaction candidate-pair set "
+        "equals the one-shot batch LSH set exactly (same oracle as "
+        "x_minhash_lsh_pairs); tests/test_stateful.py pins the "
+        "layout at one epoch + one live partial per kind. At "
+        "100 TB: state is O(corpus bands + live batch), per-trigger "
+        "history I/O is O(epoch files + 1), and the epoch fold runs "
+        "on whatever cadence the route's trigger budget allows."
+    ),
+    tags=("streaming", "dedup", "lsh", "recovery"),
+)
+@_sized_state
+def x_stream_lsh_compact(spark: SparkSession, sf: str) -> DataFrame:
+    statedir = _lsh_compacted_state(spark, sf)
     pair_dirs = [
         os.path.join(statedir, d)
         for d in sorted(os.listdir(statedir))
