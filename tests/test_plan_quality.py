@@ -935,3 +935,27 @@ def test_embedding_quality_audit_single_scan_no_join(spark, specs):
     assert "EvalPython" not in plan
     assert len(scan_read_schemas(df)) == 1
     assert "Join" not in plan.replace("SortMergeJoin", "Join")
+
+
+def test_corpus_pipeline_v5_feature_frame_computed_once(spark, specs):
+    """x_corpus_pipeline_v5 (round-5 judge #2): the consumer plan
+    (curriculum → packing → grade) must contain ZERO text-feature
+    subtrees — no tokenize split, no regexp feature counts — because
+    the selected survivor set is checkpointed once and the quality-
+    feature frame fed the gate, the token counts and the curriculum
+    score from ONE scan. The two prefix sums must be the two-level
+    spelling with broadcast offset tables; no cartesian."""
+    from ziggurat_spark.plans import formatted_plan
+
+    df = q(specs, "x_corpus_pipeline_v5", spark)
+    plan = formatted_plan(df)
+    assert "regexp_replace" not in plan, (
+        "feature-frame regexp leaked into the consumer plan"
+    )
+    assert "split(" not in plan, (
+        "tokenizer split leaked into the consumer plan"
+    )
+    assert "ExistingRDD" in plan  # consumers read the checkpoint
+    assert "shard" in plan.lower()  # two-level prefix sums
+    assert broadcast_join_count(df) >= 3  # tot + 2x tlps offsets
+    assert not has_cartesian_product(df)

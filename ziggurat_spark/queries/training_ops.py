@@ -812,3 +812,255 @@ def x_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "phase")
     )
+
+
+def _v5_selected(spark: SparkSession, sf: str) -> DataFrame:
+    """Stages 1-4 of the v5 pipeline — the SELECTED training set:
+    quality gate → exact md5 dedup → DSIR importance gate →
+    per-source token-budget fill (all v4 semantics, v4 oracle
+    stages). Returns (doc_id, source, nt, score_micro),
+    localCheckpointed ONCE: downstream consumers (curriculum
+    scheduling, sequence packing, the grade frame) must never
+    recompute the text-feature scan — at 100 TB this checkpoint is
+    the persisted survivor table a real pipeline writes between
+    selection and scheduling. The quality-feature frame itself is
+    also checkpointed once and feeds the QC gate, the token counts
+    AND the curriculum score — three consumers, one scan."""
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+
+    docs = load_table(spark, sf, "documents")
+    # ONE feature pass: gate score + token counts + curriculum score
+    qf = (
+        _qc_feature_frame(docs)
+        .select("doc_id", F.col("n_tokens").alias("nt"), "score_micro")
+        .localCheckpoint()
+    )
+    qc = qf.filter(F.col("score_micro") >= QC_KEEP_MICRO)
+    k1 = docs.join(qc.select("doc_id"), "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    dd = (
+        k1.withColumn("h", F.md5("text"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+        .localCheckpoint()  # 2 consumers: weight learn + join-back
+    )
+    w = _dsir_weight_frame(dd).filter(
+        F.col("weight_ppm") >= DSIR_NEUTRAL_PPM
+    )
+    sel0 = (
+        dd.join(w.select("doc_id"), "doc_id")
+        .join(qf, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "nt",
+            "score_micro",
+            (
+                (F.col("doc_id") % 1048576) * F.lit(2654435761) % 1000003
+            ).alias("hb"),
+        )
+    )
+    bud = sel0.groupBy("source").agg(
+        F.expr(f"CAST(sum(nt) div {TOKEN_BUDGET_DIV} AS BIGINT)").alias(
+            "budget_tokens"
+        )
+    )
+    cum = two_level_prefix_sum(
+        sel0,
+        ["source"],
+        ["hb", "doc_id"],
+        "nt",
+        F.expr("CAST((hb * 16) div 1000003 AS INT)"),
+        out_col="c",
+    )
+    return (
+        cum.join(F.broadcast(bud), "source")
+        .filter(F.col("c") <= F.col("budget_tokens"))
+        .select("doc_id", "source", "nt", "score_micro")
+        .localCheckpoint()
+    )
+
+
+def _v5_schedule_and_pack(sel: DataFrame) -> DataFrame:
+    """Stages 5-6 over the selected set: curriculum phases (equal
+    token-mass thirds along the quality ranking) then sequence
+    packing within each (source, phase), graded per
+    (source, phase, bin_class). Pure column math over the
+    checkpointed survivors — the plan pin asserts no text/feature
+    subtree survives into this consumer."""
+    from ziggurat_spark.operators.scale import two_level_prefix_sum
+    from ziggurat_spark.queries.corpus_ops import PACK_BUDGET
+
+    s = sel.withColumn("neg", F.expr("0L - score_micro"))
+    tot = s.groupBy("source").agg(
+        F.sum("nt").cast("bigint").alias("t")
+    )
+    cum = two_level_prefix_sum(
+        s,
+        ["source"],
+        ["neg", "doc_id"],
+        "nt",
+        F.expr("CAST(neg >> 27 AS INT)"),
+        out_col="c2",
+    )
+    ph = cum.join(F.broadcast(tot), "source").select(
+        "doc_id",
+        "source",
+        "nt",
+        F.expr(
+            f"least({CURRICULUM_PHASES - 1}, "
+            f"CAST(({CURRICULUM_PHASES} * (c2 - nt)) div greatest(t, 1)"
+            f" AS BIGINT))"
+        ).alias("phase"),
+    )
+    pk = ph.withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    binned = two_level_prefix_sum(
+        pk,
+        ["source", "phase"],
+        ["k", "doc_id"],
+        "nt",
+        F.substring("k", 1, 1),
+        out_col="c3",
+    ).select(
+        "source",
+        "phase",
+        "doc_id",
+        "nt",
+        F.expr(f"CAST((c3 - nt) div {PACK_BUDGET} AS BIGINT)").alias(
+            "bin"
+        ),
+    )
+    bins = binned.groupBy("source", "phase", "bin").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("nt").cast("bigint").alias("btok"),
+        F.sum("doc_id").cast("bigint").alias("bchk"),
+    )
+    return (
+        bins.withColumn(
+            "bin_class",
+            F.when(F.col("btok") >= PACK_BUDGET, "full").otherwise(
+                "partial"
+            ),
+        )
+        .groupBy("source", "phase", "bin_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.sum("nd").cast("bigint").alias("n_docs"),
+            F.sum("btok").cast("bigint").alias("tokens"),
+            F.sum("bchk").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source", "phase", "bin_class")
+    )
+
+
+def _v5_oracle() -> str:
+    """DuckDB twin of the full v5 chain (v4 selection stages +
+    curriculum + packing)."""
+    from ziggurat_spark.queries.corpus_ops import PACK_BUDGET
+
+    return (
+        f"WITH {_QC_FEATURE_CTE}, "
+        f"qs AS (SELECT doc_id, n_tokens AS nt, "
+        f"CAST(1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 * punct_ppm"
+        f" - upper_ppm - 100 * abs(mean_wlen_milli - 5000) AS BIGINT)"
+        f" AS score FROM qp), "
+        f"qc AS (SELECT doc_id, nt, score FROM qs"
+        f" WHERE score >= {QC_KEEP_MICRO}), "
+        f"k1 AS (SELECT d.doc_id, d.source, d.text FROM documents d "
+        f"JOIN qc USING (doc_id)), "
+        f"dd AS (SELECT doc_id, source, text FROM (SELECT k1.*, "
+        f"row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)"
+        f" AS rn FROM k1) WHERE rn = 1), "
+        f"tok AS (SELECT doc_id, source, lower(t) AS tok FROM ("
+        f"SELECT doc_id, source, unnest(string_split_regex(trim(text),"
+        f" '\\s+')) AS t FROM dd) WHERE t <> ''), "
+        f"b AS (SELECT doc_id, source, CAST('0x' || substr(md5(tok), 1, 14)"
+        f" AS BIGINT) % {DSIR_BUCKETS} AS b FROM tok), "
+        f"cnt AS (SELECT b, count(*) AS c_r, "
+        f"sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END)"
+        f" AS c_t FROM b GROUP BY b), "
+        f"tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS t_r, "
+        f"CAST(sum(c_t) AS BIGINT) AS t_t FROM cnt), "
+        f"ratio AS (SELECT b, CAST((1000000 * (c_t + 1) * (t_r +"
+        f" {DSIR_BUCKETS})) // ((c_r + 1) * (t_t + {DSIR_BUCKETS}))"
+        f" AS BIGINT) AS ratio_ppm FROM cnt, tot), "
+        f"wdoc AS (SELECT doc_id, CAST(sum(ratio_ppm) // count(*)"
+        f" AS BIGINT) AS weight_ppm FROM b JOIN ratio USING (b)"
+        f" GROUP BY doc_id), "
+        f"sel0 AS (SELECT dd.doc_id, dd.source, qc.nt, qc.score, "
+        f"((dd.doc_id % 1048576) * 2654435761) % 1000003 AS hb "
+        f"FROM dd JOIN wdoc USING (doc_id) JOIN qc USING (doc_id) "
+        f"WHERE weight_ppm >= {DSIR_NEUTRAL_PPM}), "
+        f"bud AS (SELECT source, CAST(sum(nt) // {TOKEN_BUDGET_DIV}"
+        f" AS BIGINT) AS budget_tokens FROM sel0 GROUP BY source), "
+        f"cum AS (SELECT sel0.*, sum(nt) OVER (PARTITION BY source "
+        f"ORDER BY hb, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS c FROM sel0), "
+        f"sel AS (SELECT cum.doc_id, cum.source, cum.nt, cum.score "
+        f"FROM cum JOIN bud ON bud.source = cum.source "
+        f"WHERE c <= budget_tokens), "
+        f"tot2 AS (SELECT source, CAST(sum(nt) AS BIGINT) AS t "
+        f"FROM sel GROUP BY source), "
+        f"cum2 AS (SELECT sel.*, sum(nt) OVER (PARTITION BY source "
+        f"ORDER BY -score, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS c2 FROM sel), "
+        f"ph AS (SELECT cum2.doc_id, cum2.source, cum2.nt, "
+        f"least({CURRICULUM_PHASES - 1}, "
+        f"CAST(({CURRICULUM_PHASES} * (c2 - nt)) // greatest(t, 1)"
+        f" AS BIGINT)) AS phase "
+        f"FROM cum2 JOIN tot2 ON tot2.source = cum2.source), "
+        f"pk AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS k FROM ph), "
+        f"cum3 AS (SELECT pk.*, sum(nt) OVER (PARTITION BY source, phase "
+        f"ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" CURRENT ROW) AS c3 FROM pk), "
+        f"binned AS (SELECT source, phase, doc_id, nt, "
+        f"CAST((c3 - nt) // {PACK_BUDGET} AS BIGINT) AS bin FROM cum3), "
+        f"bins AS (SELECT source, phase, bin, "
+        f"CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS btok, "
+        f"CAST(sum(doc_id) AS BIGINT) AS bchk "
+        f"FROM binned GROUP BY source, phase, bin) "
+        f"SELECT source, phase, CASE WHEN btok >= {PACK_BUDGET} "
+        f"THEN 'full' ELSE 'partial' END AS bin_class, "
+        f"CAST(count(*) AS BIGINT) AS n_bins, "
+        f"CAST(sum(nd) AS BIGINT) AS n_docs, "
+        f"CAST(sum(btok) AS BIGINT) AS tokens, "
+        f"CAST(sum(bchk) AS BIGINT) AS id_checksum "
+        f"FROM bins GROUP BY source, phase, bin_class "
+        f"ORDER BY source, phase, bin_class"
+    )
+
+
+@register(
+    "x_corpus_pipeline_v5",
+    oracle=_v5_oracle(),
+    doc=(
+        "Round-6 FLAGSHIP composite — the chain a real pretraining "
+        "run executes, selection THROUGH scheduling THROUGH packing: "
+        "quality-classifier gate → exact md5 dedup → DSIR importance "
+        "gate → per-source token-budget fill (the v4 selection "
+        "stack) → curriculum phases (equal token-mass thirds along "
+        "the quality ranking) → fixed-budget sequence packing within "
+        "each (source, phase). Graded per (source, phase, bin_class "
+        "full|partial) by bin/doc/token counts and the id checksum. "
+        "Shared-stage reuse (the cluster-pipeline pattern): the "
+        "quality-feature frame is computed ONCE and feeds the gate, "
+        "the token counts AND the curriculum score; the selected "
+        "survivor set is checkpointed ONCE and feeds scheduling, "
+        "packing and the grade — tests/test_plan_quality.py pins "
+        "that no text-feature subtree survives into the consumer "
+        "plan. Wide edges: one digest shuffle (dedup), one token "
+        "fan-out + broadcast ratio join (DSIR), and THREE two-level "
+        "prefix sums (budget order, quality ranking, packing order) "
+        "— no task ever sorts a whole source; every stage is the "
+        "100×-safe shape proven by its standalone op."
+    ),
+    tags=("corpus", "pipeline", "curriculum", "packing"),
+)
+def x_corpus_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
+    return _v5_schedule_and_pack(_v5_selected(spark, sf))
