@@ -872,3 +872,48 @@ def test_shingle_expr_matches_python_model(spark, docs):
         for i, toks in rows
     }
     assert got == want
+
+
+def test_lpa_converge_early_stop_matches_unrolled_model(spark):
+    """x_label_propagation_converged: the zero-change early exit must
+    emit EXACTLY what running the remaining rounds would — pinned on
+    a tiny graph (two disjoint triangles) that reaches its fixed
+    point in 3 rounds with a cap of 5, against a pure-Python unroll
+    of all 5 rounds (independent model, not the DuckDB twin)."""
+    from ziggurat_spark.queries.ml_cluster import _lpa_converge
+
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    sym_rows = [(a, b) for a, b in tri] + [(b, a) for a, b in tri]
+    sym = spark.createDataFrame(sym_rows, "v long, n long")
+    cap = 5
+
+    # pure-Python synchronous LPA unroll
+    adj: dict[int, list[int]] = {}
+    for v, n in sym_rows:
+        adj.setdefault(v, []).append(n)
+    lbl = {v: v for v in adj}
+    want = []
+    for r in range(1, cap + 1):
+        new = {}
+        for v, ns in adj.items():
+            cnt: dict[int, int] = {}
+            for n in ns:
+                cnt[lbl[n]] = cnt.get(lbl[n], 0) + 1
+            new[v] = min(
+                cnt, key=lambda L: (-cnt[L], L)
+            )  # count desc, min label
+        changed = sum(1 for v in adj if new[v] != lbl[v])
+        lbl = new
+        want.append(
+            (r, changed, len(set(lbl.values())), sum(lbl.values()))
+        )
+
+    got = [
+        (r["round"], r["changed"], r["n_communities"], r["label_checksum"])
+        for r in _lpa_converge(spark, sym, cap).collect()
+    ]
+    assert got == want
+    # the early-stop branch really fired: a zero-change round exists
+    # strictly before the cap
+    first_zero = next(r for r, c, _, _ in want if c == 0)
+    assert first_zero < cap

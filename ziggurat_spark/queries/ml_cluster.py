@@ -224,34 +224,34 @@ def _symmetric_edges(mut: DataFrame) -> DataFrame:
     ).select(F.col("a").alias("v"), F.col("b").alias("n"))
 
 
-def _lpa_communities(sym: DataFrame) -> DataFrame:
-    """2 synchronous LPA rounds over a symmetric edge list (v, n) →
-    (v, lbl). Each round: one |E|-bounded join of the edges against
-    the current label table + a per-vertex argmax (count desc,
-    min-label tie-break — fully deterministic). ``sym`` should be
-    checkpointed by the caller; it is consumed once per round."""
+def _lpa_round(sym: DataFrame, prev: DataFrame) -> DataFrame:
+    """ONE synchronous LPA round: join the symmetric edge list
+    against the current label table (both keyed shuffles bounded by
+    |E|), then a per-vertex argmax (count desc, min-label tie-break
+    — fully deterministic)."""
     from pyspark.sql.window import Window as W
 
+    votes = (
+        sym.join(prev.select(F.col("v").alias("n"), "lbl"), "n")
+        .groupBy("v", "lbl")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("v", "lbl")
+    )
+
+
+def _lpa_communities(sym: DataFrame) -> DataFrame:
+    """2 synchronous LPA rounds over a symmetric edge list (v, n) →
+    (v, lbl). ``sym`` should be checkpointed by the caller; it is
+    consumed once per round."""
     labels = sym.select("v").distinct().select(
         "v", F.col("v").alias("lbl")
     )
-
-    def lpa_round(prev: DataFrame) -> DataFrame:
-        votes = (
-            sym.join(
-                prev.select(F.col("v").alias("n"), "lbl"), "n"
-            )
-            .groupBy("v", "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        w = W.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
-        return (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", "lbl")
-        )
-
-    return lpa_round(lpa_round(labels))
+    return _lpa_round(sym, _lpa_round(sym, labels))
 
 
 @register(
@@ -511,3 +511,129 @@ def x_cluster_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("knn_accuracy_ppm"),
         )
     )
+
+
+#: convergence-capped LPA: hard round cap (the lineage/driver-sync
+#: budget) — iteration stops EARLY the first round no label changes,
+#: which provably fixes every later round (a synchronous LPA round
+#: is a deterministic function of the label table, so an unchanged
+#: table is a fixed point) — that is what keeps the early-stopped
+#: run bit-equal to the fully-unrolled oracle.
+LPA_CONV_CAP = 4
+
+
+def _lpa_conv_oracle(cap: int) -> str:
+    """Unrolled DuckDB twin: exactly ``cap`` LPA rounds with
+    per-round change counts, community counts and label checksums."""
+    lpa_round = (
+        "(SELECT v, lbl FROM (SELECT v, lbl, row_number() OVER ("
+        "PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM ("
+        "SELECT s.v, l.lbl, count(*) AS c FROM sym s "
+        "JOIN {prev} l ON l.v = s.n GROUP BY s.v, l.lbl)) WHERE rn = 1)"
+    )
+    extra = "".join(
+        f", l{r} AS {lpa_round.format(prev=f'l{r - 1}')}"
+        for r in range(3, cap + 1)
+    )
+    per = " UNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"(SELECT CAST(sum(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END)"
+        f" AS BIGINT) FROM l{r} a JOIN l{r - 1} b ON b.v = a.v)"
+        f" AS changed, "
+        f"(SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l{r})"
+        f" AS n_communities, "
+        f"(SELECT CAST(sum(lbl) AS BIGINT) FROM l{r})"
+        f" AS label_checksum"
+        for r in range(1, cap + 1)
+    )
+    return (
+        f"WITH {_lpa_chain()}{extra} "
+        f"SELECT CAST(round AS BIGINT) AS round, changed, "
+        f"n_communities, label_checksum FROM ({per}) ORDER BY round"
+    )
+
+
+@register(
+    "x_label_propagation_converged",
+    oracle=_lpa_conv_oracle(LPA_CONV_CAP),
+    doc=(
+        "Convergence-capped label propagation (round-5 judge #3) — "
+        "the production spelling of the LPA family: the mutual k-NN "
+        "edge set is written to a PERSISTED parquet table first "
+        "(at 100 TB the edge table is a real table, not a "
+        "localCheckpoint — every round re-reads it from storage), "
+        "then LPA iterates with per-round lineage cuts (the "
+        "x_pagerank loop shape: localCheckpoint per round, one "
+        "bounded driver sync per round for the change count — the "
+        "same per-iteration sync k-means does) until either the "
+        "round cap or ZERO label changes. Early stop is exact, not "
+        "approximate: a synchronous LPA round is a deterministic "
+        "function of the label table, so an unchanged table is a "
+        "fixed point and all later rounds are provably identical — "
+        "the graded rows for capped-but-converged rounds carry "
+        "changed = 0 and the fixed-point stats. Graded per round "
+        "(1..cap) by change count, community count and label "
+        "checksum against the fully-unrolled oracle. Scale shape: "
+        "each round is one |E|-bounded join + per-vertex argmax; "
+        "state between rounds is one (v, lbl) table; the driver "
+        "sees 3 integers per round."
+    ),
+    tags=("clustering", "graph", "iterative"),
+)
+def x_label_propagation_converged(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ziggurat_spark.queries.similarity import _mutual_knn_graph
+
+    edge_dir = tempfile.mkdtemp(prefix="zs_lpa_edges_")
+    _symmetric_edges(
+        _mutual_knn_graph(spark, sf).select("a", "b")
+    ).write.mode("overwrite").parquet(edge_dir)
+    sym = spark.read.parquet(edge_dir)  # persisted edge table
+    return _lpa_converge(spark, sym, LPA_CONV_CAP)
+
+
+def _lpa_converge(
+    spark: SparkSession, sym: DataFrame, cap: int
+) -> DataFrame:
+    """The convergence-capped LPA loop over a symmetric edge table:
+    per-round lineage cuts, one 3-integer driver sync per round,
+    early exit at the zero-change fixed point with the remaining
+    rounds' graded rows emitted from the fixed point (provably
+    identical — a synchronous round is a deterministic function of
+    the label table)."""
+    prev = (
+        sym.select("v")
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint()
+    )
+    rows: list[tuple[int, int, int, int]] = []
+    for r in range(1, cap + 1):
+        cur = _lpa_round(sym, prev).localCheckpoint()  # cut lineage
+        st = (
+            cur.join(prev.select("v", F.col("lbl").alias("plbl")), "v")
+            .agg(
+                F.sum(
+                    F.when(F.col("lbl") != F.col("plbl"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("changed"),
+                F.countDistinct("lbl").cast("bigint").alias("nc"),
+                F.sum("lbl").cast("bigint").alias("ck"),
+            )
+            .collect()[0]  # bounded driver sync: 3 integers
+        )
+        rows.append((r, st["changed"], st["nc"], st["ck"]))
+        prev = cur
+        if st["changed"] == 0:
+            # fixed point reached: every later round is provably
+            # identical — emit its stats without computing it
+            for rr in range(r + 1, cap + 1):
+                rows.append((rr, 0, st["nc"], st["ck"]))
+            break
+    return spark.createDataFrame(
+        rows,
+        "round bigint, changed bigint, n_communities bigint, "
+        "label_checksum bigint",
+    ).orderBy("round")
