@@ -1022,3 +1022,273 @@ def x_embedding_quality_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("mean_norm_milli"),
         F.max("norm_milli").cast("bigint").alias("max_norm_milli"),
     )
+
+
+#: IVF retrain drill: recall graded over this many probe queries,
+#: top-K depth, SQ8 integer grid shared with the streaming index
+IVF_RETRAIN_QUERIES = 8
+IVF_RETRAIN_K = 3
+_RETRAIN_QUANT = (
+    "transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+)
+
+
+def _ivf_retrain_state(spark: SparkSession, workdir: str, emb: DataFrame):
+    """One Lloyd refresh over an IVF index with TOUCHED-ONLY state
+    I/O: assign all vectors to the seed centroids (v0 index, written
+    cell-partitioned), refresh each centroid to the truncating
+    integer mean of its members (the x_kmeans_exact update — k×d
+    longs to the driver, the MLlib sync), re-assign, and rewrite
+    ONLY the cells whose membership changed (a cell that neither
+    gained nor lost a vector carries over by reference, bytes
+    untouched — pinned in tests/test_stateful.py). Returns
+    (state, a1, touched): state maps cell → current directory, a1
+    is the checkpointed (vec_id, q, cell0, cell1) assignment frame,
+    touched is the sorted list of rewritten cells."""
+    import os
+
+    from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+
+    qdot = qdot_int_udf()
+    qv = emb.select("vec_id", F.expr(_RETRAIN_QUANT).alias("q"))
+    c0 = (
+        qv.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+        .localCheckpoint()
+    )
+    a0 = (
+        qv.crossJoin(F.broadcast(c0))
+        .select(
+            "vec_id", "q", "cid", qdot(F.col("q"), F.col("cq")).alias("cs")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(cs, -cid))").alias("cell0"),
+            F.any_value("q").alias("q"),  # identical across the fan-out
+        )
+        .localCheckpoint()
+    )
+    # v0 index on disk, one directory per cell
+    cells0 = sorted(r["cell0"] for r in a0.select("cell0").distinct().collect())
+    v0 = os.path.join(workdir, "state_v0")
+    a0.select("vec_id", "q", F.col("cell0").alias("kb")).repartition(
+        len(cells0), "kb"
+    ).write.partitionBy("kb").mode("overwrite").parquet(v0)
+    state = {c: os.path.join(v0, f"kb={c}") for c in cells0}
+
+    # Lloyd refresh: truncating integer mean per (cell, pos) — the
+    # x_kmeans_exact update sync (cells × d longs to the driver)
+    upd = (
+        a0.select("cell0", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cell0", "pos")
+        .agg(F.expr("CAST(sum(val) div count(*) AS BIGINT)").alias("cval"))
+        .collect()
+    )
+    byc: dict[int, dict[int, int]] = {}
+    for r in upd:
+        byc.setdefault(r["cell0"], {})[r["pos"]] = r["cval"]
+    c1 = spark.createDataFrame(
+        sorted(
+            (cid, [pos_map[p] for p in sorted(pos_map)])
+            for cid, pos_map in byc.items()
+        ),
+        "cid bigint, cq array<bigint>",
+    )
+    a1 = (
+        a0.crossJoin(F.broadcast(c1))
+        .select(
+            "vec_id",
+            "q",
+            "cell0",
+            "cid",
+            qdot(F.col("q"), F.col("cq")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("cell0").alias("cell0"),
+            F.expr("max_by(cid, struct(cs, -cid))").alias("cell1"),
+            F.any_value("q").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    moved = a1.filter(F.col("cell0") != F.col("cell1"))
+    touched = sorted(
+        r["c"]
+        for r in moved.select(F.col("cell0").alias("c"))
+        .unionByName(moved.select(F.col("cell1").alias("c")))
+        .distinct()
+        .collect()
+    )
+    if touched:
+        v1 = os.path.join(workdir, "state_v1")
+        a1.filter(F.col("cell1").isin([int(c) for c in touched])).select(
+            "vec_id", "q", F.col("cell1").alias("kb")
+        ).repartition(len(touched), "kb").write.partitionBy("kb").mode(
+            "overwrite"
+        ).parquet(v1)
+        for c in touched:
+            state[c] = os.path.join(v1, f"kb={c}")
+    return state, a1, touched
+
+
+def _ivf_retrain_oracle() -> str:
+    nq, k = IVF_RETRAIN_QUERIES, IVF_RETRAIN_K
+    ldot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> s[1] * s[2])) AS BIGINT)"
+    )
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))"
+    )
+    return (
+        f"WITH qv AS (SELECT vec_id, {quant} AS q FROM embeddings), "
+        f"c0 AS (SELECT vec_id AS cid, q AS cq FROM qv "
+        f"WHERE vec_id % {CENTROID_MOD} = 0), "
+        f"s0 AS (SELECT qv.vec_id, qv.q, c.cid, "
+        f"{ldot.format(a='q', b='cq')} AS cs FROM qv, c0 c), "
+        f"a0 AS (SELECT vec_id, q, cid AS cell0 FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid)"
+        f" AS r FROM s0) WHERE r = 1), "
+        f"up AS (SELECT cell0, pos, CAST(sum(val) // count(*) AS BIGINT)"
+        f" AS cval FROM (SELECT cell0, generate_subscripts(q, 1) AS pos, "
+        f"unnest(q) AS val FROM a0) GROUP BY cell0, pos), "
+        f"c1 AS (SELECT cell0 AS cid, list(cval ORDER BY pos) AS cq "
+        f"FROM up GROUP BY cell0), "
+        f"s1 AS (SELECT a.vec_id, a.q, a.cell0, c.cid, "
+        f"{ldot.format(a='a.q', b='c.cq')} AS cs FROM a0 a, c1 c), "
+        f"a1 AS (SELECT vec_id, q, cell0, cid AS cell1 FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid)"
+        f" AS r FROM s1) WHERE r = 1), "
+        f"moved AS (SELECT cell0, cell1, CAST(count(*) AS BIGINT) AS n "
+        f"FROM a1 WHERE cell0 <> cell1 GROUP BY cell0, cell1), "
+        f"qs AS (SELECT vec_id AS query_id, q AS qq, cell0 AS qc0, "
+        f"cell1 AS qc1 FROM a1 WHERE vec_id < {nq}), "
+        f"pr AS (SELECT qs.query_id, a1.vec_id AS nid, "
+        f"{ldot.format(a='qq', b='a1.q')} AS sc, "
+        f"a1.cell0, a1.cell1, qs.qc0, qs.qc1 "
+        f"FROM qs JOIN a1 ON a1.vec_id <> qs.query_id), "
+        f"truth AS (SELECT query_id, nid FROM (SELECT query_id, nid, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, nid)"
+        f" AS r FROM pr) WHERE r <= {k}), "
+        f"oap AS (SELECT query_id, nid FROM (SELECT query_id, nid, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, nid)"
+        f" AS r FROM pr WHERE cell0 = qc0) WHERE r <= {k}), "
+        f"nap AS (SELECT query_id, nid FROM (SELECT query_id, nid, "
+        f"row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, nid)"
+        f" AS r FROM pr WHERE cell1 = qc1) WHERE r <= {k}), "
+        f"nqc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs), "
+        f"rec AS (SELECT 0 AS ver, CAST(count(*) AS BIGINT) AS hits "
+        f"FROM truth JOIN oap USING (query_id, nid) "
+        f"UNION ALL SELECT 1, CAST(count(*) AS BIGINT) "
+        f"FROM truth JOIN nap USING (query_id, nid)) "
+        f"SELECT 'moved' AS kind, cell0 AS a, cell1 AS b, n AS c "
+        f"FROM moved "
+        f"UNION ALL SELECT 'recall', CAST(ver AS BIGINT), nqc.n, "
+        f"CAST((1000000 * hits) // greatest(nqc.n * {k}, 1) AS BIGINT) "
+        f"FROM rec, nqc "
+        f"ORDER BY kind, a, b"
+    )
+
+
+@register(
+    "x_ivf_retrain",
+    oracle=_ivf_retrain_oracle(),
+    doc=(
+        "IVF index DRIFT REPAIR (round-5 judge #4): one Lloyd "
+        "refresh over the cell-partitioned index state — centroids "
+        "move to the truncating integer mean of their members (the "
+        "x_kmeans_exact update), vectors re-assign, and ONLY the "
+        "cells whose membership changed are rewritten (touched-only "
+        "accounting: a cell that neither gained nor lost a vector "
+        "carries over by reference, bytes untouched — pinned in "
+        "tests/test_stateful.py). Graded rows: 'moved' = vector "
+        "count per (old_cell, new_cell) pair — the exact rewrite "
+        "bill the refresh pays — and 'recall' = top-3 recall ppm of "
+        "the OLD cells vs the REFRESHED cells against exact "
+        "integer-dot ground truth over the same probe queries (the "
+        "x_pq_recall_eval pattern), so the op measures what the "
+        "retrain bought. Scale shape: assignment passes are "
+        "broadcast-codebook Arrow-UDF scans; the refresh sync is "
+        "cells × d longs to the driver; rewrite I/O is "
+        "O(moved cells), never O(index)."
+    ),
+    tags=("similarity", "ann", "iterative", "recovery"),
+)
+def x_ivf_retrain(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+
+    emb = load_table(spark, sf, "embeddings", fan_out=True)
+    workdir = tempfile.mkdtemp(prefix="zs_ivf_retrain_")
+    _, a1, _ = _ivf_retrain_state(spark, workdir, emb)
+
+    moved = (
+        a1.filter(F.col("cell0") != F.col("cell1"))
+        .groupBy("cell0", "cell1")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("moved").alias("kind"),
+            F.col("cell0").cast("bigint").alias("a"),
+            F.col("cell1").cast("bigint").alias("b"),
+            F.col("n").alias("c"),
+        )
+    )
+
+    qdot = qdot_int_udf()
+    qs = a1.filter(F.col("vec_id") < IVF_RETRAIN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("cell0").alias("qc0"),
+        F.col("cell1").alias("qc1"),
+    )
+    pr = (
+        a1.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            qdot(F.col("qq"), F.col("q")).alias("sc"),
+            "cell0",
+            "cell1",
+            "qc0",
+            "qc1",
+        )
+        .localCheckpoint()  # 3 consumers: truth + old/new candidates
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sc"), F.asc("nid"))
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= IVF_RETRAIN_K)
+            .select("query_id", "nid")
+        )
+
+    truth = topk(pr)
+    nq = qs.agg(F.count("*").cast("bigint").alias("n"))
+
+    def recall_row(ap: DataFrame, ver: int) -> DataFrame:
+        return (
+            truth.join(ap, ["query_id", "nid"])
+            .agg(F.count("*").cast("bigint").alias("hits"))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit("recall").alias("kind"),
+                F.lit(ver).cast("bigint").alias("a"),
+                F.col("n").alias("b"),
+                F.expr(
+                    f"CAST((1000000 * hits) div "
+                    f"greatest(n * {IVF_RETRAIN_K}, 1) AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+
+    old_r = recall_row(topk(pr.filter(F.col("cell0") == F.col("qc0"))), 0)
+    new_r = recall_row(topk(pr.filter(F.col("cell1") == F.col("qc1"))), 1)
+    return moved.unionByName(old_r).unionByName(new_r).orderBy(
+        "kind", "a", "b"
+    )
