@@ -272,3 +272,61 @@ def test_stream_budget_state_bounded_under_skew(spark, duck, skew_dir):
     cuts = spark.read.parquet(os.path.join(state["path"], "cut"))
     hot_cut = cuts.filter(F.col("source") == HOT).collect()
     assert hot_cut and hot_cut[0]["cut"] is not None
+
+
+def test_mm_salted_candidates_equal_plain_join_under_degeneracy(spark):
+    """x_multimodal_neardup's hot-bucket guard: on a degenerate band
+    table (one bucket holding far more rows than the cap, the
+    10k-identical-assets shape) the salted group-pair join must
+    produce EXACTLY the plain bucket join's pair set, while no
+    (band, bucket, gi, gj) key holds more than cap rows per side."""
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.queries.dedup import _mm_salted_candidates
+
+    rows = (
+        [(i, 0, 7) for i in range(40)]       # hot bucket: 40 rows
+        + [(100 + i, 0, 9) for i in range(3)]  # cold bucket
+        + [(50, 1, 7), (51, 1, 7)]           # another band, same bucket id
+    )
+    bands = spark.createDataFrame(
+        rows, "asset_id long, band int, bucket int"
+    )
+    cap = 6
+    got = sorted(
+        (r["a"], r["b"])
+        for r in _mm_salted_candidates(bands, cap).collect()
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    want = sorted(
+        (r["a"], r["b"])
+        for r in x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.asset_id") < F.col("y.asset_id")),
+        )
+        .select(
+            F.col("x.asset_id").alias("a"), F.col("y.asset_id").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 40 * 39 // 2 + 3 + 1
+    # per-key boundedness: each (band, bucket, gi, gj) group-pair key
+    # carries at most cap rows from either side
+    from pyspark.sql.window import Window as W
+
+    n_in_bucket = F.count("*").over(W.partitionBy("band", "bucket"))
+    salted = (
+        bands.withColumn("g", F.ceil(n_in_bucket / F.lit(cap)).cast("int"))
+        .withColumn("s", F.pmod(F.xxhash64("asset_id"), F.col("g")).cast("int"))
+    )
+    per_group = (
+        salted.groupBy("band", "bucket", "s")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert per_group <= 2 * cap  # hash-group imbalance stays bounded

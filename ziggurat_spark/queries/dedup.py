@@ -1516,3 +1516,260 @@ def x_source_similarity_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-duplicates: fake-codec feature sketch → SRP bands →
+# salted bucket candidates → exact integer verify (round-5 judge #5)
+# ---------------------------------------------------------------------------
+
+MM_DIM = 16          # decode_and_featurize feature width
+MM_BITS = 32         # SRP sign bits over the CENTERED byte features
+MM_BANDS = 4
+MM_BPB = MM_BITS // MM_BANDS
+#: hot-bucket guard (inherited from the simhash family): buckets
+#: wider than this salt into group pairs, bounding any join key to
+#: O(cap) rows per side regardless of corpus degeneracy
+MM_BUCKET_CAP = 1024
+#: squared-cosine keep threshold 361/400 = 0.95² — features of
+#: DISTINCT contents are sha256-uniform (squared cosine ~0.56), so
+#: the gate passes exact-content duplicates and near-collisions only
+MM_T2_NUM, MM_T2_DEN = 361, 400
+
+
+def _mm_pattern(j: int) -> list[tuple[int, int]]:
+    """Achlioptas very-sparse projection row j over the MM_DIM
+    feature: same deterministic integer mix as _srp_pattern (shared
+    SRP_A mixers), dimension 16."""
+    a = SRP_A[j]
+    pat = []
+    for i in range(1, MM_DIM + 1):
+        u = ((i * a + 12_289) % SRP_P) % 6
+        if u == 0:
+            pat.append((i, 1))
+        elif u == 1:
+            pat.append((i, -1))
+    return pat or [(1 + j % MM_DIM, 1)]
+
+
+def _mm_at(col: str, i: int, engine: int) -> str:
+    return f"element_at({col}, {i})" if engine == 0 else f"{col}[{i}]"
+
+
+def _mm_bit(col: str, j: int, engine: int) -> str:
+    """Sign bit of projection j over CENTERED bytes (b - 128): the
+    bytes are sha256-uniform, so centering makes each bit a fair
+    coin — buckets stay balanced (an uncentered all-positive feature
+    would bias every bit toward the pattern's sign majority). Pure
+    BIGINT arithmetic: bit-identical on both engines by construction,
+    no float order to pin."""
+    terms = [
+        ("+ " if s > 0 else "- ") + f"({_mm_at(col, i, engine)} - 128)"
+        for i, s in _mm_pattern(j)
+    ]
+    return f"(({terms[0].lstrip('+ ')} {' '.join(terms[1:])}) >= 0)"
+
+
+def _mm_bucket(col: str, band: int, engine: int) -> str:
+    terms = [
+        f"(CASE WHEN {_mm_bit(col, band * MM_BPB + t, engine)} "
+        f"THEN {1 << (MM_BPB - 1 - t)} ELSE 0 END)"
+        for t in range(MM_BPB)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mm_dot(a: str, b: str, engine: int) -> str:
+    """16-term literal BIGINT dot product of two byte vectors."""
+    return "(" + " + ".join(
+        f"CAST({_mm_at(a, i, engine)} AS BIGINT) * "
+        f"CAST({_mm_at(b, i, engine)} AS BIGINT)"
+        for i in range(1, MM_DIM + 1)
+    ) + ")"
+
+
+def _mm_salted_candidates(bands: DataFrame, cap: int) -> DataFrame:
+    """DISTINCT candidate pairs (a < b) from a banded bucket join
+    with the hot-bucket guard: rows in a (band, bucket) of n > cap
+    salt into g = ceil(n/cap) deterministic groups; each row
+    replicates to its group's g group-pairs and the join runs per
+    (band, bucket, gi, gj) — every unordered pair meets in exactly
+    ONE group-pair key (x from the lower group, y from the higher;
+    asset_id order inside the diagonal key), and each key holds
+    ≤ cap rows per side. Cold buckets get g = 1: the plain join.
+    Pair set ≡ the unsalted bucket join (pinned in
+    tests/test_skew_corpus.py)."""
+    from pyspark.sql.window import Window as W
+
+    n_in_bucket = F.count("*").over(W.partitionBy("band", "bucket"))
+    salted = (
+        bands.withColumn(
+            "g", F.ceil(n_in_bucket / F.lit(cap)).cast("int")
+        )
+        .withColumn(
+            "s", F.pmod(F.xxhash64("asset_id"), F.col("g")).cast("int")
+        )
+        .select(
+            "asset_id",
+            "band",
+            "bucket",
+            "s",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, g - 1), "
+                    "j -> struct(least(s, j) AS gi, greatest(s, j) AS gj))"
+                )
+            ).alias("gp"),
+        )
+        .select("asset_id", "band", "bucket", "s", "gp.gi", "gp.gj")
+    )
+    x, y = salted.alias("x"), salted.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.gi") == F.col("y.gi"))
+            & (F.col("x.gj") == F.col("y.gj"))
+            & (F.col("x.s") == F.col("x.gi"))
+            & (F.col("y.s") == F.col("y.gj"))
+            & (
+                (F.col("x.gi") < F.col("x.gj"))
+                | (F.col("x.asset_id") < F.col("y.asset_id"))
+            ),
+        )
+        .select(
+            F.least("x.asset_id", "y.asset_id").alias("a"),
+            F.greatest("x.asset_id", "y.asset_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _mm_oracle() -> str:
+    bv16 = ", ".join(
+        f"CAST('0x' || substr(h, {2 * i - 1}, 2) AS INT)"
+        for i in range(1, MM_DIM + 1)
+    )
+    bands_sql = " UNION ALL ".join(
+        f"SELECT asset_id, {b} AS band, "
+        f"{_mm_bucket('bv', b, 1)} AS bucket FROM fb"
+        for b in range(MM_BANDS)
+    )
+    return (
+        "WITH f0 AS (SELECT doc_id AS asset_id, "
+        "sha256(text || repeat(chr(0), 4)) AS h FROM documents "
+        "WHERE text IS NOT NULL AND text <> ''), "
+        f"fb AS (SELECT asset_id, list_value({bv16}) AS bv FROM f0), "
+        f"bands AS ({bands_sql}), "
+        "cand AS (SELECT DISTINCT x.asset_id AS a, y.asset_id AS b "
+        "FROM bands x JOIN bands y ON x.band = y.band "
+        "AND x.bucket = y.bucket AND x.asset_id < y.asset_id), "
+        "ver AS (SELECT cand.a, cand.b, "
+        f"{_mm_dot('fa.bv', 'fc.bv', 1)} AS dt, "
+        f"{_mm_dot('fa.bv', 'fa.bv', 1)} AS na2, "
+        f"{_mm_dot('fc.bv', 'fc.bv', 1)} AS nb2 "
+        "FROM cand JOIN fb fa ON fa.asset_id = cand.a "
+        "JOIN fb fc ON fc.asset_id = cand.b) "
+        "SELECT a, b, "
+        "CAST((1000000 * dt * dt) // (na2 * nb2) AS BIGINT) "
+        "AS cos2_ppm FROM ver "
+        f"WHERE {MM_T2_DEN} * dt * dt >= {MM_T2_NUM} * na2 * nb2 "
+        "ORDER BY a, b"
+    )
+
+
+@register(
+    "x_multimodal_neardup",
+    oracle=_mm_oracle(),
+    doc=(
+        "Multimodal near-duplicate detection (round-5 judge #5) — "
+        "the dedup family extended to binary assets: the asset "
+        "table's content bytes run through the REAL Arrow "
+        "mapInPandas decode path (operators/multimodal."
+        "decode_and_featurize; deterministic fake codec = "
+        "sha256-expansion, so the oracle recomputes the features "
+        "independently), features quantize back to exact integer "
+        "bytes, 32 very-sparse-random-projection sign bits over the "
+        "CENTERED bytes (pure BIGINT sums — fair-coin bits, no "
+        "float order to pin) pack into 4 bands of 8, banded "
+        "candidates come from a SALTED bucket join (hot-bucket "
+        "guard inherited from the simhash family: buckets wider "
+        "than 1024 split into group pairs, bounding any join key "
+        "to O(cap) rows per side — never all-pairs), and candidates "
+        "verify by exact integer squared cosine (400·dot² ≥ "
+        "361·|a|²·|b|², i.e. cosine ≥ 0.95 — cross-multiplied, no "
+        "division). Swapping in a real image/audio codec changes "
+        "only the codec fn; the sketch, banding, salting and verify "
+        "plan are codec-independent. Graded by the exact pair set "
+        "with integer squared-cosine ppm."
+    ),
+    tags=("multimodal", "dedup", "lsh"),
+)
+def x_multimodal_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.operators.multimodal import (
+        decode_and_featurize,
+        documents_as_assets,
+    )
+
+    d = load_table(spark, sf, "documents", fan_out=True)
+    dec = decode_and_featurize(documents_as_assets(d), feature_dim=MM_DIM)
+    # feature floats are k/256 (exact in fp32/fp64): recover the
+    # integer bytes and do EVERYTHING downstream in BIGINT
+    feat = (
+        dec.filter(F.col("decoded_ok"))
+        .select(
+            "asset_id",
+            F.expr(
+                "transform(feature, x -> "
+                "CAST(round(CAST(x AS DOUBLE) * 256) AS INT))"
+            ).alias("bv"),
+        )
+        .select(
+            "asset_id",
+            "bv",
+            F.expr(_mm_dot("bv", "bv", 0)).alias("n2"),
+            F.array(
+                *[
+                    F.expr(_mm_bucket("bv", b, 0)).cast("int")
+                    for b in range(MM_BANDS)
+                ]
+            ).alias("bks"),
+        )
+        .localCheckpoint(eager=False)  # bands + both verify sides
+    )
+    bands = feat.select(
+        "asset_id", F.posexplode("bks").alias("band", "bucket")
+    )
+    cand = _mm_salted_candidates(bands, MM_BUCKET_CAP).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fa = feat.select(
+        F.col("asset_id").alias("a"),
+        F.col("bv").alias("av"),
+        F.col("n2").alias("na2"),
+    )
+    fb = feat.select(
+        F.col("asset_id").alias("b"),
+        F.col("bv").alias("cv"),
+        F.col("n2").alias("nb2"),
+    )
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("dt", F.expr(_mm_dot("av", "cv", 0)))
+        .filter(
+            F.expr(
+                f"{MM_T2_DEN} * dt * dt >= {MM_T2_NUM} * na2 * nb2"
+            )
+        )
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST((1000000 * dt * dt) div (na2 * nb2) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .orderBy("a", "b")
+    )
