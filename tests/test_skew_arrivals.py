@@ -1,0 +1,259 @@
+"""Skewed-ARRIVAL drill for the streaming state family (round-5
+judge #6). Two axes:
+
+- CONTENT skew through the real registered ops: a corpus where one
+  LSH band bucket holds most documents (120 identical texts), one
+  IVF cell holds every vector, and one source carries ~100x the
+  others — each op graded ORACLE-EXACT on that corpus (same DuckDB
+  compare the driver runs).
+- ARRIVAL-SIZE skew through the shared folds directly: one
+  micro-batch carrying 100x the others — graded equal to the
+  even-delivery / one-shot answer, with state-size bounds asserted
+  (budget state tokens <= budget; ANN state = one dir per touched
+  cell; LSH state = 2 files per batch key).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ziggurat_spark.tables import TABLES
+
+SRC = "/root/testdata/sf0.001"
+
+#: the registered streaming-state ops the drill grades oracle-exact
+STATE_OPS = (
+    "x_stream_budget_maintenance",
+    "x_stream_budget_restart",
+    "x_stream_dsir_maintain",
+    "x_stream_dsir_compact",
+    "x_stream_ann_maintain",
+    "x_stream_lsh_maintain",
+    "x_stream_lsh_compact",
+)
+
+
+@pytest.fixture(scope="module")
+def skew_sf(spark, tmp_path_factory):
+    """An sf-dir with adversarial documents/embeddings: 120 identical
+    texts (one LSH bucket per band; also one md5 group), src0 holds
+    ~100x the docs of the other sources, every embedding lands in
+    IVF cell 0 except the cell-97 seed itself."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path_factory.mktemp("skewsf"))
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            os.symlink(
+                os.path.join(SRC, f"{t}.parquet"),
+                os.path.join(base, f"{t}.parquet"),
+            )
+
+    boiler = " ".join(f"tok{i % 7}" for i in range(30))
+    docs = [(i, boiler, "en", "src0") for i in range(120)]
+    for i in range(120, 130):
+        docs.append(
+            (
+                i,
+                f"unique document {i} "
+                + " ".join(f"w{i}x{j}" for j in range(12)),
+                "en",
+                "src1" if i % 2 else "src2",
+            )
+        )
+    docs.append((130, "single", "en", "src3"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "lang": pa.array([d[2] for d in docs]),
+                "source": pa.array([d[3] for d in docs]),
+                "n_chars": pa.array(
+                    [len(d[1]) for d in docs], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(base, "documents.parquet"),
+    )
+
+    # embeddings: dim 8; vec 97 is the only y-dominant vector, so
+    # every other vector assigns to cell 0 — one hot cell
+    n = 150
+    embs = []
+    for i in range(n):
+        v = np.zeros(8, dtype=np.float32)
+        if i == 97:
+            v[1] = 1.0
+        else:
+            v[0] = 0.5 + (i % 40) / 100.0
+            v[1] = (i % 7) / 100.0
+        embs.append(v.tolist())
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "label": pa.array(
+                    [i % 3 for i in range(n)], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(base, "embeddings.parquet"),
+    )
+    return base
+
+
+@pytest.mark.parametrize("name", STATE_OPS)
+def test_streaming_state_op_oracle_exact_on_skewed_corpus(
+    spark, skew_sf, name
+):
+    """Every streaming-state op stays ORACLE-EXACT on the hot-bucket/
+    hot-cell/hot-source corpus — the same DuckDB compare the driver
+    runs, pointed at the adversarial sf-dir."""
+    from ziggurat_spark.oracle import check_query, duck_connection
+
+    con = duck_connection(skew_sf)
+    res = check_query(spark, con, name, skew_sf)
+    assert res.ok, (name, res.detail)
+    assert res.spark_rows > 0, name
+
+
+def test_budget_fold_hundredfold_batch_matches_one_shot(spark, tmp_path):
+    """Arrival-size skew for the budget watermark fold: one batch
+    carrying 100x the others must grade exactly like delivering
+    everything in one batch, and the kept state's token mass stays
+    <= the budget per source at every step."""
+    from ziggurat_spark.queries.streaming_surface import (
+        STREAM_BUDGET_TOKENS,
+        _budget_fold,
+        _budget_grade,
+    )
+
+    rows = [
+        ("src0", i, 30 + i % 5) for i in range(100)  # the 100x batch
+    ] + [("src1", 1000, 40), ("src0", 1001, 35)]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, nt long"
+    )
+
+    def run(batches, sub):
+        workdir = str(tmp_path / sub)
+        os.makedirs(workdir)
+        state = {"path": None, "v": 0}
+        fold = _budget_fold(spark, workdir, state)
+        for i, b in enumerate(batches):
+            fold(b, i)
+            kept = spark.read.parquet(
+                os.path.join(state["path"], "kept")
+            )
+            mx = (
+                kept.groupBy("source")
+                .agg(F.sum("nt").alias("t"))
+                .agg(F.max("t").alias("m"))
+                .collect()[0]["m"]
+            )
+            assert mx <= STREAM_BUDGET_TOKENS  # state stays bounded
+        return sorted(
+            tuple(r) for r in _budget_grade(spark, docs, state).collect()
+        )
+
+    skewed = run(
+        [
+            docs.filter(F.col("doc_id") < 100),      # 100 docs
+            docs.filter(F.col("doc_id") == 1000),    # 1 doc
+            docs.filter(F.col("doc_id") == 1001),    # 1 doc
+        ],
+        "skewed",
+    )
+    one_shot = run([docs], "oneshot")
+    assert skewed == one_shot
+    assert len(skewed) == 2  # both sources graded
+
+
+def test_lsh_fold_hundredfold_identical_batch(spark, tmp_path):
+    """Arrival-size + content skew for the online LSH fold: a 100-doc
+    batch of IDENTICAL texts followed by two 1-doc identical
+    arrivals. The pair union must be the complete clique over all
+    102 docs, and state stays 2 files per batch key (bands_ +
+    pairs_), with the history side never replicated."""
+    from ziggurat_spark.queries.streaming_surface import _lsh_fold
+
+    statedir = str(tmp_path / "state")
+    os.makedirs(statedir)
+    fold = _lsh_fold(spark, statedir)
+    text = " ".join(f"tok{i % 7}" for i in range(30))
+    big = spark.createDataFrame(
+        [(i, text) for i in range(100)], "doc_id long, text string"
+    )
+    fold(big, 0)
+    for j, did in enumerate((500, 501)):
+        fold(
+            spark.createDataFrame(
+                [(did, text)], "doc_id long, text string"
+            ),
+            j + 1,
+        )
+    names = sorted(os.listdir(statedir))
+    assert [n for n in names if n.startswith("bands_")] == [
+        "bands_b0",
+        "bands_b1",
+        "bands_b2",
+    ]
+    pair_dirs = [
+        os.path.join(statedir, d)
+        for d in names
+        if d.startswith("pairs_")
+    ]
+    got = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(*pair_dirs).distinct().collect()
+    }
+    ids = sorted(list(range(100)) + [500, 501])
+    want = {
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+    }
+    assert got == want  # the full clique: 102*101/2 pairs
+
+
+def test_ann_upsert_hundredfold_hot_cell_batch(spark, tmp_path):
+    """Arrival-size + hot-cell skew for the streaming IVF fold: a
+    100-vector batch all landing in ONE cell, then two 1-vector
+    arrivals into the same cell. Only that cell's directory ever
+    exists/rewrites; the final index holds every vector exactly
+    once (replay of the big batch included)."""
+    from ziggurat_spark.queries.streaming_surface import (
+        _ann_upsert_batch,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [127, 0, 0, 0]), (97, [0, 127, 0, 0])],
+        "cent_id long, cq array<bigint>",
+    )
+    workdir = str(tmp_path / "ann")
+    os.makedirs(workdir)
+    state: dict = {}
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, [0.5 + (i % 40) / 100.0, 0.0, 0.0, 0.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    t0 = _ann_upsert_batch(spark, workdir, state, batch(range(100)), 0, cent)
+    assert t0 == [0]  # one hot cell
+    t1 = _ann_upsert_batch(spark, workdir, state, batch([500]), 1, cent)
+    t2 = _ann_upsert_batch(spark, workdir, state, batch([501]), 2, cent)
+    assert t1 == [0] and t2 == [0]
+    # replay the 100x batch: keyed overwrite, contents unchanged
+    _ann_upsert_batch(spark, workdir, state, batch(range(100)), 3, cent)
+    assert sorted(state) == [0]  # cell 97 never materialized
+    vecs = sorted(
+        r["vec_id"] for r in spark.read.parquet(state[0]).collect()
+    )
+    assert vecs == sorted(list(range(100)) + [500, 501])
