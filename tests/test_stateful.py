@@ -561,3 +561,26 @@ class TestIvfRetrainTouchedOnly:
             c0, c1 = cells[v]
             assert c0 == c1, (v, c0, c1)
         assert set(got) == {0, 3, 4, 5, 97, 194, 20}
+
+
+def test_ann_dot_spellings_grade_identically(spark):
+    """ANN_DOT_ARROW picks a dot-product spelling for throughput;
+    both are integer-exact in any evaluation order, so the graded
+    frame must be identical under either flag."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.ANN_DOT_ARROW
+    try:
+        ss.ANN_DOT_ARROW = False
+        interp = [
+            tuple(r) for r in ss.x_stream_ann_maintain(spark, sf).collect()
+        ]
+        ss.ANN_DOT_ARROW = True
+        arrow = [
+            tuple(r) for r in ss.x_stream_ann_maintain(spark, sf).collect()
+        ]
+    finally:
+        ss.ANN_DOT_ARROW = prev
+    assert interp == arrow
+    assert len(interp) > 0

