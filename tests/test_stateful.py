@@ -584,3 +584,24 @@ def test_ann_dot_spellings_grade_identically(spark):
         ss.ANN_DOT_ARROW = prev
     assert interp == arrow
     assert len(interp) > 0
+
+
+def test_stream_select_corpus_batching_independent(spark):
+    """The streamed selection corpus must grade identically at ANY
+    chunking — 1 file (= the batch pipeline by construction) vs 7
+    files (dedup winners cross many batch boundaries and the
+    min-winner merge must converge), both including the in-op
+    first-batch replay."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_SEL_SRC_FILES
+    try:
+        ss.STREAM_SEL_SRC_FILES = 1
+        one = ss.x_stream_select_corpus(spark, sf).collect()
+        ss.STREAM_SEL_SRC_FILES = 7
+        seven = ss.x_stream_select_corpus(spark, sf).collect()
+    finally:
+        ss.STREAM_SEL_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0

@@ -3361,3 +3361,119 @@ def x_stream_lsh_compact(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .orderBy("a", "b")
     )
+
+
+#: micro-batch fan-out for the streaming selection-corpus op
+STREAM_SEL_SRC_FILES = 4
+
+
+def _select_corpus_oracle() -> str:
+    """The grade IS the batch v4 pipeline's: the streamed corpus
+    maintenance must converge to the batch selection exactly, so the
+    op registers under the identical oracle string."""
+    import ziggurat_spark.queries.training_ops  # noqa: F401  (registers v4)
+    from ziggurat_spark.queries.registry import _REGISTRY
+
+    return _REGISTRY["x_corpus_pipeline_v4"].oracle
+
+
+@register(
+    "x_stream_select_corpus",
+    oracle=_select_corpus_oracle(),
+    doc=(
+        "Streaming INGEST of the selection corpus — the v4 pipeline "
+        "with its stateful half run as live maintenance: each "
+        "micro-batch passes the quality-classifier gate (stateless "
+        "per-doc column math) and MERGEs its survivors into a "
+        "content-hash-keyed corpus state via the bucketed merge "
+        "(key = md5(text), winner = smallest doc_id — min is "
+        "associative and commutative, so the maintained winner set "
+        "converges to the batch dedup under ANY chunking or replay; "
+        "only the hash buckets a batch touches are rewritten, "
+        "untouched bucket dirs carry over by reference). The DSIR "
+        "importance gate and the per-source token-budget fill then "
+        "run over the MAINTAINED corpus (they need corpus-level "
+        "statistics, so they are grade-time batch stages — the "
+        "honest cut: gate+dedup are per-arrival decisions, "
+        "selection is a corpus decision). Graded with the identical "
+        "oracle as x_corpus_pipeline_v4: the streamed state must "
+        "reproduce the batch pipeline bit-for-bit, replay of the "
+        "first batch included. At 100 TB: per-trigger work is "
+        "O(batch + touched buckets), the corpus state is a real "
+        "hash-bucketed table, and the grade-time tail is the "
+        "same 100×-safe v4 plan."
+    ),
+    tags=("streaming", "corpus", "pipeline", "dedup"),
+)
+@_sized_state
+def x_stream_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.queries.training_ops import (
+        QC_KEEP_MICRO,
+        _dsir_budget_grade,
+        _qc_feature_frame,
+    )
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_sel_")
+    docs.select("doc_id", "source", "text").repartition(
+        STREAM_SEL_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = tempfile.mkdtemp(prefix="zs_stream_sel_state_")
+    state: dict = {}
+    probe: dict = {}
+
+    def _fold(b, bid):
+        qc = (
+            _qc_feature_frame(b)
+            .filter(F.col("score_micro") >= QC_KEEP_MICRO)
+            .select("doc_id")
+        )
+        proj = (
+            b.join(qc, "doc_id")
+            .select("doc_id", "source", "text")
+            .withColumn("h", F.md5("text"))
+            .withColumn(
+                "kb",
+                F.conv(F.substring(F.col("h"), 1, 1), 16, 10).cast("int"),
+            )
+        )
+        bucketed_lww_merge(
+            spark,
+            workdir,
+            state,
+            proj,
+            bid,
+            key="h",
+            order_cols=(F.asc("doc_id"),),  # smallest id wins = batch dedup
+        )
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(workdir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery BEFORE grading: the merge is a keyed
+    # min-winner fold, so the replayed batch changes nothing
+    replayed = spark.read.parquet(os.path.join(workdir, "probe_input"))
+    _fold(replayed, probe["bid"] + 1000)
+
+    dd = spark.read.parquet(*sorted(state.values())).select(
+        "doc_id", "source", "text"
+    )
+    return _dsir_budget_grade(dd.localCheckpoint())

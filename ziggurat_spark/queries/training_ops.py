@@ -634,7 +634,18 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     )
     # three consumers downstream (weights learn + join-back + budget):
     # pin the deduped survivors so the gate stack runs once
-    dd = dd.localCheckpoint()
+    return _dsir_budget_grade(dd.localCheckpoint())
+
+
+def _dsir_budget_grade(dd: DataFrame) -> DataFrame:
+    """Stages 3-4 of the v4 pipeline over a deduped survivor corpus
+    (doc_id, source, text): DSIR importance gate → per-source
+    token-budget fill → the per-source grade frame. Shared by the
+    batch v4 pipeline and the streaming corpus-maintenance op
+    (x_stream_select_corpus), whose maintained state must grade
+    identically. ``dd`` should be checkpointed/materialized by the
+    caller — it feeds the weight learn, the join-back and the
+    budget."""
     w = _dsir_weight_frame(dd).filter(
         F.col("weight_ppm") >= DSIR_NEUTRAL_PPM
     )
