@@ -917,3 +917,70 @@ def test_lpa_converge_early_stop_matches_unrolled_model(spark):
     # strictly before the cap
     first_zero = next(r for r, c, _, _ in want if c == 0)
     assert first_zero < cap
+
+
+def test_star_components_match_union_find_on_random_graphs(spark):
+    """large-star/small-star CC vs an independent union-find model on
+    seeded random graphs, including the adversarial shapes: a long
+    PATH (diameter >> log n — where min-propagation needs ~n rounds
+    and the star alternation must still converge inside the cap) and
+    a star with a high-degree hub."""
+    import random
+
+    from ziggurat_spark.queries.dedup import _star_components
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id component per node
+        comp = {}
+        for v in range(n_nodes):
+            r = find(v)
+            # root is not necessarily the min under path halving order;
+            # normalize: min id within each root group
+            comp.setdefault(r, []).append(v)
+        out = {}
+        for group in comp.values():
+            m = min(group)
+            for v in group:
+                out[v] = m
+        return out
+
+    rng = random.Random(20260815)
+    cases = []
+    # random sparse graphs
+    for trial in range(3):
+        n = 60
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(50)
+        }
+        cases.append((n, sorted(edges)))
+    # a 40-node path: diameter 39
+    cases.append((40, [(i, i + 1) for i in range(39)]))
+    # a hub star + separate triangle
+    cases.append((30, [(0, i) for i in range(1, 25)] + [(26, 27), (27, 28), (26, 28)]))
+
+    for n, edges in cases:
+        df = spark.createDataFrame(edges, "a long, b long")
+        stars = _star_components(spark, df)
+        got_edges = {(r["a"], r["b"]) for r in stars.collect()}
+        want = union_find(n, edges)
+        touched = {v for e in edges for v in e}
+        got = {}
+        for a, b in got_edges:
+            got[a] = min(b, got.get(a, b))
+        for v in touched:
+            if v not in got:
+                got[v] = v  # component minimum: appears only as target
+        for v in touched:
+            assert got[v] == want[v], (n, v, got[v], want[v])

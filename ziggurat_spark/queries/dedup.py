@@ -1773,3 +1773,141 @@ def x_multimodal_neardup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components, the O(log n)-round spelling: alternating
+# large-star / small-star (Kiveris et al. 2014, "Connected Components
+# in MapReduce and Beyond") — the upgrade path x_dedup_components'
+# doc names for 100 TB graphs, implemented and graded here.
+# ---------------------------------------------------------------------------
+
+#: round cap for the star alternation (the paper proves O(log² n)
+#: alternations suffice; near-dup quasi-cliques converge in 2-4)
+CC_STAR_CAP = 20
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node attaches its STRICTLY LARGER neighbors
+    to the minimum of its closed neighborhood. One groupBy + one
+    join, both keyed on the node id — no neighborhood ever sits in
+    one task's memory (contrast the reduce-side adjacency-list
+    formulation)."""
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("mn", F.col("a")).alias("m"))
+    )
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: edges orient large→small, every node attaches its
+    (smaller) neighbors AND itself to the minimum of the closed
+    neighborhood. Same two keyed shuffles as large-star."""
+    ordered = (
+        e.select(
+            F.greatest("a", "b").alias("a"),
+            F.least("a", "b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = (
+        ordered.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("mn", F.col("a")).alias("m"))
+    )
+    out = (
+        ordered.join(m, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(m.select(F.col("a"), F.col("m").alias("b")))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Alternate large-star/small-star to a fixed point (edge set
+    unchanged), capped at CC_STAR_CAP alternations; returns the
+    final star edge set (node → component minimum). Per alternation:
+    four keyed shuffles and one 2-integer driver sync (count +
+    id-sum fingerprint — the convergence test), lineage cut per
+    round."""
+    e = pairs.select("a", "b").filter(
+        F.col("a") != F.col("b")
+    ).distinct().localCheckpoint()
+
+    def fingerprint(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.col("a") * 1000003 + F.col("b")), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    prev = fingerprint(e)
+    for _ in range(CC_STAR_CAP):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    return e
+
+
+@register(
+    "x_dedup_components_star",
+    oracle=(
+        _CC_ORACLE_PREFIX
+        + " SELECT id AS doc_id, min(comp) AS component, "
+        "min(comp) = id AS is_keeper "
+        "FROM reach GROUP BY id ORDER BY doc_id"
+    ),
+    doc=(
+        "Connected components by alternating LARGE-STAR/SMALL-STAR "
+        "(Kiveris et al. 2014) over the exact Jaccard near-dup pair "
+        "graph — the O(log n)-round spelling x_dedup_components' "
+        "doc names as the 100 TB upgrade path, now implemented and "
+        "graded against the SAME recursive-CTE oracle. Per "
+        "alternation: four shuffles keyed on node ids (no "
+        "adjacency list ever sits in one task — a high-degree hub "
+        "costs a wide groupBy, not a hot reducer), one 2-integer "
+        "driver sync for the fixed-point test, lineage cut per "
+        "round. Converges when the edge set stops changing; the "
+        "fixed point is a star forest whose centers are the "
+        "component minima. Min-label propagation "
+        "(x_dedup_components) needs diameter rounds; the star "
+        "alternation needs O(log n) — on a path graph that is the "
+        "difference between 1000 rounds and 10."
+    ),
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def x_dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    stars = _star_components(
+        spark, _jaccard_pairs(spark, sf).select("a", "b")
+    )
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    comp = (
+        docs.join(stars.select(F.col("a").alias("id"), "b"), "id", "left")
+        .groupBy("id")
+        .agg(F.coalesce(F.min("b"), F.min("id")).alias("comp"))
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.least("comp", F.col("doc_id")).alias("component"),
+        (F.least("comp", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_keeper"
+        ),
+    ).orderBy("doc_id")
