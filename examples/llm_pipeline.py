@@ -71,6 +71,18 @@ def main(sf_dir: str) -> None:
     print("== the whole curation path, end-to-end (v2 flagship) ==")
     q["x_corpus_pipeline_v2"].spark(spark, sf_dir).show(truncate=False)
 
+    print("== selection -> curriculum -> packing (v5 flagship) ==")
+    q["x_corpus_pipeline_v5"].spark(spark, sf_dir).show(20, truncate=False)
+
+    print("== the same selection corpus, maintained from a STREAM ==")
+    q["x_stream_select_corpus"].spark(spark, sf_dir).show(truncate=False)
+
+    print("== multimodal near-dup over binary assets ==")
+    q["x_multimodal_neardup"].spark(spark, sf_dir).show(10, truncate=False)
+
+    print("== IVF drift repair: moved cells + what the retrain bought ==")
+    q["x_ivf_retrain"].spark(spark, sf_dir).show(10, truncate=False)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
