@@ -605,3 +605,45 @@ def test_stream_select_corpus_batching_independent(spark):
         ss.STREAM_SEL_SRC_FILES = prev
     assert [tuple(r) for r in one] == [tuple(r) for r in seven]
     assert len(one) > 0
+
+
+def test_stream_lsh_cadence_bounds_live_files(spark):
+    """In-stream cadence compaction: the per-trigger count of live
+    per-batch band files never exceeds cadence + 1 (the bound the
+    cadence maintains over an UNBOUNDED stream), exactly one epoch
+    of each kind remains at close, and the graded pair set equals
+    the uncompacted maintain op's."""
+    import os
+
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_LSH_SRC_FILES
+    try:
+        ss.STREAM_LSH_SRC_FILES = 6  # enough triggers to compact twice
+        statedir, live_counts = ss._lsh_cadence_state(spark, sf, 2)
+        want = sorted(
+            (r["a"], r["b"])
+            for r in ss.x_stream_lsh_maintain(spark, sf).collect()
+        )
+    finally:
+        ss.STREAM_LSH_SRC_FILES = prev
+    assert len(live_counts) >= 6
+    assert max(live_counts) <= 3  # cadence 2 -> at most 2 old + 1 live
+    names = sorted(os.listdir(statedir))
+    assert len([n for n in names if n.startswith("bands_epoch")]) == 1
+    assert len([n for n in names if n.startswith("pairs_epoch")]) == 1
+    got = sorted(
+        (r["a"], r["b"])
+        for r in spark.read.parquet(
+            *[
+                os.path.join(statedir, d)
+                for d in names
+                if d.startswith("pairs_")
+            ]
+        )
+        .distinct()
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0

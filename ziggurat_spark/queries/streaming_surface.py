@@ -3477,3 +3477,169 @@ def x_stream_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return _dsir_budget_grade(dd.localCheckpoint())
+
+
+#: fold committed history into the epoch every K committed batches
+STREAM_LSH_CADENCE = 2
+
+
+def _lsh_cadence_state(
+    spark: SparkSession, sf: str, cadence: int
+) -> tuple[str, list]:
+    """The LSH epoch compaction run ON CADENCE, inside the stream:
+    before each trigger's fold, if ``cadence`` or more per-batch band
+    files from STRICTLY OLDER batches exist, they fold (together with
+    the current epoch) into a fresh epoch directory and the old files
+    are deleted. Only strictly-older batch ids are folded — a crash
+    replay re-delivers the newest batch, whose partial files must
+    stay keyed so its rewrite lands in place, never in the epoch.
+    The epoch is written to a NEW versioned dir (epoch_v{bid}) and
+    the previous epoch is deleted after — Spark cannot overwrite a
+    directory it is lazily reading. Returns (statedir, epoch_history)
+    where epoch_history records the per-trigger count of live
+    per-batch band files (the bound the cadence maintains)."""
+    import shutil as _sh
+
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = tempfile.mkdtemp(prefix="zs_stream_lshcad_")
+    docs.select("doc_id", "text").repartition(
+        STREAM_LSH_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    statedir = tempfile.mkdtemp(prefix="zs_stream_lshcad_state_")
+    fold = _lsh_fold(spark, statedir)
+    probe: dict = {}
+    live_counts: list = []
+
+    def _compact(current_bid: int) -> None:
+        olds = sorted(
+            d
+            for d in os.listdir(statedir)
+            if d.startswith("bands_b")
+            and int(d[len("bands_b") :]) < current_bid
+        )
+        if len(olds) < cadence:
+            return
+        old_bids = [int(d[len("bands_b") :]) for d in olds]
+        epochs = sorted(
+            d for d in os.listdir(statedir) if d.startswith("bands_epoch")
+        )
+        band_srcs = [os.path.join(statedir, d) for d in olds + epochs]
+        pair_srcs = [
+            os.path.join(statedir, f"pairs_b{b}") for b in old_bids
+        ] + [
+            os.path.join(statedir, d)
+            for d in os.listdir(statedir)
+            if d.startswith("pairs_epoch")
+        ]
+        new_b = os.path.join(statedir, f"bands_epoch_v{current_bid}")
+        new_p = os.path.join(statedir, f"pairs_epoch_v{current_bid}")
+        spark.read.parquet(*band_srcs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(new_b)
+        spark.read.parquet(*pair_srcs).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(new_p)
+        for b in old_bids:
+            _sh.rmtree(os.path.join(statedir, f"bands_b{b}"))
+            _sh.rmtree(os.path.join(statedir, f"pairs_b{b}"))
+        for d in epochs:
+            _sh.rmtree(os.path.join(statedir, d))
+        for d in list(os.listdir(statedir)):
+            if d.startswith("pairs_epoch") and os.path.join(
+                statedir, d
+            ) != new_p:
+                _sh.rmtree(os.path.join(statedir, d))
+
+    def _fold(b, bid):
+        _compact(bid)
+        fold(b, bid)
+        live_counts.append(
+            len(
+                [
+                    d
+                    for d in os.listdir(statedir)
+                    if d.startswith("bands_b")
+                ]
+            )
+        )
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(statedir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery of the FIRST batch: if its bands were folded
+    # into an epoch, a replay through the same fold would be a new
+    # "batch" — the engine never replays committed offsets, so the
+    # legitimate replay target is the NEWEST batch; re-deliver it
+    last = max(
+        int(d[len("bands_b") :])
+        for d in os.listdir(statedir)
+        if d.startswith("bands_b")
+    )
+    # the newest batch's raw input is not retained separately here;
+    # re-deliver the probe batch ONLY if it is still keyed (i.e. was
+    # never compacted) — otherwise replay the newest via its keyed
+    # rewrite being a no-op by construction (covered by
+    # x_stream_lsh_compact's explicit replay)
+    if probe["bid"] == last:
+        replayed = spark.read.parquet(
+            os.path.join(statedir, "probe_input")
+        )
+        _fold(replayed, probe["bid"])
+    return statedir, live_counts
+
+
+@register(
+    "x_stream_lsh_cadence",
+    oracle=_lsh_maintain_oracle(),
+    doc=(
+        "The LSH epoch compaction run ON CADENCE inside the live "
+        "stream (x_stream_lsh_compact proves the fold once at "
+        "close; this op proves the production loop): every 2 "
+        "committed batches, their band/pair files fold together "
+        "with the standing epoch into a fresh epoch directory and "
+        "the superseded files are deleted — WHILE later triggers "
+        "keep arriving and probing. Only strictly-older batch ids "
+        "fold (a crash replay re-delivers the newest batch, whose "
+        "keyed files must stay rewritable in place); the epoch "
+        "writes to a new versioned dir because Spark cannot "
+        "overwrite a directory it lazily reads. The per-trigger "
+        "live-file count is bounded by the cadence (asserted in "
+        "tests/test_stateful.py), so history listing/probe I/O is "
+        "O(1) per trigger over an unbounded stream. Graded: the "
+        "pair set still equals the one-shot batch LSH candidate "
+        "set exactly — same oracle as x_minhash_lsh_pairs."
+    ),
+    tags=("streaming", "dedup", "lsh", "recovery"),
+)
+@_sized_state
+def x_stream_lsh_cadence(spark: SparkSession, sf: str) -> DataFrame:
+    statedir, _ = _lsh_cadence_state(spark, sf, STREAM_LSH_CADENCE)
+    pair_dirs = [
+        os.path.join(statedir, d)
+        for d in sorted(os.listdir(statedir))
+        if d.startswith("pairs_")
+    ]
+    return (
+        spark.read.parquet(*pair_dirs)
+        .distinct()
+        .orderBy("a", "b")
+    )
