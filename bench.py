@@ -33,6 +33,43 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+#: fixed host-drift canaries: trivial, long-untouched queries whose
+#: plans never change round-to-round — the median ratio of THEIR
+#: timings vs the previous committed record measures pure host drift,
+#: so a judge can separate "host was loaded" from "code regressed"
+#: mechanically (round-6 judge #6). Keep this set stable.
+CANARY_QUERIES = (
+    "z01_scan_project",
+    "z03_predicate_combo",
+    "z04_string_fns",
+    "z05_date_fns",
+    "x_codec_functions",
+)
+
+
+def canary_median_ratio(
+    timings: dict[str, float], prev_full_path: str
+) -> float | None:
+    """Median over CANARY_QUERIES of (this record's median / previous
+    committed record's median). ~1.0 = comparable host; uniform 1.3 =
+    the host drifted 30% and per-query comparisons should be
+    normalized by it. None when no prior record (or no overlap)
+    exists."""
+    try:
+        with open(prev_full_path) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return None
+    ratios = [
+        timings[c] / prev[c]
+        for c in CANARY_QUERIES
+        if c in timings and prev.get(c)
+    ]
+    if not ratios:
+        return None
+    return round(statistics.median(ratios), 4)
+
+
 def _loadavg() -> list[float] | None:
     """1/5/15-minute load averages, or None where /proc is absent."""
     try:
@@ -49,6 +86,7 @@ def build_summary(
     stream_rps: float,
     pump_s: float,
     byte_budget: int = 1700,
+    canary_ratio: float | None = None,
 ) -> dict:
     """Compact stdout summary: stats + as many of the slowest queries
     as fit ``byte_budget`` when JSON-encoded. The invoking harness
@@ -70,6 +108,7 @@ def build_summary(
         "p90_s": round(vals[int(len(vals) * 0.9)], 3) if vals else None,
         "stream_pipeline_records_per_s": stream_rps,
         "retry_pump_redelivery_s": pump_s,
+        "canary_median_ratio": canary_ratio,
         "detail": "BENCH_FULL.json",
         "queries": {},
     }
@@ -182,6 +221,12 @@ def main() -> None:
     stream_rps = round(n_events / stream_wall, 1)
     pump_s = round(pump_wall, 4)
 
+    # host-drift canary vs the PREVIOUS committed record — computed
+    # before the file below overwrites it
+    canary_ratio = canary_median_ratio(
+        timings, os.path.join(REPO, "BENCH_FULL.json")
+    )
+
     # Complete per-query map → file (the invoking harness truncates
     # stdout, so the full detail lives here). "queries" keeps the
     # median (the graded number); min and the raw passes ride along
@@ -203,11 +248,20 @@ def main() -> None:
         "stream_pipeline_records_per_s": stream_rps,
         "retry_pump_redelivery_s": pump_s,
         "pass_markers": pass_markers,
+        "canary_median_ratio": canary_ratio,
+        "canary_queries": list(CANARY_QUERIES),
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    print(json.dumps(build_summary(timings, total, sf, stream_rps, pump_s)))
+    print(
+        json.dumps(
+            build_summary(
+                timings, total, sf, stream_rps, pump_s,
+                canary_ratio=canary_ratio,
+            )
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -82,6 +82,43 @@ def test_bench_summary_stats_present():
         "p90_s",
         "stream_pipeline_records_per_s",
         "retry_pump_redelivery_s",
+        "canary_median_ratio",
         "detail",
     ):
         assert key in s, key
+
+
+def test_bench_canary_ratio_vs_previous_record(tmp_path):
+    """canary_median_ratio = median over the FIXED canary set of
+    (current median / previous committed median): ~1.0 on a stable
+    host, the drift factor otherwise; None when no prior record or
+    no canary overlap exists (first round, renamed file)."""
+    import json as _json
+
+    from bench import CANARY_QUERIES, canary_median_ratio
+
+    prev = tmp_path / "BENCH_FULL.json"
+    prev.write_text(
+        _json.dumps({"queries": {c: 0.5 for c in CANARY_QUERIES}})
+    )
+    now = {c: 0.6 for c in CANARY_QUERIES}
+    assert canary_median_ratio(now, str(prev)) == 1.2
+    # canaries must be real registered queries (set stays meaningful)
+    from ziggurat_spark.queries import all_queries
+
+    specs = all_queries()
+    for c in CANARY_QUERIES:
+        assert c in specs, c
+    # degraded paths: missing file / empty overlap -> None
+    assert canary_median_ratio(now, str(tmp_path / "nope.json")) is None
+    prev.write_text(_json.dumps({"queries": {"other": 1.0}}))
+    assert canary_median_ratio(now, str(prev)) is None
+
+
+def test_bench_canary_set_is_stable_trivials():
+    # the canary set exists to measure HOST drift: 5 fixed names,
+    # all trivial scan/function queries untouched since early rounds
+    from bench import CANARY_QUERIES
+
+    assert len(CANARY_QUERIES) == 5
+    assert len(set(CANARY_QUERIES)) == 5

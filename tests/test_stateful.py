@@ -647,3 +647,112 @@ def test_stream_lsh_cadence_bounds_live_files(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_ann_maintain_degrade_mirrors_oracle(spark, tmp_path):
+    """When vec_id 0 is absent the serve path degrades to the
+    cells-only audit — and the ORACLE degrades identically (its q0
+    CTE is empty, so the topk UNION branch contributes no rows): a
+    triggered degrade grades green instead of quietly failing with
+    missing rows (round-6 ADVICE)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ziggurat_spark.oracle import check_query, duck_connection
+    from ziggurat_spark.tables import TABLES
+
+    src = "/root/testdata/sf0.001"
+    base = str(tmp_path / "novec0")
+    os.makedirs(base)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(
+                os.path.join(src, f"{t}.parquet"),
+                os.path.join(base, f"{t}.parquet"),
+            )
+    # vec 0 ABSENT; centroids (vec_id % 97 == 0) still exist
+    ids = list(range(1, 61)) + [97, 194]
+    embs = []
+    for i in ids:
+        v = [0.0] * 8
+        v[i % 3] = 0.5 + (i % 40) / 100.0
+        embs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    embs, pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [i % 3 for i in ids], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(base, "embeddings.parquet"),
+    )
+    con = duck_connection(base)
+    res = check_query(spark, con, "x_stream_ann_maintain", base)
+    assert res.ok, res.detail
+    assert res.spark_rows > 0  # cells rows — degrade, not empty
+
+
+def test_star_components_raises_on_unverified_cap(spark, monkeypatch):
+    """Exhausting CC_STAR_CAP without an exactly-verified fixed point
+    raises instead of returning a non-star edge set (round-6 ADVICE:
+    a fingerprint collision or adversarial graph must not silently
+    emit wrong components)."""
+    import pytest as _pytest
+
+    from ziggurat_spark.queries import dedup
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    monkeypatch.setattr(dedup, "CC_STAR_CAP", 0)
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        dedup._star_components(spark, df)
+    # and with the real cap the same graph converges + verifies
+    monkeypatch.setattr(dedup, "CC_STAR_CAP", 20)
+    got = {
+        (r["a"], r["b"])
+        for r in dedup._star_components(spark, df).collect()
+    }
+    assert got == {(i, 0) for i in range(1, 7)}
+
+
+def test_qdot_arrow_twin_propagates_nulls(spark):
+    """qdot_int_udf must agree with the interpreted
+    aggregate(zip_with(...)) spelling on the FULL input domain:
+    NULL arrays yield NULL (not an np.vstack crash failing the
+    Arrow batch) — the ANN_DOT_ARROW flip is safe even on paths
+    that can see a null embedding (round-6 ADVICE)."""
+    from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+
+    rows = [
+        (1, [1, 2, 3], [4, 5, 6]),
+        (2, None, [1, 1, 1]),
+        (3, [2, 2, 2], None),
+        (4, None, None),
+        (5, [10, 0, -3], [7, 9, 2]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<bigint>, b array<bigint>"
+    )
+    interp = F.expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    got = {
+        r["id"]: (r["arrow"], r["interp"])
+        for r in df.select(
+            "id",
+            qdot_int_udf()(F.col("a"), F.col("b")).alias("arrow"),
+            interp.alias("interp"),
+        ).collect()
+    }
+    for i in (1, 2, 3, 4, 5):
+        assert got[i][0] == got[i][1], (i, got[i])
+    assert got[1][0] == 32 and got[2][0] is None

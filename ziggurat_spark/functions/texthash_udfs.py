@@ -128,16 +128,32 @@ def qdot_int_udf():
     quantized-ANN family. Integer arithmetic is exact in any
     evaluation order, so parity with the DuckDB oracle is unaffected;
     vectorized over the Arrow batch (the interpreted lambda runs
-    row-at-a-time with no codegen — the round-3 bloom lesson)."""
+    row-at-a-time with no codegen — the round-3 bloom lesson).
+    Agrees with the interpreted spelling on the FULL input domain:
+    a NULL array on either side yields NULL (the interpreted lambda
+    propagates it) instead of crashing the Arrow batch in
+    np.vstack — so flipping ANN_DOT_ARROW into a path that can see
+    a null embedding degrades identically."""
     import numpy as np
 
     @F.pandas_udf("bigint")
     def qdot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="int64")
-        A = np.vstack([np.asarray(v, dtype=np.int64) for v in a])
-        B = np.vstack([np.asarray(v, dtype=np.int64) for v in b])
-        return pd.Series((A * B).sum(axis=1))
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="Int64")
+        mask = np.array(
+            [x is not None and y is not None for x, y in zip(a, b)]
+        )
+        out = pd.array([pd.NA] * n, dtype="Int64")
+        if mask.any():
+            A = np.vstack(
+                [np.asarray(v, dtype=np.int64) for v in a[mask]]
+            )
+            B = np.vstack(
+                [np.asarray(v, dtype=np.int64) for v in b[mask]]
+            )
+            out[mask] = (A * B).sum(axis=1)
+        return pd.Series(out)
 
     return qdot
 

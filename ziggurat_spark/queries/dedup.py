@@ -1596,7 +1596,10 @@ def _mm_salted_candidates(bands: DataFrame, cap: int) -> DataFrame:
     (band, bucket, gi, gj) — every unordered pair meets in exactly
     ONE group-pair key (x from the lower group, y from the higher;
     asset_id order inside the diagonal key), and each key holds
-    ≤ cap rows per side. Cold buckets get g = 1: the plain join.
+    O(cap) EXPECTED rows per side (xxhash64 group assignment bounds
+    the per-group count in expectation, not worst case — the drill
+    asserts ≤ 2·cap; a hard bound would need a row_number salt).
+    Cold buckets get g = 1: the plain join.
     Pair set ≡ the unsalted bucket join (pinned in
     tests/test_skew_corpus.py)."""
     from pyspark.sql.window import Window as W
@@ -1840,8 +1843,16 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     unchanged), capped at CC_STAR_CAP alternations; returns the
     final star edge set (node → component minimum). Per alternation:
     four keyed shuffles and one 2-integer driver sync (count +
-    id-sum fingerprint — the convergence test), lineage cut per
-    round."""
+    id-sum fingerprint — the cheap convergence screen). A
+    fingerprint MATCH is then verified EXACTLY (two exceptAll
+    emptiness probes between the candidate fixed point and its
+    predecessor — at a true fixed point the frames are identical,
+    so this costs one pair of set differences exactly once); a
+    collision keeps iterating instead of silently returning a
+    non-star edge set. Exhausting the cap without a verified fixed
+    point raises rather than emitting wrong components (the paper
+    bounds alternations at O(log² n); the cap exists for
+    adversarial inputs, not as a silent truncation)."""
     e = pairs.select("a", "b").filter(
         F.col("a") != F.col("b")
     ).distinct().localCheckpoint()
@@ -1857,12 +1868,25 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 
     prev = fingerprint(e)
     for _ in range(CC_STAR_CAP):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = fingerprint(e)
         if cur == prev:
-            break
+            # exact verification of the screened fixed point: the
+            # fingerprint is a 2-int summary and COULD collide
+            if (
+                e.exceptAll(prev_e).isEmpty()
+                and prev_e.exceptAll(e).isEmpty()
+            ):
+                prev_e.unpersist()
+                return e
         prev = cur
-    return e
+        prev_e.unpersist()
+    raise RuntimeError(
+        f"star alternation did not reach a verified fixed point in "
+        f"{CC_STAR_CAP} rounds — raising instead of returning a "
+        f"non-star edge set"
+    )
 
 
 @register(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.tables import load_table
 
 _K = 4
@@ -581,11 +582,10 @@ def _lpa_conv_oracle(cap: int) -> str:
     tags=("clustering", "graph", "iterative"),
 )
 def x_label_propagation_converged(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
 
     from ziggurat_spark.queries.similarity import _mutual_knn_graph
 
-    edge_dir = tempfile.mkdtemp(prefix="zs_lpa_edges_")
+    edge_dir = scratch_dir("zs_lpa_edges_")
     _symmetric_edges(
         _mutual_knn_graph(spark, sf).select("a", "b")
     ).write.mode("overwrite").parquet(edge_dir)

@@ -28,6 +28,7 @@ import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.functions.middleware import (
     poison_split,
     protobuf_key_value_py,
@@ -497,7 +498,6 @@ def x_proto_poison_shunt(spark: SparkSession, sf: str) -> DataFrame:
     tags=("protobuf", "routing", "pipeline"),
 )
 def x_route_proto_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
 
     from ziggurat_spark.envelope import ensure_envelope
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
@@ -519,7 +519,7 @@ def x_route_proto_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .when(p["id"] % 3 == 0, "skip")
         .otherwise("success"),
     )
-    workdir = tempfile.mkdtemp(prefix="zs_proto_route_")
+    workdir = scratch_dir("zs_proto_route_")
     engine = ZigguratEngine(spark, workdir, app_name="proto_route_query")
     engine.register_route(
         Route(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.functions.backoff import backoff_ms_expr
+from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.operators.routing import outcome_expr, retry_step_exprs
 from ziggurat_spark.queries.registry import register
 from ziggurat_spark.tables import load_table
@@ -189,12 +190,11 @@ def x_route_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 )
 @_sized_state
 def x_deadset_replay(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
 
     from ziggurat_spark.queries.streaming_surface import _stream_events
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
 
-    workdir = tempfile.mkdtemp(prefix="zs_deadset_replay_")
+    workdir = scratch_dir("zs_deadset_replay_")
     engine = ZigguratEngine(spark, workdir, app_name="deadset_replay_query")
     route = Route(
         name="replay_route",
@@ -278,14 +278,13 @@ def x_deadset_replay(spark: SparkSession, sf: str) -> DataFrame:
 )
 @_sized_state
 def x_deadset_replay_channel(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
 
     from ziggurat_spark.queries.streaming_surface import _stream_events
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
     from ziggurat_spark.streaming.ops_server import OpsServer
     from ziggurat_spark.streaming.retry_fabric import RetryConfig
 
-    workdir = tempfile.mkdtemp(prefix="zs_deadset_replay_ch_")
+    workdir = scratch_dir("zs_deadset_replay_ch_")
     engine = ZigguratEngine(spark, workdir, app_name="deadset_replay_ch_query")
     delivered = {"n": 0}
     phase = {"replay": False}
@@ -391,13 +390,12 @@ def x_deadset_replay_channel(spark: SparkSession, sf: str) -> DataFrame:
 )
 @_sized_state
 def x_retry_pump(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
     from datetime import datetime, timedelta, timezone
 
     from ziggurat_spark.queries.streaming_surface import _stream_events
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
 
-    workdir = tempfile.mkdtemp(prefix="zs_retry_pump_")
+    workdir = scratch_dir("zs_retry_pump_")
     engine = ZigguratEngine(spark, workdir, app_name="retry_pump_query")
     route = Route(
         name="pump_route",

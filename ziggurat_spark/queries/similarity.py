@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.tables import load_table
 
 N_QUERIES = 5
@@ -1217,14 +1218,13 @@ def _ivf_retrain_oracle() -> str:
     tags=("similarity", "ann", "iterative", "recovery"),
 )
 def x_ivf_retrain(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
 
     from pyspark.sql.window import Window as W
 
     from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
 
     emb = load_table(spark, sf, "embeddings", fan_out=True)
-    workdir = tempfile.mkdtemp(prefix="zs_ivf_retrain_")
+    workdir = scratch_dir("zs_ivf_retrain_")
     _, a1, _ = _ivf_retrain_state(spark, workdir, emb)
 
     moved = (

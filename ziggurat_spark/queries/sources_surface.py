@@ -20,12 +20,12 @@ plan writes one file per task with no driver involvement.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.tables import load_table
 
 _AGG_ORACLE = (
@@ -77,7 +77,7 @@ _RT_SCHEMA = "event_id BIGINT, event_type STRING, v100 BIGINT, ts_iso STRING"
 def x_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # the temp dir outlives the call — the returned plan reads from it
     # lazily (no collect/createDataFrame: the result stays JVM-side)
-    out = tempfile.mkdtemp(prefix="zs_csv_rt_")
+    out = scratch_dir("zs_csv_rt_")
     path = os.path.join(out, "events_csv")
     _projected(spark, sf).write.mode("overwrite").option("header", "true").csv(
         path
@@ -99,7 +99,7 @@ def x_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "json"),
 )
 def x_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_json_rt_")
+    out = scratch_dir("zs_json_rt_")
     path = os.path.join(out, "events_json")
     _projected(spark, sf).write.mode("overwrite").json(path)
     back = spark.read.schema(_RT_SCHEMA).json(path)
@@ -120,7 +120,7 @@ def x_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "orc"),
 )
 def x_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_orc_rt_")
+    out = scratch_dir("zs_orc_rt_")
     path = os.path.join(out, "events_orc")
     _projected(spark, sf).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -149,7 +149,7 @@ def x_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "partitioning", "pushdown"),
 )
 def x_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_part_prune_")
+    out = scratch_dir("zs_part_prune_")
     path = os.path.join(out, "events_by_type")
     load_table(spark, sf, "events").select(
         "event_id",
@@ -187,7 +187,7 @@ def x_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "text"),
 )
 def x_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_text_rt_")
+    out = scratch_dir("zs_text_rt_")
     path = os.path.join(out, "docs_text")
     load_table(spark, sf, "documents").select("text").write.mode(
         "overwrite"
@@ -215,7 +215,7 @@ def x_text_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "xml"),
 )
 def x_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_xml_rt_")
+    out = scratch_dir("zs_xml_rt_")
     path = os.path.join(out, "events_xml")
     _projected(spark, sf).write.mode("overwrite").format("xml").option(
         "rowTag", "event"
@@ -261,7 +261,7 @@ def x_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "csv", "poison"),
 )
 def x_csv_permissive_corrupt(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_csv_perm_") + "/data"
+    out = scratch_dir("zs_csv_perm_") + "/data"
     e = load_table(spark, sf, "events")
     line = F.concat_ws(
         ",",
@@ -323,7 +323,7 @@ def x_binary_file_source(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("doc_id") % 50 == 0)
         .select("doc_id", "text")
     )
-    out = tempfile.mkdtemp(prefix="zs_binsrc_")
+    out = scratch_dir("zs_binsrc_")
     for row in d.collect():  # scaffolding: materialize test assets
         with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as fh:
             fh.write(row["text"].encode("utf-8"))
@@ -367,7 +367,7 @@ def x_binary_file_source(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "layout", "compaction"),
 )
 def x_small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="zs_compact_")
+    base = scratch_dir("zs_compact_")
     tiny, packed = base + "/tiny", base + "/packed"
     e = load_table(spark, sf, "events").select(
         "event_id",
@@ -432,7 +432,7 @@ def x_small_file_compaction(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "parquet", "schema-evolution"),
 )
 def x_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_mergeschema_") + "/data"
+    out = scratch_dir("zs_mergeschema_") + "/data"
     e = load_table(spark, sf, "events")
     old = e.where(F.col("event_id") % 2 == 0).select(
         "event_id",
@@ -479,7 +479,7 @@ def x_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "json", "poison"),
 )
 def x_json_permissive_corrupt(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_json_perm_") + "/data"
+    out = scratch_dir("zs_json_perm_") + "/data"
     e = load_table(spark, sf, "events")
     line = F.when(
         F.col("event_id") % 89 == 0,
@@ -539,7 +539,7 @@ def x_json_permissive_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     tags=("sources", "csv", "quoting"),
 )
 def x_csv_quoted_multiline(spark: SparkSession, sf: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="zs_csv_quote_") + "/data"
+    out = scratch_dir("zs_csv_quote_") + "/data"
     e = load_table(spark, sf, "events")
     # newline kept interior: the CSV writer's default
     # ignoreTrailingWhiteSpace would trim a trailing one

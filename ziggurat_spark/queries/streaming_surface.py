@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.tables import _nanos_ts_columns, ensure_runtime_confs
 
 
@@ -150,7 +151,7 @@ def x_stream_route_outcomes(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.operators.routing import outcome_expr
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
 
-    workdir = tempfile.mkdtemp(prefix="zs_stream_route_")
+    workdir = scratch_dir("zs_stream_route_")
     engine = ZigguratEngine(spark, workdir, app_name="stream_route_query")
     route = Route(
         name="stream_route",
@@ -650,7 +651,7 @@ def _events_split_dir(spark: SparkSession, sf: str, n: int) -> str:
     bounded batches (S3, consumer_handler.clj:98-115)."""
     from ziggurat_spark.tables import load_table
 
-    out = tempfile.mkdtemp(prefix="zs_stream_split_")
+    out = scratch_dir("zs_stream_split_")
     load_table(spark, sf, "events").repartition(n).write.mode(
         "overwrite"
     ).parquet(out)
@@ -685,7 +686,7 @@ def x_stream_max_poll_batches(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    stats_dir = tempfile.mkdtemp(prefix="zs_stream_poll_") + "/stats"
+    stats_dir = scratch_dir("zs_stream_poll_") + "/stats"
 
     def bookkeep(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.groupBy().agg(F.count("*").alias("n")).withColumn(
@@ -795,7 +796,7 @@ def x_stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    workdir = tempfile.mkdtemp(prefix="zs_stream_upsert_")
+    workdir = scratch_dir("zs_stream_upsert_")
     n_buckets = 8
     state: dict[int, str] = {}  # key-bucket -> current directory
 
@@ -935,7 +936,7 @@ def x_stream_upsert_keyed(spark: SparkSession, sf: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out_dir = tempfile.mkdtemp(prefix="zs_stream_upsertk_") + "/log"
+    out_dir = scratch_dir("zs_stream_upsertk_") + "/log"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             upserts.writeStream.outputMode("update")
@@ -1004,12 +1005,12 @@ def x_stream_poison_shunt(spark: SparkSession, sf: str) -> DataFrame:
             "UTF-8",
         ).alias("value"),
     )
-    src_dir = tempfile.mkdtemp(prefix="zs_poison_src_")
+    src_dir = scratch_dir("zs_poison_src_")
     src.write.mode("overwrite").parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
-    out_root = tempfile.mkdtemp(prefix="zs_poison_out_")
+    out_root = scratch_dir("zs_poison_out_")
     dead_dir = os.path.join(out_root, "dead")
     stats_dir = os.path.join(out_root, "stats")
     mw = json_value(schema="k INT")
@@ -1072,8 +1073,8 @@ def x_stream_poison_shunt(spark: SparkSession, sf: str) -> DataFrame:
 def x_stream_channel_fanout(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.streaming.engine import Route, ZigguratEngine
 
-    workdir = tempfile.mkdtemp(prefix="zs_chan_")
-    out_root = tempfile.mkdtemp(prefix="zs_chan_out_")
+    workdir = scratch_dir("zs_chan_")
+    out_root = scratch_dir("zs_chan_out_")
 
     def sink(name: str):
         d = os.path.join(out_root, name)
@@ -1134,7 +1135,7 @@ def x_stream_channel_fanout(spark: SparkSession, sf: str) -> DataFrame:
 def x_stream_exactly_once_restart(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = _events_split_dir(spark, sf, 4)
     schema = spark.read.parquet(src_dir).schema
-    workdir = tempfile.mkdtemp(prefix="zs_stream_restart_")
+    workdir = scratch_dir("zs_stream_restart_")
     ckpt = os.path.join(workdir, "ck")
     stats_dir = os.path.join(workdir, "stats")
 
@@ -1204,7 +1205,7 @@ def x_stream_window_finalize(spark: SparkSession, sf: str) -> DataFrame:
     ).first()
     mid = (lo_us + hi_us) // 2
 
-    src = tempfile.mkdtemp(prefix="zs_stream_fin_") + "/src"
+    src = scratch_dir("zs_stream_fin_") + "/src"
     e.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(src)
     before = set(os.listdir(src))
     e.where(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
@@ -1232,7 +1233,7 @@ def x_stream_window_finalize(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count("*").alias("n"))
     )
-    out_dir = tempfile.mkdtemp(prefix="zs_stream_fin_out_") + "/emitted"
+    out_dir = scratch_dir("zs_stream_fin_out_") + "/emitted"
 
     def capture(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.select(
@@ -1369,7 +1370,7 @@ def x_stream_listener_metrics(spark: SparkSession, sf: str) -> DataFrame:
 def x_stream_state_recovery(spark: SparkSession, sf: str) -> DataFrame:
     src_all = _events_split_dir(spark, sf, 4)
     schema = spark.read.parquet(src_all).schema
-    workdir = tempfile.mkdtemp(prefix="zs_stream_recov_")
+    workdir = scratch_dir("zs_stream_recov_")
     src = os.path.join(workdir, "src")
     ckpt = os.path.join(workdir, "ck")
     out_dir = os.path.join(workdir, "upd")
@@ -1470,7 +1471,7 @@ def x_stream_dedup_historic(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.md5("text").alias("h"))
         .distinct()
     )
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_histdedup_")
+    src_dir = scratch_dir("zs_stream_histdedup_")
     docs.filter(F.col("doc_id") >= 250).select(
         "doc_id", F.md5("text").alias("h")
     ).repartition(4).write.mode("overwrite").parquet(src_dir)
@@ -1554,7 +1555,7 @@ def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    base = tempfile.mkdtemp(prefix="zs_histdedup_loop_")
+    base = scratch_dir("zs_histdedup_loop_")
     src = os.path.join(base, "incoming")
     hist_dir = os.path.join(base, "hist")
     out_dir = os.path.join(base, "fresh")
@@ -1738,7 +1739,7 @@ def x_stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
         .select("w", F.lit(1).alias("in_vocab"))
         .localCheckpoint()
     )
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_qgate_")
+    src_dir = scratch_dir("zs_stream_qgate_")
     docs.filter(F.col("doc_id") >= 250).select(
         "doc_id", "text"
     ).repartition(4).write.mode("overwrite").parquet(src_dir)
@@ -1819,7 +1820,7 @@ def x_stream_mixture_monitor(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_mixmon_")
+    src_dir = scratch_dir("zs_stream_mixmon_")
     docs.select("doc_id", "source", "text").repartition(4).write.mode(
         "overwrite"
     ).parquet(src_dir)
@@ -1901,7 +1902,7 @@ def x_stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     k = 5
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_bottomk_")
+    src_dir = scratch_dir("zs_stream_bottomk_")
     docs.select("doc_id", "source").repartition(4).write.mode(
         "overwrite"
     ).parquet(src_dir)
@@ -1911,7 +1912,7 @@ def x_stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    workdir = tempfile.mkdtemp(prefix="zs_stream_bottomk_state_")
+    workdir = scratch_dir("zs_stream_bottomk_state_")
     state = {"path": None, "v": 0}
     w = W.partitionBy("source").orderBy("hk", "doc_id")
 
@@ -2004,7 +2005,7 @@ def x_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # frozen eval reference, loaded once
     )
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_decon_")
+    src_dir = scratch_dir("zs_stream_decon_")
     docs.filter(F.col("doc_id") % 50 != 0).select(
         "doc_id", "text"
     ).repartition(4).write.mode("overwrite").parquet(src_dir)
@@ -2091,7 +2092,7 @@ def x_stream_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_pii_")
+    src_dir = scratch_dir("zs_stream_pii_")
     docs.select("doc_id", "text").repartition(4).write.mode(
         "overwrite"
     ).parquet(src_dir)
@@ -2353,7 +2354,7 @@ def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_budget_")
+    src_dir = scratch_dir("zs_stream_budget_")
     docs.select(
         "doc_id",
         "source",
@@ -2369,7 +2370,7 @@ def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    workdir = tempfile.mkdtemp(prefix="zs_stream_budget_state_")
+    workdir = scratch_dir("zs_stream_budget_state_")
     state = {"path": None, "v": 0}
     _fold = _budget_fold(spark, workdir, state)
 
@@ -2412,7 +2413,7 @@ def x_stream_budget_restart(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    base = tempfile.mkdtemp(prefix="zs_stream_budget_restart_")
+    base = scratch_dir("zs_stream_budget_restart_")
     src = os.path.join(base, "incoming")
     stage = os.path.join(base, "stage")
     os.makedirs(src)
@@ -2634,7 +2635,7 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     emb = load_table(spark, sf, "embeddings")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_ann_")
+    src_dir = scratch_dir("zs_stream_ann_")
     emb.select("vec_id", "embedding").repartition(
         ANN_MAINT_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -2654,7 +2655,7 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    workdir = tempfile.mkdtemp(prefix="zs_stream_ann_state_")
+    workdir = scratch_dir("zs_stream_ann_state_")
     state: dict = {}
 
     def _fold(b, bid):
@@ -2703,7 +2704,13 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
     if qcell is None or qcell not in state:
         # no query vector (vec_id 0 absent) or its cell was never
         # touched by the stream: degrade to the cells-only audit
-        # instead of crashing — siblings degrade the same way
+        # instead of crashing. The ORACLE degrades identically by
+        # construction: its q0 CTE is empty when vec_id 0 is absent,
+        # so the topk branch of the UNION contributes zero rows —
+        # a triggered degrade still grades green (pinned in
+        # tests/test_stateful.py::test_ann_maintain_degrade_
+        # mirrors_oracle on a vec-0-less corpus), it is not a
+        # quiet grading failure
         return cells_out.orderBy("kind", "k")
     cell_df = spark.read.parquet(state[qcell])
     q0 = cell_df.filter(F.col("vec_id") == 0).select(
@@ -2865,7 +2872,7 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_dsir_")
+    src_dir = scratch_dir("zs_stream_dsir_")
     docs.select("doc_id", "source", "text").repartition(
         STREAM_DSIR_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -2875,7 +2882,7 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    statedir = tempfile.mkdtemp(prefix="zs_stream_dsir_state_")
+    statedir = scratch_dir("zs_stream_dsir_state_")
     probe: dict = {}
 
     def _fold(b, bid):
@@ -2927,7 +2934,7 @@ def _dsir_compacted_state(spark: SparkSession, sf: str) -> tuple:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_dsirc_")
+    src_dir = scratch_dir("zs_stream_dsirc_")
     docs.select("doc_id", "source", "text").repartition(
         STREAM_DSIR_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -2937,7 +2944,7 @@ def _dsir_compacted_state(spark: SparkSession, sf: str) -> tuple:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    statedir = tempfile.mkdtemp(prefix="zs_stream_dsirc_state_")
+    statedir = scratch_dir("zs_stream_dsirc_state_")
     seen: dict = {}
 
     def _fold(b, bid):
@@ -3173,7 +3180,7 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_lsh_")
+    src_dir = scratch_dir("zs_stream_lsh_")
     docs.select("doc_id", "text").repartition(
         STREAM_LSH_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -3183,7 +3190,7 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    statedir = tempfile.mkdtemp(prefix="zs_stream_lsh_state_")
+    statedir = scratch_dir("zs_stream_lsh_state_")
     probe: dict = {}
     fold = _lsh_fold(spark, statedir)
 
@@ -3243,7 +3250,7 @@ def _lsh_compacted_state(spark: SparkSession, sf: str) -> str:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_lshc_")
+    src_dir = scratch_dir("zs_stream_lshc_")
     docs.select("doc_id", "text").repartition(
         STREAM_LSH_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -3253,7 +3260,7 @@ def _lsh_compacted_state(spark: SparkSession, sf: str) -> str:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    statedir = tempfile.mkdtemp(prefix="zs_stream_lshc_state_")
+    statedir = scratch_dir("zs_stream_lshc_state_")
     seen: dict = {}
     fold = _lsh_fold(spark, statedir)
 
@@ -3415,7 +3422,7 @@ def x_stream_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_sel_")
+    src_dir = scratch_dir("zs_stream_sel_")
     docs.select("doc_id", "source", "text").repartition(
         STREAM_SEL_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -3425,7 +3432,7 @@ def x_stream_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    workdir = tempfile.mkdtemp(prefix="zs_stream_sel_state_")
+    workdir = scratch_dir("zs_stream_sel_state_")
     state: dict = {}
     probe: dict = {}
 
@@ -3503,7 +3510,7 @@ def _lsh_cadence_state(
     from ziggurat_spark.tables import load_table
 
     docs = load_table(spark, sf, "documents")
-    src_dir = tempfile.mkdtemp(prefix="zs_stream_lshcad_")
+    src_dir = scratch_dir("zs_stream_lshcad_")
     docs.select("doc_id", "text").repartition(
         STREAM_LSH_SRC_FILES
     ).write.mode("overwrite").parquet(src_dir)
@@ -3513,7 +3520,7 @@ def _lsh_cadence_state(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    statedir = tempfile.mkdtemp(prefix="zs_stream_lshcad_state_")
+    statedir = scratch_dir("zs_stream_lshcad_state_")
     fold = _lsh_fold(spark, statedir)
     probe: dict = {}
     live_counts: list = []
