@@ -33,6 +33,8 @@ STATE_OPS = (
     "x_stream_ann_maintain",
     "x_stream_lsh_maintain",
     "x_stream_lsh_compact",
+    "x_stream_lsh_cadence",
+    "x_stream_select_corpus",
 )
 
 
@@ -54,14 +56,28 @@ def skew_sf(spark, tmp_path_factory):
                 os.path.join(base, f"{t}.parquet"),
             )
 
-    boiler = " ".join(f"tok{i % 7}" for i in range(30))
+    # texts are built to PASS the quality-classifier gate (enough
+    # tokens, ~20% stopwords, ~5-char mean word length) so the
+    # select-corpus op exercises its state on this corpus too; doc
+    # 130 ("single") genuinely fails the gate
+    stops = ("the", "of", "and", "to", "in")
+    bwords = []
+    for i in range(150):
+        if i % 5 == 0:
+            bwords.append(stops[(i // 5) % 5])
+        else:
+            bwords.append(f"tok{i % 7}ws"[:6].ljust(5, "x"))
+    boiler = " ".join(bwords)
     docs = [(i, boiler, "en", "src0") for i in range(120)]
+    ustops = ("the", "is", "that", "with", "for")
     for i in range(120, 130):
+        uws = [f"w{i}x{j}word"[:6] for j in range(50)]
+        for k in range(0, 50, 5):
+            uws[k] = ustops[k // 5 % 5]
         docs.append(
             (
                 i,
-                f"unique document {i} "
-                + " ".join(f"w{i}x{j}" for j in range(12)),
+                f"unique document {i} " + " ".join(uws),
                 "en",
                 "src1" if i % 2 else "src2",
             )
@@ -257,3 +273,41 @@ def test_ann_upsert_hundredfold_hot_cell_batch(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(state[0]).collect()
     )
     assert vecs == sorted(list(range(100)) + [500, 501])
+
+
+def test_select_corpus_state_bounded_on_skewed_corpus(spark, skew_sf):
+    """The streamed selection-corpus state stays bounded under the
+    hot-source corpus (120 identical docs = ONE content hash): the
+    bucketed merge holds at most 16 bucket directories and exactly
+    one state row per DISTINCT surviving content hash — never one
+    per arrival (a naive append would hold 120 rows for the boiler
+    text)."""
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.queries.streaming_surface import (
+        _select_corpus_state,
+    )
+    from ziggurat_spark.queries.training_ops import (
+        QC_KEEP_MICRO,
+        _qc_feature_frame,
+    )
+    from ziggurat_spark.tables import load_table
+
+    state, _ = _select_corpus_state(spark, skew_sf)
+    assert 1 <= len(state) <= 16  # hash-bucket dirs, never O(batches)
+    rows = spark.read.parquet(*sorted(state.values()))
+    n_rows = rows.count()
+    docs = load_table(spark, skew_sf, "documents")
+    survivors = (
+        docs.join(
+            _qc_feature_frame(docs)
+            .filter(F.col("score_micro") >= QC_KEEP_MICRO)
+            .select("doc_id"),
+            "doc_id",
+        )
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert n_rows == survivors  # one row per distinct kept hash
+    assert n_rows < docs.count()  # the 120-dup hot text collapsed

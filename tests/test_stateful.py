@@ -438,11 +438,15 @@ def test_stream_dsir_compact_state_layout_bounded(spark):
 
 
 def test_stream_lsh_compact_state_layout_bounded(spark):
-    """After compaction the LSH state directory holds exactly ONE
-    epoch file per kind and ONE live keyed partial per kind — and
+    """After compaction the LSH state holds exactly ONE epoch
+    DIRECTORY per kind and ONE live keyed partial per kind — and
     nothing else (committed raw inputs are deleted too): state is
-    O(epochs + live batch), not O(batches). The compacted pair set
-    must equal the uncompacted op's."""
+    O(epochs + live batch), not O(batches). The bands epoch is a
+    partitionBy(band) directory written at parallelism — band=*
+    subdirectories, MULTIPLE data files overall — never one
+    coalesce(1) file carrying the O(corpus) band union (the
+    round-6 perf-weak item). The compacted pair set must equal the
+    uncompacted op's."""
     import os
 
     from ziggurat_spark.queries import streaming_surface as ss
@@ -459,6 +463,20 @@ def test_stream_lsh_compact_state_layout_bounded(spark):
     assert len([n for n in names if n.startswith("bands_b")]) == 1
     assert len([n for n in names if n.startswith("pairs_b")]) == 1
     assert len([n for n in names if n.startswith("input_b")]) == 1
+    # DIRECTORY-structure pin: the epoch is band-partitioned and
+    # multi-file (written by parallel tasks), not a single file
+    epoch = os.path.join(statedir, "bands_epoch_0")
+    band_dirs = [
+        d for d in sorted(os.listdir(epoch)) if d.startswith("band=")
+    ]
+    assert len(band_dirs) >= 2, band_dirs
+    epoch_files = [
+        f
+        for bd in band_dirs
+        for f in os.listdir(os.path.join(epoch, bd))
+        if f.endswith(".parquet")
+    ]
+    assert len(epoch_files) >= 2, epoch_files
     pair_dirs = [
         os.path.join(statedir, d)
         for d in names
@@ -607,21 +625,27 @@ def test_stream_select_corpus_batching_independent(spark):
     assert len(one) > 0
 
 
-def test_stream_lsh_cadence_bounds_live_files(spark):
-    """In-stream cadence compaction: the per-trigger count of live
-    per-batch band files never exceeds cadence + 1 (the bound the
-    cadence maintains over an UNBOUNDED stream), exactly one epoch
-    of each kind remains at close, and the graded pair set equals
-    the uncompacted maintain op's."""
+def test_stream_lsh_cadence_tiered_bounds(spark):
+    """Size-tiered in-stream compaction (the LSM construction): over
+    an unbounded stream (a) the per-trigger count of live per-batch
+    band runs never exceeds K+1, (b) EVERY executed fold's input is
+    exactly K runs of a single level — no fold ever re-reads the
+    whole standing epoch (the round-6 O(stream²/K) defect), (c) at
+    close every level holds < K epochs (else it would have folded),
+    (d) every bands epoch is a band-partitioned DIRECTORY, and the
+    graded pair set equals the uncompacted maintain op's."""
     import os
 
     from ziggurat_spark.queries import streaming_surface as ss
 
+    K = 2
     sf = "/root/testdata/sf0.001"
     prev = ss.STREAM_LSH_SRC_FILES
     try:
-        ss.STREAM_LSH_SRC_FILES = 6  # enough triggers to compact twice
-        statedir, live_counts = ss._lsh_cadence_state(spark, sf, 2)
+        ss.STREAM_LSH_SRC_FILES = 6  # enough triggers to cascade
+        statedir, live_counts, folds = ss._lsh_cadence_state(
+            spark, sf, K
+        )
         want = sorted(
             (r["a"], r["b"])
             for r in ss.x_stream_lsh_maintain(spark, sf).collect()
@@ -629,10 +653,27 @@ def test_stream_lsh_cadence_bounds_live_files(spark):
     finally:
         ss.STREAM_LSH_SRC_FILES = prev
     assert len(live_counts) >= 6
-    assert max(live_counts) <= 3  # cadence 2 -> at most 2 old + 1 live
+    assert max(live_counts) <= K + 1
+    # the bounded-fold pin: every fold consumed exactly K runs of
+    # ONE level, and the cascade actually reached level >= 1
+    assert folds, "no fold ever ran"
+    assert all(f["inputs"] == K for f in folds), folds
+    assert any(f["level"] >= 1 for f in folds), folds
     names = sorted(os.listdir(statedir))
-    assert len([n for n in names if n.startswith("bands_epoch")]) == 1
-    assert len([n for n in names if n.startswith("pairs_epoch")]) == 1
+    # per-level epoch-count bound: < K at every level
+    levels = {
+        int(n[len("bands_L") :].split("_")[0])
+        for n in names
+        if n.startswith("bands_L")
+    }
+    assert levels, names  # tiered epochs exist
+    for lv in levels:
+        runs = [n for n in names if n.startswith(f"bands_L{lv}_")]
+        assert len(runs) < K, (lv, runs)
+        # directory-structure pin: band-partitioned, never one file
+        for r in runs:
+            sub = sorted(os.listdir(os.path.join(statedir, r)))
+            assert any(d.startswith("band=") for d in sub), (r, sub)
     got = sorted(
         (r["a"], r["b"])
         for r in spark.read.parquet(
@@ -756,3 +797,24 @@ def test_qdot_arrow_twin_propagates_nulls(spark):
     for i in (1, 2, 3, 4, 5):
         assert got[i][0] == got[i][1], (i, got[i])
     assert got[1][0] == 32 and got[2][0] is None
+
+
+def test_stream_components_batching_independent(spark):
+    """The incrementally maintained star forest must label components
+    identically at ANY pair chunking — 1 file (one union = the batch
+    answer) vs 7 files (components assemble across many triggers,
+    including pairs that BRIDGE previously separate components) —
+    both including the in-op first-batch replay."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_CC_SRC_FILES
+    try:
+        ss.STREAM_CC_SRC_FILES = 1
+        one = ss.x_stream_components_maintain(spark, sf).collect()
+        ss.STREAM_CC_SRC_FILES = 7
+        seven = ss.x_stream_components_maintain(spark, sf).collect()
+    finally:
+        ss.STREAM_CC_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0
