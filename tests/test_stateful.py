@@ -818,3 +818,63 @@ def test_stream_components_batching_independent(spark):
         ss.STREAM_CC_SRC_FILES = prev
     assert [tuple(r) for r in one] == [tuple(r) for r in seven]
     assert len(one) > 0
+
+
+def test_stream_multimodal_batching_independent(spark):
+    """The streamed multimodal detector must converge to the SAME
+    verified pair set (with identical integer squared-cosine ppm) at
+    any chunking: 1 file (everything within-batch) vs 7 files (most
+    pairs cross the history boundary), both including the in-op
+    first-batch replay."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_MM_SRC_FILES
+    try:
+        ss.STREAM_MM_SRC_FILES = 1
+        one = ss.x_stream_multimodal_neardup(spark, sf).collect()
+        ss.STREAM_MM_SRC_FILES = 7
+        seven = ss.x_stream_multimodal_neardup(spark, sf).collect()
+    finally:
+        ss.STREAM_MM_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0
+
+
+def test_stream_ivf_cadence_refresh_contract(spark):
+    """The in-stream Lloyd cadence: (a) refreshes actually fire
+    MID-STREAM (not only at close), (b) the final in-op refresh —
+    after replaying batch 0 and after the closing refresh — changes
+    ZERO cells (idempotence = replay proof), and (c) the post-stream
+    SERVING state carries exactly the batch retrain's (vec, cell1)
+    assignment."""
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.queries import streaming_surface as ss
+    from ziggurat_spark.queries.similarity import _ivf_retrain_state
+    from ziggurat_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    serve, log = ss._ivf_cadence_state(spark, sf, 2)
+    # (a) at least one refresh before the closing pair of calls
+    assert len(log) >= 3, log
+    # (b) the idempotence-proof refresh rewrote nothing
+    assert log[-1]["changed"] == 0, log
+    # (c) serving assignment == batch retrain assignment
+    got = {
+        (r["vec_id"], r["cell1"])
+        for r in spark.read.parquet(*sorted(serve.values()))
+        .select("vec_id", "cell1")
+        .collect()
+    }
+    import tempfile as _tf
+
+    emb = load_table(spark, sf, "embeddings")
+    with _tf.TemporaryDirectory() as wd:
+        _, a1, _ = _ivf_retrain_state(spark, wd, emb)
+        want = {
+            (r["vec_id"], r["cell1"])
+            for r in a1.select("vec_id", "cell1").collect()
+        }
+    assert got == want
+    assert len(got) > 0
