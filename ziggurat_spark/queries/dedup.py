@@ -1837,9 +1837,13 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     point raises rather than emitting wrong components (the paper
     bounds alternations at O(log² n); the cap exists for
     adversarial inputs, not as a silent truncation)."""
+    # lazy checkpoints: the fingerprint collect right after each
+    # alternation materializes the checkpoint in the SAME job —
+    # eager=True would spend one extra job per round on a frame the
+    # next action reads anyway (iterative callers pay this per batch)
     e = pairs.select("a", "b").filter(
         F.col("a") != F.col("b")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
 
     def fingerprint(df: DataFrame):
         r = df.agg(
@@ -1853,15 +1857,17 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     prev = fingerprint(e)
     for _ in range(CC_STAR_CAP):
         prev_e = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
             # exact verification of the screened fixed point: the
-            # fingerprint is a 2-int summary and COULD collide
-            if (
-                e.exceptAll(prev_e).isEmpty()
-                and prev_e.exceptAll(e).isEmpty()
-            ):
+            # fingerprint is a 2-int summary and COULD collide. Both
+            # set differences union into ONE emptiness job (an
+            # iterative caller pays this once per convergence, so
+            # job count matters)
+            if e.exceptAll(prev_e).union(
+                prev_e.exceptAll(e)
+            ).isEmpty():
                 prev_e.unpersist()
                 return e
         prev = cur

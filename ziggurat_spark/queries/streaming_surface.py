@@ -3805,11 +3805,23 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
         _star_components,
     )
 
-    pairs = _jaccard_pairs(spark, sf).select("a", "b")
-    src_dir = scratch_dir("zs_stream_cc_")
-    pairs.repartition(STREAM_CC_SRC_FILES).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
+    # the pair SOURCE is a corpus-scale computation (shingle index +
+    # joins) — build it at the caller's full shuffle parallelism,
+    # NOT under the micro-batch-sized conf the @_sized_state scope
+    # sets (measured 15.8 s vs ~2.5 s at sf0.1: the shingle joins
+    # starve at 8 partitions; only the per-trigger fold state is
+    # micro-batch-sized)
+    sp_key = "spark.sql.shuffle.partitions"
+    mb_parts = spark.conf.get(sp_key)
+    spark.conf.set(sp_key, str(spark.sparkContext.defaultParallelism))
+    try:
+        pairs = _jaccard_pairs(spark, sf).select("a", "b")
+        src_dir = scratch_dir("zs_stream_cc_")
+        pairs.repartition(STREAM_CC_SRC_FILES).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+    finally:
+        spark.conf.set(sp_key, mb_parts)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -3821,21 +3833,51 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
     probe: dict = {}
 
     def _fold(b, bid):
-        # union the arrivals with the standing forest and converge:
-        # a star fixed point preserves connectivity exactly, so by
-        # induction the maintained forest labels components of the
-        # UNION of all pairs seen — and near-dup components are
-        # quasi-cliques, so incremental convergence is 1-2
-        # alternations per batch, not O(log n) from scratch
-        e = b.select("a", "b")
+        # converge ONLY the components the batch touches: a star
+        # fixed point preserves connectivity exactly, so unioning
+        # the arrivals with just the AFFECTED components' forest
+        # rows and re-alternating labels the union of all pairs
+        # seen (untouched components carry over verbatim — at
+        # 100 TB per-trigger work is O(touched components + batch),
+        # never O(forest)); near-dup components are quasi-cliques,
+        # so re-convergence is 1-2 alternations per batch
+        e_new = b.select("a", "b")
+        rest = None
         if cur["path"]:
-            e = e.unionByName(spark.read.parquet(cur["path"]))
-        stars = _star_components(spark, e)
+            forest = spark.read.parquet(cur["path"])
+            batch_nodes = (
+                e_new.select(F.col("a").alias("n"))
+                .unionByName(e_new.select(F.col("b").alias("n")))
+                .distinct()
+            )
+            # a batch node's component root: its forest row's target
+            # (roots themselves appear only as targets → coalesce to
+            # the node). The root set is O(|batch|) → broadcast.
+            roots = (
+                batch_nodes.join(
+                    forest.withColumnRenamed("a", "n"), "n", "left"
+                )
+                .select(F.coalesce("b", F.col("n")).alias("r"))
+                .distinct()
+            )
+            sub = forest.join(
+                F.broadcast(roots),
+                forest["b"] == roots["r"],
+                "left_semi",
+            )
+            rest = forest.join(
+                F.broadcast(roots),
+                forest["b"] == roots["r"],
+                "left_anti",
+            )
+            e_new = e_new.unionByName(sub)
+        stars = _star_components(spark, e_new)
+        out = stars if rest is None else stars.unionByName(rest)
         cur["v"] += 1
         newp = os.path.join(statedir, f"parents_v{cur['v']}")
         # NEW versioned dir, delete-after-write: Spark cannot
         # overwrite a directory it is lazily reading
-        stars.write.mode("overwrite").parquet(newp)
+        out.write.mode("overwrite").parquet(newp)
         old = cur["path"]
         cur["path"] = newp
         if old:
@@ -4280,6 +4322,13 @@ def _ivf_cadence_state(
     probe: dict = {}
 
     def _refresh() -> None:
+        from ziggurat_spark.functions.texthash_udfs import qdot_int_udf
+
+        # the refresh is a CORPUS pass (every state vector × every
+        # centroid), not a micro-batch — the round-3 taxonomy: Arrow
+        # dot for corpus volume, the interpreted spelling only for
+        # per-trigger batches (where worker round-trips dominate)
+        qdot = qdot_int_udf()
         a0 = spark.read.parquet(*sorted(a0_state.values())).select(
             "vec_id", "q", F.col("cent_id").alias("cell0")
         )
@@ -4306,12 +4355,13 @@ def _ivf_cadence_state(
             "cid bigint, cq array<bigint>",
         )
         a1 = (
-            a0.crossJoin(F.broadcast(c1))
+            a0.repartition(spark.sparkContext.defaultParallelism)
+            .crossJoin(F.broadcast(c1))
             .select(
                 "vec_id",
                 "q",
                 "cid",
-                _qdot("q", "cq").alias("cs"),
+                qdot(F.col("q"), F.col("cq")).alias("cs"),
             )
             .groupBy("vec_id")
             .agg(
@@ -4320,12 +4370,15 @@ def _ivf_cadence_state(
             )
             .localCheckpoint()
         )
+        # live cell set: ONE driver sync reused for the changed-cell
+        # default, the log's cell count, and the emptied-cell sweep
+        live = {
+            r["cell1"]
+            for r in a1.select("cell1").distinct().collect()
+        }
         # EXACT changed-cell set vs the previous serving assignment
         if prev["a1"] is None:
-            changed = sorted(
-                r["cell1"]
-                for r in a1.select("cell1").distinct().collect()
-            )
+            changed = sorted(live)
         else:
             j = (
                 prev["a1"]
@@ -4347,8 +4400,9 @@ def _ivf_cadence_state(
                 .distinct()
                 .collect()
             )
-        n_cells = a1.select("cell1").distinct().count()
-        refresh_log.append({"changed": len(changed), "cells": n_cells})
+        refresh_log.append(
+            {"changed": len(changed), "cells": len(live)}
+        )
         if changed:
             prev["v"] += 1
             vdir = os.path.join(workdir, f"serve_v{prev['v']}")
@@ -4362,10 +4416,6 @@ def _ivf_cadence_state(
             ).repartition(
                 len(changed), "kb"
             ).write.partitionBy("kb").mode("overwrite").parquet(vdir)
-            live = {
-                r["cell1"]
-                for r in a1.select("cell1").distinct().collect()
-            }
             for c in changed:
                 if c in live:
                     serve[c] = os.path.join(vdir, f"kb={c}")
