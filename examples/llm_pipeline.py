@@ -83,6 +83,21 @@ def main(sf_dir: str) -> None:
     print("== IVF drift repair: moved cells + what the retrain bought ==")
     q["x_ivf_retrain"].spark(spark, sf_dir).show(10, truncate=False)
 
+    print("== keep/drop kept current ONLINE (incremental star forest) ==")
+    q["x_stream_components_maintain"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
+
+    print("== multimodal near-dup detected live from the asset stream ==")
+    q["x_stream_multimodal_neardup"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
+
+    print("== the live ANN index, Lloyd-repaired on cadence ==")
+    q["x_stream_ivf_cadence"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
