@@ -35,6 +35,9 @@ STATE_OPS = (
     "x_stream_lsh_compact",
     "x_stream_lsh_cadence",
     "x_stream_select_corpus",
+    "x_stream_components_maintain",
+    "x_stream_multimodal_neardup",
+    "x_stream_ivf_cadence",
 )
 
 

@@ -814,6 +814,13 @@ def test_stream_components_batching_independent(spark):
         one = ss.x_stream_components_maintain(spark, sf).collect()
         ss.STREAM_CC_SRC_FILES = 7
         seven = ss.x_stream_components_maintain(spark, sf).collect()
+        # the forest state is node-hash-bucketed LWW (touched-only
+        # writes): <= 16 bucket dirs, one CURRENT row per labeled node
+        _, state = ss._cc_forest_state(spark, sf)
+        assert 1 <= len(state) <= 16
+        rows = spark.read.parquet(*sorted(state.values()))
+        n_rows = rows.count()
+        assert n_rows == rows.select("a").distinct().count()
     finally:
         ss.STREAM_CC_SRC_FILES = prev
     assert [tuple(r) for r in one] == [tuple(r) for r in seven]

@@ -3795,11 +3795,10 @@ def _cc_maintain_oracle() -> str:
 def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
     """Run the streaming CC maintenance (near-dup pairs arrive in
     micro-batches; the standing star forest unions with each batch
-    and re-converges) and return (statedir, cur) where cur['path'] is
-    the final parents directory. Extracted so tests can drive the
+    and re-converges) and return (statedir, state) where state maps
+    node-hash bucket → current forest directory (the
+    bucketed_lww_merge layout). Extracted so tests can drive the
     chunking directly."""
-    import shutil as _sh
-
     from ziggurat_spark.queries.dedup import (
         _jaccard_pairs,
         _star_components,
@@ -3829,7 +3828,7 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
         .parquet(src_dir)
     )
     statedir = scratch_dir("zs_stream_cc_state_")
-    cur: dict = {"path": None, "v": 0}
+    state: dict = {}
     probe: dict = {}
 
     def _fold(b, bid):
@@ -3837,14 +3836,21 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
         # fixed point preserves connectivity exactly, so unioning
         # the arrivals with just the AFFECTED components' forest
         # rows and re-alternating labels the union of all pairs
-        # seen (untouched components carry over verbatim — at
-        # 100 TB per-trigger work is O(touched components + batch),
-        # never O(forest)); near-dup components are quasi-cliques,
-        # so re-convergence is 1-2 alternations per batch
+        # seen; near-dup components are quasi-cliques, so
+        # re-convergence is 1-2 alternations per batch. WRITES are
+        # touched-only too: star rows are only ever added or
+        # superseded (components only merge, so a node's target only
+        # decreases and a non-root never becomes a root) — i.e. the
+        # forest is node-keyed LWW state, and bucketed_lww_merge
+        # rewrites only the buckets holding re-labeled nodes;
+        # untouched component rows never rewrite (at 100 TB:
+        # per-trigger READ is one forest scan, WRITE is
+        # O(touched nodes) — never O(forest))
         e_new = b.select("a", "b")
-        rest = None
-        if cur["path"]:
-            forest = spark.read.parquet(cur["path"])
+        if state:
+            forest = spark.read.parquet(*sorted(state.values())).select(
+                "a", "b"
+            )
             batch_nodes = (
                 e_new.select(F.col("a").alias("n"))
                 .unionByName(e_new.select(F.col("b").alias("n")))
@@ -3865,23 +3871,20 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
                 forest["b"] == roots["r"],
                 "left_semi",
             )
-            rest = forest.join(
-                F.broadcast(roots),
-                forest["b"] == roots["r"],
-                "left_anti",
-            )
             e_new = e_new.unionByName(sub)
         stars = _star_components(spark, e_new)
-        out = stars if rest is None else stars.unionByName(rest)
-        cur["v"] += 1
-        newp = os.path.join(statedir, f"parents_v{cur['v']}")
-        # NEW versioned dir, delete-after-write: Spark cannot
-        # overwrite a directory it is lazily reading
-        out.write.mode("overwrite").parquet(newp)
-        old = cur["path"]
-        cur["path"] = newp
-        if old:
-            _sh.rmtree(old)
+        proj = stars.withColumn(
+            "kb", F.pmod(F.xxhash64("a"), F.lit(16)).cast("int")
+        ).withColumn("v", F.lit(bid).cast("long"))
+        bucketed_lww_merge(
+            spark,
+            statedir,
+            state,
+            proj,
+            bid,
+            key="a",
+            order_cols=(F.desc("v"),),  # newest re-label wins
+        )
         if not probe:
             probe["bid"] = bid
             b.coalesce(1).write.mode("overwrite").parquet(
@@ -3900,10 +3903,11 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
     # crash re-delivery BEFORE grading: min-parent connectivity is
     # associative, commutative AND idempotent (re-unioning absorbed
     # pairs cannot move any component minimum), so the replayed
-    # batch re-converges to the identical forest
+    # batch re-converges to the identical forest (the LWW merge
+    # overwrites re-labeled nodes with identical targets)
     replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
     _fold(replayed, probe["bid"] + 1000)
-    return statedir, cur
+    return statedir, state
 
 
 @register(
@@ -3922,18 +3926,25 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
         "connectivity, so by induction the forest labels the union "
         "of ALL pairs seen; near-dup components are quasi-cliques, "
         "so incremental re-convergence is 1-2 alternations per "
-        "batch instead of a from-scratch O(log n). The parent table "
-        "writes to a NEW versioned dir per trigger (delete old "
-        "after — Spark cannot overwrite a directory it lazily "
-        "reads); crash re-delivery is proven in-op: min-parent "
-        "connectivity is associative, commutative and idempotent, "
-        "so a replayed batch re-converges to the identical forest. "
-        "Graded IDENTICALLY to x_dedup_components (same "
-        "recursive-CTE oracle): per-doc component = min doc_id and "
-        "the keeper flag. At 100 TB: state is O(nodes-in-"
-        "components) star edges in a keyed table; per-trigger work "
-        "is alternations × four node-keyed shuffles over "
-        "O(forest + batch) edges with a 2-int driver sync each."
+        "batch instead of a from-scratch O(log n). Reads AND writes "
+        "are touched-only: only the AFFECTED components' rows join "
+        "the re-convergence (batch-node roots resolved against the "
+        "forest, broadcast semi-split), and because star rows are "
+        "only ever added or superseded (components only merge — a "
+        "node's target only decreases and a non-root never becomes "
+        "a root) the forest is node-keyed LWW state maintained by "
+        "bucketed_lww_merge: only buckets holding re-labeled nodes "
+        "rewrite, untouched bucket dirs carry over by reference. "
+        "Crash re-delivery is proven in-op: min-parent connectivity "
+        "is associative, commutative and idempotent, so a replayed "
+        "batch re-converges to the identical forest and the LWW "
+        "overwrite lands identical targets. Graded IDENTICALLY to "
+        "x_dedup_components (same recursive-CTE oracle): per-doc "
+        "component = min doc_id and the keeper flag. At 100 TB: "
+        "state is O(nodes-in-components) star edges in a bucketed "
+        "keyed table; per-trigger work is one forest scan + "
+        "alternations × four node-keyed shuffles over "
+        "O(touched + batch) edges, write I/O O(touched nodes)."
     ),
     tags=("streaming", "dedup", "clustering", "graph", "recovery"),
 )
@@ -3943,11 +3954,14 @@ def x_stream_components_maintain(
 ) -> DataFrame:
     from ziggurat_spark.tables import load_table
 
-    _, cur = _cc_forest_state(spark, sf)
+    _, state = _cc_forest_state(spark, sf)
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").alias("id")
     )
-    stars = spark.read.parquet(cur["path"])
+    if state:
+        stars = spark.read.parquet(*sorted(state.values()))
+    else:  # no near-dup pairs at all: every doc is a singleton
+        stars = spark.createDataFrame([], "a long, b long")
     comp = (
         docs.join(
             stars.select(F.col("a").alias("id"), "b"), "id", "left"
