@@ -885,3 +885,54 @@ def test_stream_ivf_cadence_refresh_contract(spark):
         }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_multimodal_tiered_bounds(spark):
+    """The multimodal stream's size-tiered compaction: live per-batch
+    run count ≤ K+1, every fold consumed exactly K runs of one level,
+    tiered epochs exist for ALL THREE kinds (bands band-partitioned,
+    pairs, feat), and the graded pair set equals the one-shot batch
+    op's."""
+    import os
+
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    K = ss.STREAM_MM_CADENCE
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_MM_SRC_FILES
+    try:
+        ss.STREAM_MM_SRC_FILES = 6
+        statedir, live_counts, folds = ss._mm_stream_state(spark, sf)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                *[
+                    os.path.join(statedir, d)
+                    for d in sorted(os.listdir(statedir))
+                    if d.startswith("pairs_")
+                ]
+            )
+            .distinct()
+            .collect()
+        )
+    finally:
+        ss.STREAM_MM_SRC_FILES = prev
+    assert len(live_counts) >= 6
+    assert max(live_counts) <= K + 1
+    assert folds and all(f["inputs"] == K for f in folds), folds
+    assert any(f["level"] >= 1 for f in folds), folds
+    names = sorted(os.listdir(statedir))
+    for kind in ("bands", "pairs", "feat"):
+        tiered = [n for n in names if n.startswith(f"{kind}_L")]
+        assert tiered, (kind, names)
+    for n in names:
+        if n.startswith("bands_L"):
+            sub = sorted(os.listdir(os.path.join(statedir, n)))
+            assert any(d.startswith("band=") for d in sub), (n, sub)
+    from ziggurat_spark.queries.dedup import x_multimodal_neardup
+
+    want = sorted(
+        tuple(r) for r in x_multimodal_neardup(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) > 0

@@ -3086,7 +3086,9 @@ def _lsh_read_union(spark: SparkSession, dirs: list[str]) -> DataFrame:
     return out
 
 
-def _lsh_write_band_epoch(df: DataFrame, path: str) -> None:
+def _lsh_write_band_epoch(
+    df: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
     """Write a band-index epoch as a ``partitionBy(band)`` DIRECTORY
     at normal parallelism: rows shuffle on (band, bucket-shard) so no
     single task ever carries more than O(epoch / (bands * shards))
@@ -3094,9 +3096,10 @@ def _lsh_write_band_epoch(df: DataFrame, path: str) -> None:
     epoch (round-6 judge: one task carrying the O(corpus) band union
     is the wrong physical layout at 100 TB). The band partition
     column also lets a probing trigger prune history I/O to the
-    arrival batch's bands."""
+    arrival batch's bands. ``id_col`` names the row-identity column
+    (doc_id for the text index, asset_id for the multimodal one)."""
     (
-        df.select("doc_id", "bucket", "band")
+        df.select(id_col, "bucket", "band")
         .withColumn(
             "__shard",
             F.pmod(F.xxhash64("bucket"), F.lit(LSH_EPOCH_SHARDS)),
@@ -3992,10 +3995,26 @@ def _mm_stream_oracle() -> str:
     return _REGISTRY["x_multimodal_neardup"].oracle
 
 
-def _mm_stream_state(spark: SparkSession, sf: str) -> str:
-    """Run the streaming multimodal near-dup maintenance and return
-    the state directory (bands_b*/feat_b*/pairs_b* per batch, in-op
-    replay of the first batch included)."""
+#: fold committed multimodal state into tiered epochs every K batches
+STREAM_MM_CADENCE = 2
+
+
+def _mm_stream_state(
+    spark: SparkSession, sf: str
+) -> tuple[str, list, list]:
+    """Run the streaming multimodal near-dup maintenance WITH
+    size-tiered epoch compaction on cadence (the x_stream_lsh_cadence
+    construction applied to all three state kinds — bands, pairs,
+    feat): every K strictly-older per-batch runs fold into a level-1
+    epoch, K level-L epochs into level-(L+1). Band epochs write
+    partitionBy(band); pairs epochs distinct-union; feat rows are
+    per-asset and batches own disjoint assets, so plain union is
+    exact. Returns (statedir, live_counts, folds): live_counts is
+    the per-trigger count of live per-batch band runs (≤ K), folds
+    the audit list of {level, inputs} per executed fold. The NEWEST
+    batch is re-delivered verbatim at close (it is always still
+    keyed — compaction folds strictly-older ids only), proving crash
+    replay against the compacted state."""
     from ziggurat_spark.operators.multimodal import (
         decode_and_featurize,
         documents_as_assets,
@@ -4023,6 +4042,69 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
     )
     statedir = scratch_dir("zs_stream_mm_state_")
     probe: dict = {}
+    live_counts: list = []
+    folds: list = []
+    seq = [0]
+
+    def _runs_at(level: int) -> list[str]:
+        pref = f"bands_L{level}_"
+        return sorted(
+            d for d in os.listdir(statedir) if d.startswith(pref)
+        )
+
+    def _fold_runs(level: int, band_runs: list[str]) -> None:
+        """Fold K same-level runs of ALL THREE kinds into one
+        level+1 epoch each; new dirs materialize before inputs are
+        deleted."""
+        import shutil as _sh
+
+        seq[0] += 1
+        suffix = f"L{level + 1}_{seq[0]:06d}"
+        pair_runs = [d.replace("bands_", "pairs_", 1) for d in band_runs]
+        feat_runs = [d.replace("bands_", "feat_", 1) for d in band_runs]
+        _lsh_write_band_epoch(
+            _lsh_read_union(
+                spark, [os.path.join(statedir, d) for d in band_runs]
+            ),
+            os.path.join(statedir, f"bands_{suffix}"),
+            id_col="asset_id",
+        )
+        _lsh_write_pairs_epoch(
+            _lsh_read_union(
+                spark, [os.path.join(statedir, d) for d in pair_runs]
+            ),
+            os.path.join(statedir, f"pairs_{suffix}"),
+        )
+        # feat: batches own disjoint assets — plain union is exact
+        _lsh_read_union(
+            spark, [os.path.join(statedir, d) for d in feat_runs]
+        ).repartition(LSH_EPOCH_SHARDS).write.mode("overwrite").parquet(
+            os.path.join(statedir, f"feat_{suffix}")
+        )
+        folds.append({"level": level, "inputs": len(band_runs)})
+        for d in band_runs + pair_runs + feat_runs:
+            _sh.rmtree(os.path.join(statedir, d))
+
+    def _tier_compact(current_bid: int) -> None:
+        while True:
+            olds = sorted(
+                int(d[len("bands_b") :])
+                for d in os.listdir(statedir)
+                if d.startswith("bands_b")
+                and int(d[len("bands_b") :]) < current_bid
+            )
+            if len(olds) < STREAM_MM_CADENCE:
+                break
+            _fold_runs(
+                0, [f"bands_b{b}" for b in olds[: STREAM_MM_CADENCE]]
+            )
+        lvl = 1
+        while _runs_at(lvl):
+            runs = _runs_at(lvl)
+            while len(runs) >= STREAM_MM_CADENCE:
+                _fold_runs(lvl, runs[: STREAM_MM_CADENCE])
+                runs = _runs_at(lvl)
+            lvl += 1
 
     def _feat(b: DataFrame) -> DataFrame:
         # the REAL Arrow decode path, batch spread across the pool
@@ -4058,6 +4140,7 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
         )
 
     def _fold(b, bid):
+        _tier_compact(bid)
         key = f"b{bid}"
         feat = _feat(b).localCheckpoint()  # bands + verify sides
         bands = feat.select(
@@ -4087,8 +4170,9 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
             # shuffles — the hot-bucket guard in its streaming form
             # (a hot history bucket costs a scan, never a quadratic
             # task); a pathologically large arrival batch would fall
-            # back to the batch op's salted group-pair join
-            hist = spark.read.parquet(*hist_band_dirs)
+            # back to the batch op's salted group-pair join.
+            # Per-dir read: band epochs are partitionBy(band) dirs
+            hist = _lsh_read_union(spark, hist_band_dirs)
             cross = hist.join(
                 F.broadcast(
                     bands.select(
@@ -4119,7 +4203,7 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
         feat_all = feat.select("asset_id", "bv", "n2")
         if hist_feat_dirs:
             feat_all = feat_all.unionByName(
-                spark.read.parquet(*hist_feat_dirs).select(
+                _lsh_read_union(spark, hist_feat_dirs).select(
                     "asset_id", "bv", "n2"
                 )
             )
@@ -4160,11 +4244,22 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
         feat.select("asset_id", "bv", "n2").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(statedir, f"feat_{key}"))
-        if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(statedir, "probe_input")
+        live_counts.append(
+            len(
+                [
+                    d
+                    for d in os.listdir(statedir)
+                    if d.startswith("bands_b")
+                ]
             )
+        )
+        # retain the NEWEST batch's raw input: it is always still
+        # keyed (compaction folds strictly-older ids only), so it is
+        # the one legitimate crash-replay target
+        probe["bid"] = bid
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, "probe_input")
+        )
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -4175,11 +4270,16 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
         )
         q.awaitTermination()
 
-    # crash re-delivery BEFORE grading: keyed overwrite + own-key-
-    # excluded history keep the graded union unchanged
-    replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
+    # crash re-delivery BEFORE grading: the newest batch arrives
+    # again — keyed overwrite + own-key-excluded history keep the
+    # graded union unchanged even against the compacted state.
+    # Materialize first: the fold re-writes probe_input, which the
+    # lazy read would otherwise still be scanning
+    replayed = spark.read.parquet(
+        os.path.join(statedir, "probe_input")
+    ).localCheckpoint()
     _fold(replayed, probe["bid"])
-    return statedir
+    return statedir, live_counts, folds
 
 
 @register(
@@ -4207,11 +4307,18 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
         "Graded: the union of per-batch detections equals the "
         "one-shot batch pair set with identical cos2_ppm — same "
         "oracle as x_multimodal_neardup; 1-vs-7-file batching "
-        "independence pinned in tests/test_stateful.py. At 100 TB: "
+        "independence pinned in tests/test_stateful.py. State is "
+        "size-tiered IN-OP (the x_stream_lsh_cadence construction "
+        "applied to all three kinds — bands, pairs, AND the feature "
+        "table): every K=2 strictly-older per-batch runs fold into "
+        "a level-1 epoch, K level-L epochs into level-(L+1); band "
+        "epochs write partitionBy(band) at parallelism, feat "
+        "batches own disjoint assets so plain union is exact; "
+        "every fold's input is exactly K runs of one level "
+        "(audited, pinned) and the newest batch is re-delivered "
+        "verbatim at close against the COMPACTED state. At 100 TB: "
         "per-trigger work is O(batch decode + history scan), state "
-        "is the band index + feature table as real keyed tables, "
-        "and the epoch-compaction pattern (x_stream_lsh_cadence) "
-        "applies to both unchanged."
+        "is O(corpus) in O(K·log n) directories."
     ),
     tags=("streaming", "multimodal", "dedup", "lsh", "recovery"),
 )
@@ -4219,7 +4326,7 @@ def _mm_stream_state(spark: SparkSession, sf: str) -> str:
 def x_stream_multimodal_neardup(
     spark: SparkSession, sf: str
 ) -> DataFrame:
-    statedir = _mm_stream_state(spark, sf)
+    statedir, _, _ = _mm_stream_state(spark, sf)
     pair_dirs = [
         os.path.join(statedir, d)
         for d in sorted(os.listdir(statedir))
