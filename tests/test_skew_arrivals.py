@@ -152,6 +152,7 @@ def test_budget_fold_hundredfold_batch_matches_one_shot(spark, tmp_path):
         STREAM_BUDGET_TOKENS,
         _budget_fold,
         _budget_grade,
+        _budget_state_kept,
     )
 
     rows = [
@@ -164,13 +165,11 @@ def test_budget_fold_hundredfold_batch_matches_one_shot(spark, tmp_path):
     def run(batches, sub):
         workdir = str(tmp_path / sub)
         os.makedirs(workdir)
-        state = {"path": None, "v": 0}
+        state: dict = {}
         fold = _budget_fold(spark, workdir, state)
         for i, b in enumerate(batches):
             fold(b, i)
-            kept = spark.read.parquet(
-                os.path.join(state["path"], "kept")
-            )
+            kept = _budget_state_kept(spark, state)
             mx = (
                 kept.groupBy("source")
                 .agg(F.sum("nt").alias("t"))

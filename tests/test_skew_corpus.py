@@ -237,6 +237,7 @@ def test_stream_budget_state_bounded_under_skew(spark, duck, skew_dir):
     from ziggurat_spark.queries.streaming_surface import (
         STREAM_BUDGET_TOKENS,
         _budget_fold,
+        _budget_state_kept,
     )
     from ziggurat_spark.tables import load_table
 
@@ -251,7 +252,7 @@ def test_stream_budget_state_bounded_under_skew(spark, duck, skew_dir):
         .alias("nt"),
     )
     workdir = tempfile.mkdtemp(prefix="zs_skew_budget_")
-    state = {"path": None, "v": 0}
+    state: dict = {}
     fold = _budget_fold(spark, workdir, state)
     n = docs.count()
     for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
@@ -261,7 +262,7 @@ def test_stream_budget_state_bounded_under_skew(spark, duck, skew_dir):
             ),
             lo,
         )
-    kept = spark.read.parquet(os.path.join(state["path"], "kept"))
+    kept = _budget_state_kept(spark, state)
     per_source = {
         r["source"]: r["n"]
         for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
@@ -269,7 +270,7 @@ def test_stream_budget_state_bounded_under_skew(spark, duck, skew_dir):
     assert per_source[HOT] <= STREAM_BUDGET_TOKENS  # ≤ budget, not O(history)
     assert sum(per_source.values()) < 3 * STREAM_BUDGET_TOKENS
     # the watermark actually formed for the hot source
-    cuts = spark.read.parquet(os.path.join(state["path"], "cut"))
+    cuts = spark.read.parquet(state["cuts"])
     hot_cut = cuts.filter(F.col("source") == HOT).collect()
     assert hot_cut and hot_cut[0]["cut"] is not None
 

@@ -287,6 +287,51 @@ def test_stream_budget_maintenance_batching_independent(spark):
     assert len(one) > 0
 
 
+def test_stream_budget_bucketed_state_touched_only(spark, tmp_path):
+    """Round-7 physical layout: the budget fold's kept set is
+    hk-RANGE-bucketed with touched-only rewrites. A merge whose docs
+    land in a strict subset of buckets (and which cannot move any
+    cut — total mass stays below budget) must carry every untouched
+    bucket directory over BY REFERENCE (same path, untouched
+    bytes), and only the arrival's bucket may rewrite."""
+    import hashlib
+    import os
+
+    from ziggurat_spark.queries.streaming_surface import (
+        _budget_fold,
+        _budget_state_kept,
+    )
+
+    sch = "source string, doc_id long, nt long"
+    # 200 docs x 1 token << 500 budget: no cut ever forms
+    docs = spark.createDataFrame(
+        [("s0", i, 1) for i in range(200)], sch
+    )
+    workdir = str(tmp_path / "st")
+    os.makedirs(workdir)
+    state: dict = {}
+    fold = _budget_fold(spark, workdir, state)
+    fold(docs, 0)
+    before = dict(state["buckets"])
+    assert len(before) > 4  # the state really spread across buckets
+
+    new_doc = 10_001
+    kb = int(hashlib.md5(str(new_doc).encode()).hexdigest()[0], 16)
+    fold(spark.createDataFrame([("s0", new_doc, 1)], sch), 1)
+    after = state["buckets"]
+    untouched = [b for b in before if b != kb]
+    assert untouched
+    for b in untouched:
+        assert after[b] == before[b]  # carried over by reference
+    assert after[kb] != before.get(kb)  # the touched bucket moved
+    assert _budget_state_kept(spark, state).count() == 201
+
+    # replay of the second batch is a no-op: no bucket moves at all
+    snap = dict(after)
+    fold(spark.createDataFrame([("s0", new_doc, 1)], sch), 1)
+    assert state["buckets"] == snap
+
+
 def test_stream_budget_maintenance_tiny_budget_watermark_churn(spark):
     """A tiny budget makes nearly every merge overflow, so the
     watermark advances repeatedly and most arrivals hit the
