@@ -1028,3 +1028,86 @@ def test_semantic_dedup_star_stage_on_path_graph(spark):
     best = max(range(n), key=lambda i: chars[i] * 10_000_000 - i)
     want = {(i, 0, best) for i in range(n)} | {(100, 100, 100)}
     assert got == want
+
+
+def test_kcore_peel_matches_python_model_and_raises_on_cap(spark):
+    """x_kcore_decompose's peel loop vs an independent pure-Python
+    peel on a mixed graph (one 4-clique that must survive k=2
+    peeling + a 12-node path that must fully dissolve, bridged to
+    the clique so the cascade is real), and the cap-exhaustion
+    guard: a long path peels one vertex pair per round, so a tiny
+    cap must RAISE rather than emit a non-core survivor set."""
+    import pytest
+
+    from ziggurat_spark.queries.ml_cluster import _kcore_peel
+
+    clique = [(100, 101), (100, 102), (100, 103), (101, 102),
+              (101, 103), (102, 103)]
+    path = [(i, i + 1) for i in range(12)]
+    bridge = [(11, 100)]  # path end attaches to the clique
+    edges = clique + path + bridge
+    sym_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    sym = spark.createDataFrame(sym_rows, "v long, n long")
+
+    # independent model: peel to fixed point
+    adj: dict[int, set] = {}
+    for v, n in sym_rows:
+        adj.setdefault(v, set()).add(n)
+    k = 2
+    while True:
+        kill = {v for v, ns in adj.items() if len(ns) < k}
+        if not kill:
+            break
+        for v in kill:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+        adj = {v: ns for v, ns in adj.items() if True}
+    want = sorted((v, len(ns)) for v, ns in adj.items() if ns)
+
+    alive = _kcore_peel(sym, k, cap=20)
+    got = sorted(
+        (r["v"], r["c"])
+        for r in alive.groupBy("v").count().withColumnRenamed(
+            "count", "c"
+        ).collect()
+    )
+    assert got == want
+    assert {v for v, _ in got} == {100, 101, 102, 103}  # clique only
+
+    # the path needs ~6 peel rounds; cap=2 must raise, not lie
+    with pytest.raises(RuntimeError, match="cap"):
+        _kcore_peel(sym, k, cap=2)
+
+
+def test_stream_hll_registers_batching_independent(spark):
+    """x_stream_hll_maintain: the register table is a MAX-merge —
+    associative, commutative, idempotent — so 1-file and 7-file
+    chunkings (and an extra replayed fold) must grade identically,
+    and the state stays <= types x 64 rows."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_HLL_SRC_FILES
+    try:
+        ss.STREAM_HLL_SRC_FILES = 1
+        one = [tuple(r) for r in ss.x_stream_hll_maintain(spark, sf).collect()]
+        ss.STREAM_HLL_SRC_FILES = 7
+        seven = [tuple(r) for r in ss.x_stream_hll_maintain(spark, sf).collect()]
+    finally:
+        ss.STREAM_HLL_SRC_FILES = prev
+    assert one == seven
+    assert len(one) > 0
+    for row in one:
+        # regs_set <= 64 and the estimate lands within an order of
+        # magnitude (the grade is deliberately the RAW harmonic
+        # estimator — no alpha / linear-counting corrections, which
+        # skews high when n << m=64 registers; register-level
+        # exactness is the oracle's job, this pins sanity only)
+        d = dict(zip(
+            ("event_type", "regs_set", "sum_rho", "rho_ck", "est40",
+             "exact_distinct"), row))
+        assert 0 < d["regs_set"] <= 64
+        assert d["est40"] > 0
+        assert d["est40"] < 10 * max(d["exact_distinct"], 32)
+        assert d["est40"] > d["exact_distinct"] // 10

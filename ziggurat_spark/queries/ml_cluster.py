@@ -637,3 +637,142 @@ def _lpa_converge(
         "round bigint, changed bigint, n_communities bigint, "
         "label_checksum bigint",
     ).orderBy("round")
+
+
+#: k-core threshold and peel-round cap. k=2 peels the mutual k-NN
+#: graph's tree-like fringe (7-9 rounds at test SF); the cap is a
+#: safety rail, not the exit condition — the loop exits at the exact
+#: zero-kill fixed point and RAISES if the cap is hit unconverged
+#: (the star-CC discipline: never emit an unverified fixed point).
+KCORE_K = 2
+KCORE_CAP = 12
+
+
+def _kcore_oracle(k: int, cap: int) -> str:
+    """Unrolled DuckDB twin of the peeling loop: exactly ``cap``
+    kill/filter rounds (rounds past the fixed point are identity —
+    an empty kill set filters nothing), then per-node core
+    membership and in-core degree."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and e_r references
+    # e_{r-1} three times (kill twice + filter once) — an unrolled
+    # 12-round peel would otherwise expand 3^12 scans
+    rounds = "".join(
+        f", x{r} AS MATERIALIZED (SELECT v FROM (SELECT v, "
+        f"count(*) AS c FROM e{r - 1} GROUP BY v) WHERE c < {k})"
+        f", e{r} AS MATERIALIZED (SELECT v, n FROM e{r - 1} "
+        f"WHERE v NOT IN (SELECT v FROM x{r}) "
+        f"AND n NOT IN (SELECT v FROM x{r}))"
+        for r in range(1, cap + 1)
+    )
+    return (
+        f"WITH {_lpa_chain()}, "
+        f"e0 AS MATERIALIZED (SELECT v, n FROM sym){rounds}, "
+        f"nodes AS (SELECT DISTINCT v FROM e0), "
+        f"deg AS (SELECT v, CAST(count(*) AS BIGINT) AS kdeg "
+        f"FROM e{cap} GROUP BY v) "
+        f"SELECT n.v AS vec_id, "
+        f"CAST(CASE WHEN d.kdeg IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        f"AS in_kcore, "
+        f"COALESCE(d.kdeg, CAST(0 AS BIGINT)) AS kdeg "
+        f"FROM nodes n LEFT JOIN deg d ON d.v = n.v ORDER BY vec_id"
+    )
+
+
+def _kcore_peel(
+    sym: DataFrame, k: int, cap: int
+) -> DataFrame:
+    """Iterative peel to the exact zero-kill fixed point: returns
+    the surviving edge set, raising if ``cap`` rounds end with
+    vertices still under ``k`` (never an unverified fixed point).
+    One |E|-bounded degree agg + two anti-joins + a lineage cut per
+    round; the driver sync is one boolean per round."""
+    alive = sym
+    converged = False
+    for _ in range(cap):
+        kill = (
+            alive.groupBy("v")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") < k)
+            .select("v")
+            .localCheckpoint()  # cut lineage; one materialization
+        )
+        if kill.isEmpty():  # exact fixed point: nothing under k
+            converged = True
+            break
+        alive = (
+            alive.join(kill, "v", "left_anti")
+            .join(kill.select(F.col("v").alias("n")), "n", "left_anti")
+            .select("v", "n")
+            .localCheckpoint()
+        )
+    if not converged:
+        # cap exhausted: verify the survivor set anyway — emitting a
+        # non-core as "the core" would silently mis-grade downstream
+        still = (
+            alive.groupBy("v")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") < k)
+            .count()
+        )
+        if still:
+            raise RuntimeError(
+                f"k-core peel hit the {cap}-round cap with "
+                f"{still} vertices still under k={k}"
+            )
+    return alive
+
+
+@register(
+    "x_kcore_decompose",
+    oracle=_kcore_oracle(KCORE_K, KCORE_CAP),
+    doc=(
+        "k-core decomposition of the mutual k-NN graph by iterative "
+        "peeling: repeatedly drop every vertex whose degree falls "
+        f"below k={KCORE_K} (removals cascade — losing a neighbor "
+        "can push a survivor under the threshold) until the exact "
+        "zero-kill fixed point. The surviving 2-core separates "
+        "densely-connected embedding neighborhoods from the "
+        "tree-like fringe — the standard graph-density screen a "
+        "curation pipeline runs before community detection (fringe "
+        "nodes make LPA labels unstable). Graded per graph node: "
+        "core membership + in-core degree against a fully unrolled "
+        "peel in SQL (rounds past the fixed point are provably "
+        "identity, so the capped unroll matches the early-stopped "
+        "loop bit-for-bit; the loop RAISES if the cap is hit still "
+        "killing — never an unverified fixed point, the star-CC "
+        "discipline). Scale shape: each round is one |E|-bounded "
+        "hash-agg (degrees) + two anti-joins against the O(kills) "
+        "kill set, lineage cut per round; the driver sync is ONE "
+        "boolean per round (is the kill set empty). Peel depth is "
+        "the only serial dimension — for full coreness numbers at "
+        "scale you would switch to the h-index iteration (rounds "
+        "bounded by graph degeneracy, not peel depth)."
+    ),
+    tags=("graph", "iterative", "clustering"),
+)
+def x_kcore_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.queries.similarity import _mutual_knn_graph
+
+    sym = _symmetric_edges(
+        _mutual_knn_graph(spark, sf).select("a", "b")
+    ).localCheckpoint()
+    alive = _kcore_peel(sym, KCORE_K, KCORE_CAP)
+    deg = alive.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("kdeg")
+    )
+    return (
+        sym.select("v")
+        .distinct()
+        .join(deg, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.when(F.col("kdeg").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("in_kcore"),
+            F.coalesce(F.col("kdeg"), F.lit(0).cast("bigint")).alias(
+                "kdeg"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -4886,3 +4886,200 @@ def x_stream_ivf_cadence(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return cells_out.unionByName(topk).orderBy("kind", "k")
+
+
+#: HLL-shaped distinct sketch: 64 registers (p=6), 54 value bits.
+#: The hash is the repo's portable-integer convention (texthash.py):
+#: two independent universal hashes mod the 30-bit prime P, packed
+#: into one 60-bit key — bit-identical on Spark and DuckDB, so the
+#: register table itself is hash-checkable (built-in engine sketches
+#: — HyperLogLog/approx_count_distinct — differ by construction and
+#: can only ever be rows-only graded, like x_approx_sketches).
+HLL_M = 64
+HLL_W = 55  # rho of a zero value-field (54 value bits + 1)
+_HLL_P = 1_000_000_007
+_HLL_A1, _HLL_B1 = 769_234_561, 123_456_791
+_HLL_A2, _HLL_B2 = 987_654_323, 456_789_123
+#: estimate scaling: rho clamped to 40 keeps m^2 * 2^40 < 2^63 in
+#: pure BIGINT (registers above 40 would need cardinalities ~2^40+
+#: to matter, where their denominator share is ~0 anyway)
+_HLL_EST_SHIFT = 40
+STREAM_HLL_SRC_FILES = 6
+
+
+def _hll_exprs(div_kw: str) -> tuple[str, str]:
+    """(register, rho) SQL over a non-null ``user_id`` column —
+    identical text on both engines except the integer-division
+    keyword (Spark ``div``, DuckDB ``//``)."""
+    h = (
+        f"((({_HLL_A1} * (user_id % {_HLL_P}) + {_HLL_B1}) % {_HLL_P})"
+        f" * 1073741824 + "
+        f"(({_HLL_A2} * (user_id % {_HLL_P}) + {_HLL_B2}) % {_HLL_P}))"
+    )
+    reg = f"({h} % {HLL_M})"
+    v = f"({h} {div_kw} {HLL_M})"
+    rho = (
+        f"(CASE WHEN {v} = 0 THEN {HLL_W} "
+        f"ELSE {HLL_W} - length(bin({v})) END)"
+    )
+    return reg, rho
+
+
+def _hll_grade_exprs(div_kw: str, shift: str) -> str:
+    """Per-type grade over a (event_type, reg, rho) register table
+    named ``m`` — the shared SELECT list; ``shift`` is the engine's
+    left-shift spelling with {n} as the shift amount."""
+    pow40 = 1 << _HLL_EST_SHIFT
+    denom = (
+        f"(sum({shift.format(n=f'{_HLL_EST_SHIFT} - least(rho, {_HLL_EST_SHIFT})')})"
+        f" + ({HLL_M} - count(*)) * {pow40})"
+    )
+    return (
+        f"CAST(count(*) AS BIGINT) AS regs_set, "
+        f"CAST(sum(rho) AS BIGINT) AS sum_rho, "
+        f"CAST(sum(reg * 1000003 + rho) AS BIGINT) AS rho_ck, "
+        f"CAST(({HLL_M * HLL_M} * {pow40}) {div_kw} {denom} AS BIGINT)"
+        f" AS est40"
+    )
+
+
+_HLL_ORACLE = (
+    "WITH r AS (SELECT event_type, "
+    f"{_hll_exprs('//')[0]} AS reg, {_hll_exprs('//')[1]} AS rho "
+    "FROM events WHERE user_id IS NOT NULL), "
+    "m AS (SELECT event_type, reg, MAX(rho) AS rho FROM r "
+    "GROUP BY event_type, reg), "
+    "a AS (SELECT event_type, "
+    + _hll_grade_exprs("//", "(CAST(1 AS BIGINT) << ({n}))")
+    + " FROM m GROUP BY event_type), "
+    "x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)"
+    " AS exact_distinct FROM events WHERE user_id IS NOT NULL "
+    "GROUP BY event_type) "
+    "SELECT a.event_type, regs_set, sum_rho, rho_ck, est40, "
+    "exact_distinct FROM a JOIN x ON x.event_type = a.event_type "
+    "ORDER BY a.event_type"
+)
+
+
+@register(
+    "x_stream_hll_maintain",
+    oracle=_HLL_ORACLE,
+    doc=(
+        "Streaming MERGEABLE-SKETCH maintenance: a per-event-type "
+        "HLL-shaped distinct-count sketch (64 registers, portable "
+        "integer hash) maintained across micro-batches. Register "
+        "merge is MAX — associative, commutative AND idempotent, so "
+        "the state is replay- and batching-invariant by algebra "
+        "(the same argument as the min-parent CC merge), proven "
+        "in-op by re-delivering the first batch after the stream "
+        "ends. The state table is O(types x 64) rows NO MATTER HOW "
+        "MUCH DATA ARRIVES — the whole point of a sketch at 100 TB: "
+        "per-trigger work is one map-side-combining hash-agg of the "
+        "batch plus a constant-size state merge, and the serving "
+        "read is constant-size. Graded hash-exactly per event type: "
+        "set-register count, rho sum/checksum, and a pure-BIGINT "
+        "scaled harmonic estimate (2^40 fixed point, rho clamped so "
+        "m^2*2^40 stays under 2^63) against the identical register "
+        "construction in SQL — plus the exact distinct count, so "
+        "the record shows what the estimate missed (the engine's "
+        "built-in approx_count_distinct stays rows-only graded in "
+        "x_approx_sketches; THIS sketch is graded bit-for-bit "
+        "because both engines compute the same portable hash)."
+    ),
+    tags=("streaming", "sketch", "statistics"),
+)
+@_sized_state
+def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    events = load_table(spark, sf, "events")
+    src_dir = scratch_dir("zs_stream_hll_")
+    events.filter(F.col("user_id").isNotNull()).select(
+        "event_type", "user_id"
+    ).repartition(STREAM_HLL_SRC_FILES).write.mode("overwrite").parquet(
+        src_dir
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = scratch_dir("zs_stream_hll_state_")
+    state = {"path": None, "v": 0}
+    reg_e, rho_e = _hll_exprs("div")
+    probe: dict = {}
+
+    def _fold(b, bid):
+        regs = (
+            b.select(
+                "event_type",
+                F.expr(reg_e).alias("reg"),
+                F.expr(rho_e).alias("rho"),
+            )
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        if state["path"]:
+            regs = (
+                regs.unionByName(spark.read.parquet(state["path"]))
+                .groupBy("event_type", "reg")
+                .agg(F.max("rho").alias("rho"))
+            )
+        new_path = os.path.join(workdir, f"v{state['v']}")
+        # constant-size state: one file IS the right layout for a
+        # sketch (O(types * 64) rows regardless of stream volume)
+        regs.coalesce(1).write.mode("overwrite").parquet(new_path)
+        state["path"], state["v"] = new_path, state["v"] + 1
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(workdir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery: max-merge is idempotent, so re-folding the
+    # first batch verbatim must leave the graded registers unchanged
+    replayed = spark.read.parquet(
+        os.path.join(workdir, "probe_input")
+    ).localCheckpoint()
+    _fold(replayed, probe["bid"])
+
+    # grade via one SQL pass sharing the oracle's expression text
+    spark.read.parquet(state["path"]).createOrReplaceTempView(
+        "zs_hll_m"
+    )
+    grade = spark.sql(
+        "SELECT event_type, "
+        + _hll_grade_exprs("div", "shiftleft(CAST(1 AS BIGINT), {n})")
+        + " FROM zs_hll_m GROUP BY event_type"
+    )
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id")
+            .cast("bigint")
+            .alias("exact_distinct")
+        )
+    )
+    return (
+        grade.join(exact, "event_type")
+        .select(
+            "event_type",
+            "regs_set",
+            "sum_rho",
+            "rho_ck",
+            "est40",
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
