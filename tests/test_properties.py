@@ -1111,3 +1111,31 @@ def test_stream_hll_registers_batching_independent(spark):
         assert d["est40"] > 0
         assert d["est40"] < 10 * max(d["exact_distinct"], 32)
         assert d["est40"] > d["exact_distinct"] // 10
+
+
+def test_stream_loghist_batching_independent(spark):
+    """x_stream_loghist_maintain: SUM-merged partials under keyed
+    overwrites — 1-file and 7-file chunkings (each including the
+    in-op replay) must produce identical quantile rows."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_LOGHIST_SRC_FILES
+    try:
+        ss.STREAM_LOGHIST_SRC_FILES = 1
+        one = [
+            tuple(r)
+            for r in ss.x_stream_loghist_maintain(spark, sf).collect()
+        ]
+        ss.STREAM_LOGHIST_SRC_FILES = 7
+        seven = [
+            tuple(r)
+            for r in ss.x_stream_loghist_maintain(spark, sf).collect()
+        ]
+    finally:
+        ss.STREAM_LOGHIST_SRC_FILES = prev
+    assert one == seven
+    assert len(one) == 3  # p50 / p90 / p99
+    # octave bounds really bracket: lo <= hi, monotone across q
+    assert all(lo <= hi for _, _, lo, hi, _ in one)
+    assert [q for q, *_ in one] == [50, 90, 99]

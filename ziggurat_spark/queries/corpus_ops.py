@@ -1755,3 +1755,80 @@ def x_dedup_rate_report(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("dup_ppm"),
         F.max("c").cast("bigint").alias("max_copies"),
     )
+
+
+_SNAPDIFF_ORACLE = (
+    "WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 "
+    "FROM documents WHERE doc_id % 10 <> 0), "
+    "v2 AS (SELECT doc_id, source, md5(CASE WHEN doc_id % 5 = 0 "
+    "THEN text || ' [rev2]' ELSE text END) AS h2 "
+    "FROM documents WHERE doc_id % 7 <> 0), "
+    "j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, "
+    "COALESCE(v1.source, v2.source) AS source, h1, h2 "
+    "FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id), "
+    "st AS (SELECT doc_id, source, "
+    "CASE WHEN h1 IS NULL THEN 'added' "
+    "WHEN h2 IS NULL THEN 'removed' "
+    "WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status "
+    "FROM j) "
+    "SELECT source, status, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(doc_id) AS BIGINT) AS id_ck FROM st "
+    "GROUP BY source, status ORDER BY source, status"
+)
+
+
+@register(
+    "x_corpus_snapshot_diff",
+    oracle=_SNAPDIFF_ORACLE,
+    doc=(
+        "Corpus snapshot CDC: diff two corpus versions (v1 = last "
+        "month's dump, v2 = this month's — modeled as deterministic "
+        "projections of the documents table with ~10% removals, "
+        "~14% additions and a content revision on every fifth doc) "
+        "into added / removed / changed / unchanged per source — "
+        "the incremental-update primitive: 'changed + added' is "
+        "exactly the set that must re-enter the dedup/quality "
+        "pipeline, everything else keeps its verdicts. Scale shape: "
+        "content hashes are computed IN THE SCAN projection so the "
+        "full-outer join on doc_id moves (id, source, 32-byte hash) "
+        "only — text never crosses the shuffle — and the join is a "
+        "plain co-partitioned hash join (AQE-handled, no skew: ids "
+        "are unique on both sides). Graded per (source, status) by "
+        "count + id checksum."
+    ),
+    tags=("corpus", "cdc", "dedup"),
+)
+def x_corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.md5("text").alias("h1"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.col("source").alias("s2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    st = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("s1", "s2").alias("source"),
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return (
+        st.groupBy("source", "status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_ck"),
+        )
+        .orderBy("source", "status")
+    )

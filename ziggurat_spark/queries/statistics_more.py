@@ -331,3 +331,121 @@ def x_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: log2-bucket histogram quantiles (shared by the batch op and the
+#: streaming maintenance twin): bucket = bit-length of the integer
+#: cent value, so every bucket spans [2^(b-1), 2^b - 1] — a <=2x
+#: relative-error quantile sketch whose merge is plain per-bucket
+#: SUM. Pure integer on both engines (bin() + length(), no log2
+#: float boundaries).
+LOGHIST_QS = (50, 90, 99)
+
+LOGHIST_ORACLE = (
+    "WITH h AS (SELECT length(bin(CAST(round(l_extendedprice * 100) "
+    "AS BIGINT))) AS bucket FROM lineitem), "
+    "g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM h "
+    "GROUP BY bucket), "
+    "w AS (SELECT bucket, c, CAST(sum(c) OVER (ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum FROM g), "
+    "t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g), "
+    "qs AS (SELECT * FROM (VALUES (50), (90), (99)) AS v(q)), "
+    "sel AS (SELECT q, min(bucket) AS bucket FROM qs, w, t "
+    "WHERE 100 * cum >= q * n GROUP BY q) "
+    "SELECT CAST(s.q AS BIGINT) AS q, CAST(s.bucket AS BIGINT) AS "
+    "bucket, CAST(CAST(1 AS BIGINT) << (s.bucket - 1) AS BIGINT) "
+    "AS lo_cents, CAST((CAST(1 AS BIGINT) << s.bucket) - 1 AS "
+    "BIGINT) AS hi_cents, w.cum AS cum_le "
+    "FROM sel s JOIN w ON w.bucket = s.bucket ORDER BY q"
+)
+
+
+def _loghist_quantile_tail(
+    spark: SparkSession, g: DataFrame
+) -> DataFrame:
+    """Quantile extraction over a (bucket, c) histogram: windowed
+    cumsum over the ~60-row bucket table (bounded — the unpartitioned
+    window is over the SKETCH, never the data), then the smallest
+    bucket whose cumulative count covers each q. Shared by the batch
+    op and the streaming maintenance grade."""
+    w = g.withColumn(
+        "cum",
+        F.sum("c")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    ).crossJoin(g.agg(F.sum("c").cast("bigint").alias("n")))
+    qs = spark.createDataFrame([(q,) for q in LOGHIST_QS], "q int")
+    sel = (
+        qs.join(w, 100 * F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        sel.join(w.select("bucket", "cum"), "bucket")
+        .select(
+            F.col("q").cast("bigint").alias("q"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(bucket AS INT) - 1) AS BIGINT)"
+            ).alias("lo_cents"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(bucket AS INT)) - 1 AS BIGINT)"
+            ).alias("hi_cents"),
+            F.col("cum").alias("cum_le"),
+        )
+        .orderBy("q")
+    )
+
+
+def loghist_buckets(li: DataFrame) -> DataFrame:
+    """One codegen scan: integer cents -> bit-length bucket ->
+    per-bucket counts (map-side combining hash agg)."""
+    return (
+        li.select(
+            F.length(
+                F.bin(
+                    F.expr(
+                        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+@register(
+    "x_loghist_quantiles",
+    oracle=LOGHIST_ORACLE,
+    doc=(
+        "Approximate quantiles (p50/p90/p99) from a LOG2-BUCKET "
+        "histogram sketch over lineitem prices: bucket = bit-length "
+        "of the integer cent value, so each bucket spans one octave "
+        "[2^(b-1), 2^b - 1] — guaranteed <=2x relative error, and "
+        "the sketch merges by plain per-bucket SUM (the mergeable "
+        "complement to the exact x_percentile_exact / "
+        "x_equidepth_histogram family: at 100 TB you ship ~60 "
+        "BIGINT counters per partition instead of sorting the "
+        "column). Everything is integer — bit-length instead of "
+        "log2() dodges float boundary ties at exact powers — so the "
+        "sketch, the cumulative walk and the 2^b bucket bounds are "
+        "hash-exact against DuckDB. Scale shape: one "
+        "map-side-combining hash-agg scan; the quantile tail's "
+        "unpartitioned window runs over the ~60-row SKETCH, never "
+        "the data."
+    ),
+    tags=("statistics", "sketch", "quantiles"),
+)
+def x_loghist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return _loghist_quantile_tail(spark, loghist_buckets(li))

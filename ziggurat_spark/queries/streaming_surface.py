@@ -5083,3 +5083,98 @@ def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+STREAM_LOGHIST_SRC_FILES = 6
+
+from ziggurat_spark.queries.statistics_more import (  # noqa: E402
+    LOGHIST_ORACLE,
+)
+
+
+@register(
+    "x_stream_loghist_maintain",
+    # the maintained sketch grades against the IDENTICAL one-shot
+    # oracle: batching must not move a single register
+    oracle=LOGHIST_ORACLE,
+    doc=(
+        "Streaming maintenance of the log2-bucket quantile sketch "
+        "(x_loghist_quantiles's mergeable complement): each "
+        "micro-batch writes its OWN per-bucket partial counts under "
+        "a batch-keyed overwrite — counts merge by SUM, which is "
+        "associative and commutative but NOT idempotent, so replay "
+        "safety comes from the keyed-partials construction (a "
+        "re-delivered batch rewrites its own file in place; the "
+        "x_stream_dsir_maintain argument), proven in-op by "
+        "re-delivering the first batch before grading. State is "
+        "O(batches x ~60 buckets) rows; at higher trigger counts "
+        "the DSIR epoch-compaction pattern applies unchanged (fold "
+        "committed partials into one O(buckets) epoch — the sketch "
+        "is SUM-mergeable by design). The grade folds the partials "
+        "and runs the identical quantile tail as the batch op, so "
+        "both grade against the SAME oracle: the maintained sketch "
+        "must equal the one-shot sketch no matter how the stream "
+        "was chunked."
+    ),
+    tags=("streaming", "sketch", "quantiles"),
+)
+@_sized_state
+def x_stream_loghist_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.queries.statistics_more import (
+        _loghist_quantile_tail,
+        loghist_buckets,
+    )
+    from ziggurat_spark.tables import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    src_dir = scratch_dir("zs_stream_loghist_")
+    li.select("l_extendedprice").repartition(
+        STREAM_LOGHIST_SRC_FILES
+    ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = scratch_dir("zs_stream_loghist_state_")
+    probe: dict = {}
+
+    def _fold(b, bid):
+        # batch-keyed partial: crash re-delivery rewrites in place
+        loghist_buckets(b).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(workdir, f"part_b{bid}")
+        )
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(workdir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery BEFORE grading: the keyed overwrite makes the
+    # SUM-fold replay-exact even though SUM itself is not idempotent
+    replayed = spark.read.parquet(
+        os.path.join(workdir, "probe_input")
+    ).localCheckpoint()
+    _fold(replayed, probe["bid"])
+
+    parts = [
+        os.path.join(workdir, d)
+        for d in sorted(os.listdir(workdir))
+        if d.startswith("part_b")
+    ]
+    g = (
+        spark.read.parquet(*parts)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return _loghist_quantile_tail(spark, g)
