@@ -640,12 +640,15 @@ def _lpa_converge(
 
 
 #: k-core threshold and peel-round cap. k=2 peels the mutual k-NN
-#: graph's tree-like fringe (7-9 rounds at test SF); the cap is a
-#: safety rail, not the exit condition — the loop exits at the exact
-#: zero-kill fixed point and RAISES if the cap is hit unconverged
-#: (the star-CC discipline: never emit an unverified fixed point).
+#: graph's tree-like fringe (7-14 rounds at sf0.001-0.1); the cap is
+#: a safety rail, not the exit condition — the loop exits at the
+#: exact zero-kill fixed point and RAISES if the cap is hit
+#: unconverged (the star-CC discipline: never emit an unverified
+#: fixed point). Peel depth grows slowly with graph size; for
+#: unbounded-depth graphs the h-index iteration is the scale path
+#: (see the op docstring).
 KCORE_K = 2
-KCORE_CAP = 12
+KCORE_CAP = 24
 
 
 def _kcore_oracle(k: int, cap: int) -> str:
