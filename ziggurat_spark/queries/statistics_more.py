@@ -449,3 +449,114 @@ def loghist_buckets(li: DataFrame) -> DataFrame:
 def x_loghist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return _loghist_quantile_tail(spark, loghist_buckets(li))
+
+
+#: Count-Min sketch geometry: d=4 hash rows x w=128 counters, the
+#: same portable universal hashes as the HLL sketch (parity with
+#: DuckDB is what makes the sketch hash-checkable).
+CMS_W = 128
+_CMS_P = 1_000_000_007
+CMS_HASHES = (
+    (769_234_561, 123_456_791),
+    (987_654_323, 456_789_123),
+    (572_931_847, 918_273_645),
+    (318_271_019, 736_912_457),
+)
+
+
+def _cms_cell(j: int, key: str) -> str:
+    a, b = CMS_HASHES[j]
+    return f"(({a} * ({key} % {_CMS_P}) + {b}) % {_CMS_P}) % {CMS_W}"
+
+
+_CMS_ORACLE = (
+    "WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT "
+    "NULL), cms AS ("
+    + " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_cell(j, 'user_id')} AS cell, "
+        f"CAST(count(*) AS BIGINT) AS c FROM e GROUP BY cell"
+        for j in range(len(CMS_HASHES))
+    )
+    + "), top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS "
+    "exact_n FROM e GROUP BY user_id "
+    "ORDER BY exact_n DESC, user_id LIMIT 10), "
+    "sel AS ("
+    + " UNION ALL ".join(
+        f"SELECT t.user_id, t.exact_n, m.c FROM top t JOIN cms m "
+        f"ON m.j = {j} AND m.cell = {_cms_cell(j, 't.user_id')}"
+        for j in range(len(CMS_HASHES))
+    )
+    + ") SELECT user_id, exact_n, CAST(min(c) AS BIGINT) AS cms_n "
+    "FROM sel GROUP BY user_id, exact_n "
+    "ORDER BY exact_n DESC, user_id"
+)
+
+
+@register(
+    "x_heavy_hitters_cms",
+    oracle=_CMS_ORACLE,
+    doc=(
+        "Count-Min sketch frequency estimation — the third classic "
+        "mergeable sketch next to the HLL distinct sketch "
+        "(x_stream_hll_maintain) and the log2 quantile histogram "
+        "(x_loghist_quantiles): d=4 portable universal hashes x "
+        "w=128 counters, built in ONE scan (each row explodes to "
+        "its 4 (row, cell) coordinates, map-side-combining hash "
+        "agg), merged across partitions by plain SUM — at 100 TB "
+        "the sketch is 512 BIGINTs per partition regardless of key "
+        "cardinality. Graded on the exact top-10 heavy hitters: "
+        "exact count next to the CMS estimate (min over the 4 "
+        "rows; always >= exact, overestimate bounded by collision "
+        "mass ~ N/w per row) — the record shows precisely what the "
+        "sketch over-counts. Pure integer on both engines, "
+        "hash-exact (built-in engine sketches can only ever be "
+        "rows-only graded)."
+    ),
+    tags=("statistics", "sketch"),
+)
+def x_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    coords = ", ".join(
+        f"struct(CAST({j} AS INT) AS j, "
+        f"CAST({_cms_cell(j, 'user_id')} AS BIGINT) AS cell)"
+        for j in range(len(CMS_HASHES))
+    )
+    cms = (
+        ev.select(
+            F.explode(F.expr(f"array({coords})")).alias("co")
+        )
+        .groupBy("co.j", "co.cell")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct(CAST({j} AS INT) AS j, "
+                    f"CAST({_cms_cell(j, 'user_id')} AS BIGINT) "
+                    f"AS cell)"
+                    for j in range(len(CMS_HASHES))
+                )
+                + ")"
+            )
+        ).alias("co"),
+    ).select("user_id", "exact_n", "co.j", "co.cell")
+    return (
+        probes.join(F.broadcast(cms), ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
