@@ -1936,3 +1936,107 @@ def x_dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
         F.col("comp").alias("component"),
         (F.col("comp") == F.col("id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+def _v2_shingle_cte(k: int) -> str:
+    """x_corpus_snapshot_diff's v2 corpus (removals + revisions)
+    pushed through the shared shingle chain."""
+    return (
+        "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+        "THEN text || ' [rev2]' ELSE text END AS text "
+        "FROM documents WHERE doc_id % 7 <> 0), "
+        f"tok AS (SELECT doc_id, {TH.tokens('text')[1]} AS words "
+        "FROM v2), "
+        f"wh AS (SELECT doc_id, {TH.word_hashes('words')[1]} "
+        "AS whash FROM tok), "
+        f"sh AS (SELECT doc_id, "
+        f"{TH.shingle_hashes('whash', k)[1]} AS sh FROM wh)"
+    )
+
+
+@register(
+    "x_incremental_neardup",
+    oracle=(
+        _v2_shingle_cte(MINHASH_SHINGLE_K)
+        + ", bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, ({_duck_band_key(b)}) "
+            "AS bucket FROM sh"
+            for b in range(BANDS)
+        )
+        + "), p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id "
+        "WHERE a.bucket IS NOT NULL) "
+        "SELECT a, b FROM p WHERE a % 5 = 0 OR b % 5 = 0 "
+        "ORDER BY a, b"
+    ),
+    doc=(
+        "INCREMENTAL near-dup: the x_corpus_snapshot_diff -> LSH "
+        "composition. After a snapshot update only the delta "
+        "(changed + added docs — here v2's every-fifth-doc "
+        "revision set) re-enters the MinHash pipeline: signatures "
+        "and band keys are computed for DELTA DOCS ONLY (the "
+        "expensive Arrow UDF pass — the unchanged 80% of the "
+        "corpus never re-hashes), and the delta's band rows join "
+        "the STANDING band index on (band, bucket) to surface "
+        "every pair the update created. Graded equal to the full "
+        "v2-corpus LSH pair set restricted to delta-touching pairs "
+        "— the incremental probe must find exactly what a full "
+        "recompute would, at O(delta) hash cost. Scale shape: one "
+        "keyed shuffle join delta-bands x standing-bands (both "
+        "sides pruned to shared buckets); the hot-bucket salt "
+        "guard (dedup.py _salted_bucket_hamming_pairs) composes "
+        "unchanged if a boilerplate bucket concentrates; at 100 TB "
+        "the standing index is the persisted band table the "
+        "streaming loop (x_stream_lsh_compact) already maintains "
+        "as partitionBy(band) epochs — the probe prunes history "
+        "I/O to the delta's bands."
+    ),
+    tags=("dedup", "minhash", "lsh", "cdc"),
+)
+def x_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents", fan_out=True)
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bucket_udf = THU.lsh_buckets_udf(
+        MINHASH_SHINGLE_K, BANDS, ROWS_PER_BAND
+    )
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.posexplode(bucket_udf("text")).alias("band", "bucket"),
+        )
+
+    # the standing index: in production this is the persisted band
+    # table; unchanged docs are NEVER re-hashed by the update
+    standing = bands_of(
+        v2.filter(F.col("doc_id") % 5 != 0)
+    ).localCheckpoint(eager=False)
+    delta_b = bands_of(
+        v2.filter(F.col("doc_id") % 5 == 0)
+    ).localCheckpoint(eager=False)
+    d = delta_b.select(
+        F.col("doc_id").alias("da"), "band", "bucket"
+    )
+    o = standing.unionByName(delta_b).select(
+        F.col("doc_id").alias("db"), "band", "bucket"
+    )
+    return (
+        d.join(o, ["band", "bucket"])
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+        )
+        .distinct()
+        .orderBy("a", "b")
+    )
