@@ -98,6 +98,23 @@ def main(sf_dir: str) -> None:
         10, truncate=False
     )
 
+    print("== monthly snapshot update: what changed, what re-enters ==")
+    q["x_corpus_snapshot_diff"].spark(spark, sf_dir).show(
+        20, truncate=False
+    )
+    print("== ...and ONLY the delta re-enters near-dup (O(delta)) ==")
+    q["x_incremental_neardup"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
+
+    print("== corpus telemetry via mergeable sketches ==")
+    q["x_stream_hll_maintain"].spark(spark, sf_dir).show(truncate=False)
+    q["x_loghist_quantiles"].spark(spark, sf_dir).show(truncate=False)
+    q["x_heavy_hitters_cms"].spark(spark, sf_dir).show(truncate=False)
+
+    print("== graph-density screen before community detection ==")
+    q["x_kcore_decompose"].spark(spark, sf_dir).show(10, truncate=False)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
