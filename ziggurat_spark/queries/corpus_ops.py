@@ -1832,3 +1832,79 @@ def x_corpus_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+
+
+#: weighted bottom-k sampling: portable integer priority hash (same
+#: two-universal-hash packing as the HLL sketch) and the sample size
+WBK_P = 1_000_000_007
+WBK_A1, WBK_B1 = 769_234_561, 123_456_791
+WBK_A2, WBK_B2 = 987_654_323, 456_789_123
+WBK_K = 5
+
+_WBK_HV = (
+    f"(({WBK_A1} * (doc_id % {WBK_P}) + {WBK_B1}) % {WBK_P}) "
+    f"* 1073741824 + "
+    f"(({WBK_A2} * (doc_id % {WBK_P}) + {WBK_B2}) % {WBK_P})"
+)
+
+
+@register(
+    "x_weighted_sample_bottomk",
+    oracle=(
+        "WITH h AS (SELECT source, doc_id, "
+        f"{_WBK_HV} AS hv, "
+        "GREATEST(CAST(len(string_split_regex(trim(text), '\\s+')) "
+        "AS BIGINT), 1) AS w FROM documents), "
+        "p AS (SELECT source, doc_id, hv // w AS pri FROM h), "
+        "r AS (SELECT source, doc_id, pri, row_number() OVER ("
+        "PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) "
+        f"SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, pri "
+        f"FROM r WHERE rnk <= {WBK_K} ORDER BY source, rnk"
+    ),
+    doc=(
+        "WEIGHTED bottom-k sampling: per source, the k docs with "
+        "the smallest (hash div token_count) priority — the integer "
+        "spelling of priority sampling (a doc's selection odds grow "
+        "~linearly with its token mass; a 1000-token doc is ~10x "
+        "likelier in-sample than a 100-token one), deterministic "
+        "and engine-portable because the priority is pure BIGINT "
+        "algebra (a float u^(1/w) key would not hash-match across "
+        "engines). Unlike the budget prefix (x_stream_budget_*), "
+        "weighted bottom-k IS mergeable: union two samples and "
+        "re-truncate — membership depends only on the global "
+        "priority order, so shards/batches compose exactly (the "
+        "same algebra x_stream_bottomk_sample rides). Scale shape: "
+        "per-source window top-k with rank-truncation pushdown "
+        "(WindowGroupLimit), never a global sort."
+    ),
+    tags=("corpus", "sampling"),
+)
+def x_weighted_sample_bottomk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    h = load_table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.expr(_WBK_HV).alias("hv"),
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("w"),
+    )
+    p = h.select(
+        "source", "doc_id", F.expr("hv div w").alias("pri")
+    )
+    w_ = W.partitionBy("source").orderBy("pri", "doc_id")
+    return (
+        p.withColumn("rnk", F.row_number().over(w_))
+        .filter(F.col("rnk") <= WBK_K)
+        .select(
+            "source",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "doc_id",
+            "pri",
+        )
+        .orderBy("source", "rnk")
+    )
