@@ -959,3 +959,50 @@ def test_corpus_pipeline_v5_feature_frame_computed_once(spark, specs):
     assert "shard" in plan.lower()  # two-level prefix sums
     assert broadcast_join_count(df) >= 3  # tot + 2x tlps offsets
     assert not has_cartesian_product(df)
+
+
+def test_loghist_sketch_scan_prunes_and_partial_aggs(spark, specs):
+    """x_loghist_quantiles: the sketch build reads ONE column and
+    combines map-side — the whole point of a mergeable sketch is
+    that partitions ship ~60 counters, not rows."""
+    from ziggurat_spark.plans.quality import formatted_plan
+
+    df = q(specs, "x_loghist_quantiles", spark)
+    schemas = scan_read_schemas(df)
+    assert any(
+        "l_extendedprice" in s and s.count(":") == 1 for s in schemas
+    ), schemas
+    assert "partial_count" in formatted_plan(df)  # map-side combine
+
+
+def test_snapshot_diff_text_never_crosses_shuffle(spark, specs):
+    """x_corpus_snapshot_diff: content hashes are computed in the
+    scan projection, so no shuffle Exchange may carry the text
+    column — at 100 TB that is the difference between shuffling
+    32-byte hashes and shuffling the corpus."""
+    import re
+
+    from ziggurat_spark.plans.quality import formatted_plan
+
+    plan = formatted_plan(q(specs, "x_corpus_snapshot_diff", spark))
+    # text IS read (the hash needs it)...
+    assert any("text" in s for s in scan_read_schemas(
+        q(specs, "x_corpus_snapshot_diff", spark)
+    ))
+    # ...but never enters an Exchange
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "text#" not in m.group(1), m.group(1)
+
+
+def test_incremental_neardup_standing_index_not_rehashed(spark, specs):
+    """x_incremental_neardup: the delta probe's pair join must be a
+    keyed join on (band, bucket) with no cartesian product, and the
+    documents scan reads only (doc_id, text)."""
+    df = q(specs, "x_incremental_neardup", spark)
+    assert not has_cartesian_product(df)
+    schemas = scan_read_schemas(df)
+    assert all(
+        "lang" not in s and "n_chars" not in s for s in schemas
+    ), schemas
