@@ -1139,3 +1139,53 @@ def test_stream_loghist_batching_independent(spark):
     # octave bounds really bracket: lo <= hi, monotone across q
     assert all(lo <= hi for _, _, lo, hi, _ in one)
     assert [q for q, *_ in one] == [50, 90, 99]
+
+
+def test_coreness_hindex_consistent_with_peel(spark):
+    """The two k-core spellings must agree: {v : coreness(v) >= 2}
+    from the h-index iteration == the 2-core survivor set from
+    iterative peeling, on the clique+path+bridge graph — and the
+    clique's coreness is exactly 3."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.queries.ml_cluster import _kcore_peel
+
+    clique = [(100, 101), (100, 102), (100, 103), (101, 102),
+              (101, 103), (102, 103)]
+    path = [(i, i + 1) for i in range(12)]
+    bridge = [(11, 100)]
+    edges = clique + path + bridge
+    sym_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    sym = spark.createDataFrame(sym_rows, "v long, n long").localCheckpoint()
+
+    # h-index iteration to the exact fixed point
+    c = sym.groupBy("v").agg(F.count("*").cast("bigint").alias("c")).localCheckpoint()
+    w = W.partitionBy("v").orderBy(F.desc("cn"), "n")
+    for _ in range(30):
+        nxt = (
+            sym.join(c.select(F.col("v").alias("n"), F.col("c").alias("cn")), "n")
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("v")
+            .agg(F.max(F.least(F.col("rn"), F.col("cn"))).cast("bigint").alias("c"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(c.withColumnRenamed("c", "pc"), "v")
+            .filter(F.col("c") != F.col("pc"))
+            .count()
+        )
+        c = nxt
+        if changed == 0:
+            break
+    assert changed == 0
+    core = {r["v"]: r["c"] for r in c.collect()}
+
+    survivors = {
+        r["v"]
+        for r in _kcore_peel(sym, 2, cap=20).select("v").distinct().collect()
+    }
+    assert {v for v, cv in core.items() if cv >= 2} == survivors
+    assert all(core[v] == 3 for v in (100, 101, 102, 103))
+    # the path interior is coreness 1 (tree-like)
+    assert core[5] == 1

@@ -1848,19 +1848,22 @@ _WBK_HV = (
 )
 
 
+WBK_ORACLE = (
+    "WITH h AS (SELECT source, doc_id, "
+    f"{_WBK_HV} AS hv, "
+    "GREATEST(CAST(len(string_split_regex(trim(text), '\\s+')) "
+    "AS BIGINT), 1) AS w FROM documents), "
+    "p AS (SELECT source, doc_id, hv // w AS pri FROM h), "
+    "r AS (SELECT source, doc_id, pri, row_number() OVER ("
+    "PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) "
+    f"SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, pri "
+    f"FROM r WHERE rnk <= {WBK_K} ORDER BY source, rnk"
+)
+
+
 @register(
     "x_weighted_sample_bottomk",
-    oracle=(
-        "WITH h AS (SELECT source, doc_id, "
-        f"{_WBK_HV} AS hv, "
-        "GREATEST(CAST(len(string_split_regex(trim(text), '\\s+')) "
-        "AS BIGINT), 1) AS w FROM documents), "
-        "p AS (SELECT source, doc_id, hv // w AS pri FROM h), "
-        "r AS (SELECT source, doc_id, pri, row_number() OVER ("
-        "PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) "
-        f"SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, pri "
-        f"FROM r WHERE rnk <= {WBK_K} ORDER BY source, rnk"
-    ),
+    oracle=WBK_ORACLE,
     doc=(
         "WEIGHTED bottom-k sampling: per source, the k docs with "
         "the smallest (hash div token_count) priority — the integer "

@@ -5178,3 +5178,244 @@ def x_stream_loghist_maintain(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return _loghist_quantile_tail(spark, g)
+
+
+STREAM_WBK_SRC_FILES = 6
+
+
+from ziggurat_spark.queries.corpus_ops import (  # noqa: E402
+    WBK_ORACLE,
+)
+
+
+@register(
+    "x_stream_weighted_sample",
+    # identical oracle as the batch op: the maintained weighted
+    # sample must equal the one-shot weighted bottom-k exactly
+    oracle=WBK_ORACLE,
+    doc=(
+        "Streaming WEIGHTED sample maintenance — the live proof of "
+        "x_weighted_sample_bottomk's mergeability claim: the "
+        "priority (hash div token_count) depends only on the row, "
+        "so weighted bottom-k composes exactly like uniform "
+        "bottom-k (union two samples, re-truncate) and unlike the "
+        "budget prefix needs NO watermark machinery. Each "
+        "micro-batch truncates locally to k rows per source, merges "
+        "with the k·sources-row state, dropDuplicates for replay "
+        "idempotence, re-truncates, overwrites the tiny state. "
+        "Graded under the IDENTICAL oracle as the batch op: "
+        "batching must not move a single sampled doc."
+    ),
+    tags=("streaming", "sampling", "corpus"),
+)
+@_sized_state
+def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.queries.corpus_ops import _WBK_HV, WBK_K
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    src_dir = scratch_dir("zs_stream_wbk_")
+    docs.select(
+        "source",
+        "doc_id",
+        F.expr(_WBK_HV).alias("hv"),
+        F.greatest(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("w"),
+    ).select(
+        "source", "doc_id", F.expr("hv div w").alias("pri")
+    ).repartition(STREAM_WBK_SRC_FILES).write.mode("overwrite").parquet(
+        src_dir
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = scratch_dir("zs_stream_wbk_state_")
+    state = {"path": None, "v": 0}
+    w_ = W.partitionBy("source").orderBy("pri", "doc_id")
+    probe: dict = {}
+
+    def _fold(b, bid):
+        cand = (
+            b.withColumn("rn", F.row_number().over(w_))
+            .filter(F.col("rn") <= WBK_K)
+            .drop("rn")
+        )
+        if state["path"]:
+            cand = cand.unionByName(
+                spark.read.parquet(state["path"])
+            ).dropDuplicates(["source", "doc_id"])
+        merged = (
+            cand.withColumn("rn", F.row_number().over(w_))
+            .filter(F.col("rn") <= WBK_K)
+            .drop("rn")
+        )
+        new_path = os.path.join(workdir, f"v{state['v']}")
+        merged.coalesce(1).write.mode("overwrite").parquet(new_path)
+        state["path"], state["v"] = new_path, state["v"] + 1
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(workdir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery: dropDuplicates + re-truncate make the merge
+    # idempotent — the graded sample must not move
+    replayed = spark.read.parquet(
+        os.path.join(workdir, "probe_input")
+    ).localCheckpoint()
+    _fold(replayed, probe["bid"])
+
+    final = spark.read.parquet(state["path"])
+    return (
+        final.withColumn("rnk", F.row_number().over(w_))
+        .select(
+            "source",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "doc_id",
+            "pri",
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+STREAM_SNAP_SRC_FILES = 6
+
+from ziggurat_spark.queries.corpus_ops import (  # noqa: E402
+    _SNAPDIFF_ORACLE,
+)
+
+
+@register(
+    "x_stream_snapshot_apply",
+    # identical oracle as the batch CDC diff: applying the v2 dump
+    # as a STREAM must land on exactly the same corpus state
+    oracle=_SNAPDIFF_ORACLE,
+    doc=(
+        "Streaming snapshot APPLY — the ingest half of the CDC "
+        "story: the v2 corpus dump arrives in micro-batches and "
+        "upserts into a doc_id-keyed bucketed state table "
+        "(bucketed_lww_merge: only the buckets a batch touches "
+        "rewrite; untouched bucket dirs carry over by reference — "
+        "the x_stream_upsert_state contract), then the maintained "
+        "state is diffed against the v1 snapshot: added / removed / "
+        "changed / unchanged per source, graded under the IDENTICAL "
+        "oracle as the batch x_corpus_snapshot_diff. Removals need "
+        "no tombstones: v2 is a full snapshot, so absence from the "
+        "maintained state IS the removal signal. Upsert is "
+        "idempotent (same doc -> same hash row), proven in-op by "
+        "re-delivering the first batch after the stream ends. At "
+        "100 TB: per-trigger I/O O(batch + touched buckets); the "
+        "diff is the batch op's hash-only join."
+    ),
+    tags=("streaming", "corpus", "cdc"),
+)
+@_sized_state
+def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    # v2 dump: removals + every-fifth-doc revision (the same
+    # deterministic model as the batch diff)
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    src_dir = scratch_dir("zs_stream_snap_")
+    v2.repartition(STREAM_SNAP_SRC_FILES).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = scratch_dir("zs_stream_snap_state_")
+    n_buckets = 16
+    state: dict = {}
+    probe: dict = {}
+
+    def _fold(b, bid):
+        proj = b.withColumn(
+            "kb", F.pmod(F.col("doc_id"), F.lit(n_buckets))
+        ).withColumn("ob", F.lit(int(bid)).cast("bigint"))
+        bucketed_lww_merge(
+            spark,
+            workdir,
+            state,
+            proj,
+            int(bid) * 2 + 1000,  # unique version per (re)delivery
+            key="doc_id",
+            order_cols=(F.desc("ob"), F.desc("doc_id")),
+        )
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(workdir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery: the LWW upsert of identical rows is a
+    # byte-level no-op for the graded diff
+    replayed = spark.read.parquet(
+        os.path.join(workdir, "probe_input")
+    ).localCheckpoint()
+    _fold(replayed, probe["bid"] )
+
+    cur = spark.read.parquet(*sorted(state.values())).select(
+        "doc_id", F.col("source").alias("s2"), "h2"
+    )
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.md5("text").alias("h1"),
+    )
+    st = v1.join(cur, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("s1", "s2").alias("source"),
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return (
+        st.groupBy("source", "status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_ck"),
+        )
+        .orderBy("source", "status")
+    )
