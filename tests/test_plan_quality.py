@@ -1006,3 +1006,13 @@ def test_incremental_neardup_standing_index_not_rehashed(spark, specs):
     assert all(
         "lang" not in s and "n_chars" not in s for s in schemas
     ), schemas
+
+
+def test_refresh_incremental_single_text_scan(spark, specs):
+    """x_corpus_refresh_incremental: the refresh subtree re-reads
+    text for the DELTA only — last month's verdicts ride the
+    checkpointed compact state, so exactly one text-bearing scan
+    may appear in the graded plan."""
+    df = q(specs, "x_corpus_refresh_incremental", spark)
+    text_scans = [s for s in scan_read_schemas(df) if "text" in s]
+    assert len(text_scans) == 1, text_scans

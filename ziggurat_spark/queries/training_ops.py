@@ -71,14 +71,22 @@ QC_KEEP_MICRO = 200000
 DSIR_NEUTRAL_PPM = 960000
 
 
-def _qc_feature_frame(docs: DataFrame) -> DataFrame:
+def _qc_feature_frame(
+    docs: DataFrame, extra: dict | None = None
+) -> DataFrame:
     """Per-doc integer quality features + linear-head score
     (doc_id, n_tokens, stop_ppm, punct_ppm, upper_ppm,
-    mean_wlen_milli, score_micro) — pure column math, one scan."""
+    mean_wlen_milli, score_micro) — pure column math, one scan.
+    ``extra`` maps passthrough column names to Columns (e.g. source,
+    a content hash) carried through both projections so callers
+    needing them stay single-scan instead of self-joining the text
+    source."""
+    extra = extra or {}
     toks = F.split(F.trim(F.col("text")), r"\s+")
     lower_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     f = docs.select(
+        *[v.alias(k) for k, v in extra.items()],
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(
@@ -110,6 +118,7 @@ def _qc_feature_frame(docs: DataFrame) -> DataFrame:
         .alias("n_chars"),
     )
     p = f.select(
+        *extra.keys(),
         "doc_id",
         "n_tokens",
         F.expr(
@@ -1075,3 +1084,138 @@ def _v5_oracle() -> str:
 )
 def x_corpus_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
     return _v5_schedule_and_pack(_v5_selected(spark, sf))
+
+
+def _qc_sql_chain(src: str) -> str:
+    """The x_quality_classifier feature/score CTE chain over an
+    arbitrary source CTE ``src`` (doc_id, source, text) — f/p/q:
+    ``q`` ends at (doc_id, n_tokens, score_micro)."""
+    return (
+        f"f AS (SELECT doc_id, "
+        f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        f" AS n_tokens, "
+        f"CAST(len(list_filter(string_split_regex(trim(lower(text)),"
+        f" '\\s+'), t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop, "
+        f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',"
+        f" '', 'g')) AS BIGINT) AS n_punct, "
+        f"CAST(length(text) - length(regexp_replace(text, '[A-Z]', '',"
+        f" 'g')) AS BIGINT) AS n_upper, "
+        f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)"
+        f" AS n_nonspace, "
+        f"CAST(greatest(length(text), 1) AS BIGINT) AS n_chars "
+        f"FROM {src}), "
+        f"p AS (SELECT doc_id, n_tokens, "
+        f"CAST((1000000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)"
+        f" AS stop_ppm, "
+        f"CAST((1000000 * n_punct) // n_chars AS BIGINT) AS punct_ppm, "
+        f"CAST((1000000 * n_upper) // n_chars AS BIGINT) AS upper_ppm, "
+        f"CAST((1000 * n_nonspace) // greatest(n_tokens, 1) AS BIGINT)"
+        f" AS mean_wlen_milli FROM f), "
+        f"q AS (SELECT doc_id, n_tokens, "
+        f"CAST(1500 * least(n_tokens, 400) + 3 * stop_ppm"
+        f" - 2 * punct_ppm - upper_ppm"
+        f" - 100 * abs(mean_wlen_milli - 5000) AS BIGINT)"
+        f" AS score_micro FROM p)"
+    )
+
+
+_REFRESH_ORACLE = (
+    "WITH v2 AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0 "
+    "THEN text || ' [rev2]' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 7 <> 0), "
+    + _qc_sql_chain("v2")
+    + ", st AS (SELECT v2.doc_id, v2.source, md5(v2.text) AS h, "
+    "q.n_tokens AS nt FROM v2 JOIN q ON q.doc_id = v2.doc_id "
+    f"WHERE q.score_micro >= {QC_KEEP_MICRO}), "
+    "kb AS (SELECT *, row_number() OVER (PARTITION BY h "
+    "ORDER BY doc_id) AS rn FROM st) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+    "CAST(sum(doc_id) AS BIGINT) AS id_ck "
+    "FROM kb WHERE rn = 1 GROUP BY source ORDER BY source"
+)
+
+
+def _qc_state(docs: DataFrame) -> DataFrame:
+    """Per-doc pipeline state (doc_id, source, h, nt, qc_pass) —
+    the ONE text pass (source and content hash ride the feature
+    projections; a join-back here would scan text twice)."""
+    return _qc_feature_frame(
+        docs, extra={"source": F.col("source"), "h": F.md5("text")}
+    ).select(
+        "doc_id",
+        "source",
+        "h",
+        F.col("n_tokens").alias("nt"),
+        (F.col("score_micro") >= QC_KEEP_MICRO).alias("qc_pass"),
+    )
+
+
+@register(
+    "x_corpus_refresh_incremental",
+    oracle=_REFRESH_ORACLE,
+    doc=(
+        "INCREMENTAL pipeline refresh — the monthly-update story "
+        "completed: last month's run left a per-doc verdict state "
+        "(doc_id, source, content hash, token count, QC verdict — "
+        "ONE text pass, then text is never needed again); this "
+        "month's snapshot changes ~14%+20% of docs, and the refresh "
+        "re-runs the TEXT stage (features + classifier + hash) for "
+        "the DELTA ONLY, drops removed docs, and carries every "
+        "unchanged verdict forward by reference. The corpus-global "
+        "stages (keep-best exact dedup across hash groups, "
+        "per-source rollup) recompute over the COMPACT state "
+        "columns — ~40 bytes/doc, no text. Graded equal to running "
+        "the full QC -> dedup -> rollup pipeline on the v2 corpus "
+        "from scratch: incrementality must not move a single "
+        "verdict. Scale shape: text work O(delta docs); hash-stage "
+        "work one groupBy over integer/hash columns; the refresh "
+        "plan contains exactly ONE text-bearing scan (the delta) — "
+        "plan-pinned. At 100 TB this is the difference between "
+        "re-tokenizing a month's 3 TB delta and re-tokenizing the "
+        "whole corpus."
+    ),
+    tags=("corpus", "pipeline", "cdc", "quality"),
+)
+def x_corpus_refresh_incremental(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf, "documents")
+    # "last month": v1 state — simulated here, persisted in prod
+    v1 = docs.filter(F.col("doc_id") % 10 != 0)
+    state1 = _qc_state(v1).localCheckpoint()
+
+    # this month's delta: changed (%5, in both) + added (%10 in v2);
+    # %10==0 implies %5==0, so the delta is v2's %5==0 slice
+    delta = docs.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 == 0)
+    ).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+    )
+    # refresh: drop removed + superseded rows, fold in the delta's
+    # freshly scored rows — the ONLY text pass in this subtree
+    state2 = state1.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 != 0)
+    ).unionByName(_qc_state(delta))
+
+    kb = (
+        state2.filter(F.col("qc_pass"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("h").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kb.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_ck"),
+        )
+        .orderBy("source")
+    )
