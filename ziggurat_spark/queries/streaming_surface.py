@@ -5419,3 +5419,120 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+
+
+STREAM_CMS_SRC_FILES = 6
+
+from ziggurat_spark.queries.statistics_more import (  # noqa: E402
+    _CMS_ORACLE,
+    _cms_cell,
+    CMS_HASHES,
+)
+
+
+@register(
+    "x_stream_cms_maintain",
+    # identical oracle as the batch sketch: maintenance must land on
+    # the exact same counters
+    oracle=_CMS_ORACLE,
+    doc=(
+        "Streaming maintenance of the Count-Min sketch — the third "
+        "online sketch next to the HLL (MAX-merge, idempotent) and "
+        "the log2 histogram (SUM-merge, keyed partials): CMS "
+        "counters are SUM-merged, so replay safety rides the same "
+        "batch-KEYED partial construction as the histogram and "
+        "DSIR (a re-delivered batch rewrites its own partial in "
+        "place; proven in-op by re-delivering the first batch). "
+        "Each partial is d x w = 512 counters regardless of batch "
+        "size; the grade folds the partials and probes the exact "
+        "top-10 heavy hitters — identical oracle as the one-shot "
+        "x_heavy_hitters_cms, so batching must not move a single "
+        "counter."
+    ),
+    tags=("streaming", "sketch", "statistics"),
+)
+@_sized_state
+def x_stream_cms_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    from ziggurat_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    src_dir = scratch_dir("zs_stream_cms_")
+    ev.repartition(STREAM_CMS_SRC_FILES).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    workdir = scratch_dir("zs_stream_cms_state_")
+    probe: dict = {}
+    coords = ", ".join(
+        f"struct(CAST({j} AS INT) AS j, "
+        f"CAST({_cms_cell(j, 'user_id')} AS BIGINT) AS cell)"
+        for j in range(len(CMS_HASHES))
+    )
+
+    def _fold(b, bid):
+        (
+            b.select(F.explode(F.expr(f"array({coords})")).alias("co"))
+            .groupBy("co.j", "co.cell")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(workdir, f"part_b{bid}"))
+        )
+        if not probe:
+            probe["bid"] = bid
+            b.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(workdir, "probe_input")
+            )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery: the keyed overwrite makes the SUM-fold
+    # replay-exact even though SUM itself is not idempotent
+    replayed = spark.read.parquet(
+        os.path.join(workdir, "probe_input")
+    ).localCheckpoint()
+    _fold(replayed, probe["bid"])
+
+    parts = [
+        os.path.join(workdir, d)
+        for d in sorted(os.listdir(workdir))
+        if d.startswith("part_b")
+    ]
+    cms = (
+        spark.read.parquet(*parts)
+        .groupBy("j", "cell")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.expr(f"array({coords})")).alias("co"),
+    ).select("user_id", "exact_n", "co.j", "co.cell")
+    return (
+        probes.join(F.broadcast(cms), ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
