@@ -38,6 +38,12 @@ STATE_OPS = (
     "x_stream_components_maintain",
     "x_stream_multimodal_neardup",
     "x_stream_ivf_cadence",
+    # round-7 session 2: the weighted sample rides the same
+    # documents fixture (priority keys collapse on the identical
+    # texts' token counts but stay distinct by id-hash); snapshot
+    # apply's delta slicing hits the 120-identical-doc group
+    "x_stream_weighted_sample",
+    "x_stream_snapshot_apply",
 )
 
 
