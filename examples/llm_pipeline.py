@@ -111,9 +111,27 @@ def main(sf_dir: str) -> None:
     q["x_stream_hll_maintain"].spark(spark, sf_dir).show(truncate=False)
     q["x_loghist_quantiles"].spark(spark, sf_dir).show(truncate=False)
     q["x_heavy_hitters_cms"].spark(spark, sf_dir).show(truncate=False)
+    q["x_stream_cms_maintain"].spark(spark, sf_dir).show(truncate=False)
 
     print("== graph-density screen before community detection ==")
     q["x_kcore_decompose"].spark(spark, sf_dir).show(10, truncate=False)
+    q["x_coreness_hindex"].spark(spark, sf_dir).show(10, truncate=False)
+
+    print("== the refresh: text work O(delta), verdicts carried ==")
+    q["x_corpus_refresh_incremental"].spark(spark, sf_dir).show(
+        truncate=False
+    )
+    print("== the v2 dump applied as a stream (bucketed LWW state) ==")
+    q["x_stream_snapshot_apply"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
+    print("== weighted sampling, one-shot and maintained ==")
+    q["x_weighted_sample_bottomk"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
+    q["x_stream_weighted_sample"].spark(spark, sf_dir).show(
+        10, truncate=False
+    )
 
 
 if __name__ == "__main__":
