@@ -981,3 +981,54 @@ def test_stream_multimodal_tiered_bounds(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_budget_cold_restart_restores_state(spark, tmp_path):
+    """A BRAND-NEW fold over an existing workdir (fresh process
+    after a crash) must restore the live bucket manifest, cut
+    table, and subtotals from the commit-log manifest and continue
+    exactly — graded equal to a single fold that saw every batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.queries.streaming_surface import (
+        _budget_fold,
+        _budget_grade,
+    )
+
+    sch = "source string, doc_id long, nt long"
+    rows = [("s0", i, 30 + i % 5) for i in range(100)] + [
+        ("s1", 500 + i, 20) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, sch)
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 520))
+    b3 = docs.filter(F.col("doc_id") >= 520)
+
+    workdir = str(tmp_path / "st")
+    os.makedirs(workdir)
+    a: dict = {}
+    fold_a = _budget_fold(spark, workdir, a)
+    fold_a(b1, 0)
+    fold_a(b2, 1)
+
+    # "crash": a fresh state dict over the same workdir — restore
+    # must come from the manifest, not the in-process dict
+    b: dict = {}
+    fold_b = _budget_fold(spark, workdir, b)
+    fold_b(b3, 2)
+    assert b["buckets"] and b["v"] >= a["v"]
+    got = sorted(
+        tuple(r) for r in _budget_grade(spark, docs, b).collect()
+    )
+
+    # one-shot reference over a separate workdir
+    workdir2 = str(tmp_path / "os")
+    os.makedirs(workdir2)
+    c: dict = {}
+    _budget_fold(spark, workdir2, c)(docs, 0)
+    want = sorted(
+        tuple(r) for r in _budget_grade(spark, docs, c).collect()
+    )
+    assert got == want

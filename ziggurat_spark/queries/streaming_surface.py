@@ -2282,6 +2282,38 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
     """
     from pyspark.sql.window import Window as W
 
+    import json as _json
+
+    cols = ("source", "doc_id", "nt", "hk", "kb")
+    # explicit schema: bucket-dir reads skip per-trigger footer
+    # inference (three pruned reads per merge add up)
+    bucket_schema = (
+        "source string, doc_id bigint, nt bigint, hk string, kbc int"
+    )
+    manifest_path = os.path.join(workdir, "manifest.json")
+
+    if "buckets" not in state and os.path.isfile(manifest_path):
+        # COLD-START RESTORE: the per-merge manifest (bucket ->
+        # current dir, cut-table path, version counter) is the
+        # commit log — it names exactly the LIVE bucket dirs, so a
+        # bucket fully evicted in a later merge can never resurrect
+        # from a stale superseded version directory. Subtotals are
+        # derived state: one bounded read of the live buckets.
+        with open(manifest_path) as fh:
+            m = _json.load(fh)
+        state["buckets"] = {int(k): v for k, v in m["buckets"].items()}
+        state["cuts"] = m["cuts"]
+        state["v"] = m["v"]
+        state["subt"] = {}
+        if state["buckets"]:
+            for r in (
+                spark.read.schema(bucket_schema)
+                .parquet(*state["buckets"].values())
+                .groupBy("source", "kbc")
+                .agg(F.sum("nt").alias("s"))
+                .collect()
+            ):
+                state["subt"][(r["source"], r["kbc"])] = r["s"]
     state.setdefault("buckets", {})
     state.setdefault("cuts", None)
     state.setdefault("subt", {})
@@ -2304,12 +2336,6 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
         W.partitionBy("source")
         .orderBy("hk", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cols = ("source", "doc_id", "nt", "hk", "kb")
-    # explicit schema: bucket-dir reads skip per-trigger footer
-    # inference (three pruned reads per merge add up)
-    bucket_schema = (
-        "source string, doc_id bigint, nt bigint, hk string, kbc int"
     )
 
     def _read_buckets(idx):
@@ -2504,6 +2530,22 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
                 os.path.join(cuts_path, "part-00000.parquet"),
             )
             state["cuts"] = cuts_path
+        # commit-log manifest: atomically record the live bucket
+        # dirs + cut path + version so a cold restart restores
+        # EXACTLY the live state (and nothing evicted)
+        tmp = os.path.join(workdir, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {
+                    "buckets": {
+                        str(k): v for k, v in state["buckets"].items()
+                    },
+                    "cuts": state["cuts"],
+                    "v": state["v"],
+                },
+                fh,
+            )
+        os.replace(tmp, manifest_path)
 
     return _fold
 
@@ -3911,11 +3953,14 @@ def _lsh_cadence_state(
                 ]
             )
         )
-        if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(statedir, "probe_input")
-            )
+        # retain the NEWEST batch's raw input on every trigger: it is
+        # the one legitimate crash-replay target (the engine never
+        # replays committed offsets, and compaction folds strictly-
+        # older ids only, so the newest batch is always still keyed)
+        probe["bid"] = bid
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(statedir, "probe_input")
+        )
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -3926,25 +3971,15 @@ def _lsh_cadence_state(
         )
         q.awaitTermination()
 
-    # crash re-delivery of the FIRST batch: if its bands were folded
-    # into an epoch, a replay through the same fold would be a new
-    # "batch" — the engine never replays committed offsets, so the
-    # legitimate replay target is the NEWEST batch; re-deliver it
-    last = max(
-        int(d[len("bands_b") :])
-        for d in os.listdir(statedir)
-        if d.startswith("bands_b")
-    )
-    # the newest batch's raw input is not retained separately here;
-    # re-deliver the probe batch ONLY if it is still keyed (i.e. was
-    # never compacted) — otherwise replay the newest via its keyed
-    # rewrite being a no-op by construction (covered by
-    # x_stream_lsh_compact's explicit replay)
-    if probe["bid"] == last:
-        replayed = spark.read.parquet(
-            os.path.join(statedir, "probe_input")
-        )
-        _fold(replayed, probe["bid"])
+    # crash re-delivery BEFORE grading: the newest batch arrives
+    # again — the tier compactor sees no new strictly-older runs and
+    # the keyed files rewrite in place against the TIERED state.
+    # Materialize first: the fold re-writes probe_input, which the
+    # lazy read would otherwise still be scanning
+    replayed = spark.read.parquet(
+        os.path.join(statedir, "probe_input")
+    ).localCheckpoint()
+    _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 
 
@@ -5358,17 +5393,24 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
     n_buckets = 16
     state: dict = {}
     probe: dict = {}
+    #: monotonic merge counter: a RE-DELIVERED batch id must still
+    #: get a fresh state version — reusing the original delivery's
+    #: version would make the merge overwrite the very directory its
+    #: bucket-pruned read is lazily scanning whenever a touched
+    #: bucket was last written by that same batch
+    seq = {"n": 0}
 
     def _fold(b, bid):
         proj = b.withColumn(
             "kb", F.pmod(F.col("doc_id"), F.lit(n_buckets))
         ).withColumn("ob", F.lit(int(bid)).cast("bigint"))
+        seq["n"] += 1
         bucketed_lww_merge(
             spark,
             workdir,
             state,
             proj,
-            int(bid) * 2 + 1000,  # unique version per (re)delivery
+            seq["n"],
             key="doc_id",
             order_cols=(F.desc("ob"), F.desc("doc_id")),
         )
