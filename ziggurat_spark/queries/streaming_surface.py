@@ -710,6 +710,19 @@ def x_stream_max_poll_batches(spark: SparkSession, sf: str) -> DataFrame:
 _LWW_KEY_DUCK = "printf('%020d#%012d', epoch_us(ts), event_id)"
 
 
+def _batch_source_files(b: DataFrame) -> list[str]:
+    """The micro-batch's source parquet files — a tiny control-plane
+    collect (≤ files-per-trigger paths), recorded so a close-time
+    crash-replay probe can re-read the NEWEST batch verbatim from the
+    source instead of re-writing the raw batch to a probe dir on
+    every trigger (round-7 ADVICE: the per-trigger coalesce(1) probe
+    write was a single-task O(batch) data-plane write)."""
+    return sorted(
+        r[0]
+        for r in b.select(F.input_file_name()).distinct().collect()
+    )
+
+
 def bucketed_lww_merge(
     spark: SparkSession,
     workdir: str,
@@ -2163,10 +2176,28 @@ STREAM_BUDGET_TOKENS = 500
 #: module-level so the batching-independence property test can vary it
 STREAM_BUDGET_SRC_FILES = 4
 #: hk-RANGE bucket count for the budget fold's kept-set state (top
-#: hex digit of the md5 order key — bucket order IS hash order, so a
+#: bits of the md5 order key — bucket order IS hash order, so a
 #: cut's exclusion zone is a contiguous bucket suffix); at 100 TB
 #: this is a dial (top N hash bits)
 STREAM_BUDGET_KB = 16
+
+
+def _budget_kb_expr():
+    """hk-range bucket = top BYTE of the md5 order key scaled down to
+    STREAM_BUDGET_KB range buckets (integer div keeps bucket order ==
+    hash order, so a cut's exclusion zone stays a contiguous bucket
+    suffix). DERIVED from the dial so the bucket assignment and the
+    overflow/eviction walks (``range(STREAM_BUDGET_KB)``) cannot
+    drift apart (round-7 ADVICE: the previous spelling hardcoded one
+    hex digit = 16 buckets)."""
+    assert (
+        1 <= STREAM_BUDGET_KB <= 256 and 256 % STREAM_BUDGET_KB == 0
+    ), "bucket count must be a power-of-two divisor of the top byte"
+    step = 256 // STREAM_BUDGET_KB
+    return F.expr(
+        f"CAST(CAST(conv(substring(hk, 1, 2), 16, 10) AS INT)"
+        f" div {step} AS INT)"
+    )
 
 
 #: batch-prefix oracle shared by the maintenance and restart grades:
@@ -2359,7 +2390,7 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
             )
             .dropDuplicates(["source", "doc_id"])
             .withColumn(
-                "kb", F.conv(F.substring("hk", 1, 1), 16, 10).cast("int")
+                "kb", _budget_kb_expr()
             )
         )
         if state["cutsd"]:
@@ -3953,14 +3984,13 @@ def _lsh_cadence_state(
                 ]
             )
         )
-        # retain the NEWEST batch's raw input on every trigger: it is
-        # the one legitimate crash-replay target (the engine never
-        # replays committed offsets, and compaction folds strictly-
-        # older ids only, so the newest batch is always still keyed)
+        # record the NEWEST batch's source files on every trigger
+        # (tiny control-plane collect): it is the one legitimate
+        # crash-replay target (the engine never replays committed
+        # offsets, and compaction folds strictly-older ids only, so
+        # the newest batch is always still keyed)
         probe["bid"] = bid
-        b.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(statedir, "probe_input")
-        )
+        probe["files"] = _batch_source_files(b)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -3972,13 +4002,10 @@ def _lsh_cadence_state(
         q.awaitTermination()
 
     # crash re-delivery BEFORE grading: the newest batch arrives
-    # again — the tier compactor sees no new strictly-older runs and
-    # the keyed files rewrite in place against the TIERED state.
-    # Materialize first: the fold re-writes probe_input, which the
-    # lazy read would otherwise still be scanning
-    replayed = spark.read.parquet(
-        os.path.join(statedir, "probe_input")
-    ).localCheckpoint()
+    # again (re-read verbatim from its recorded source files) — the
+    # tier compactor sees no new strictly-older runs and the keyed
+    # files rewrite in place against the TIERED state
+    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
     _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 

@@ -390,11 +390,22 @@ def x_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+#: the classifier's integer score over the p-CTE feature columns —
+#: ONE spelling shared by the x_quality_classifier oracle and every
+#: derived chain (_qc_sql_chain), so weights cannot drift (r7 ADVICE)
+_QC_SCORE_SQL = (
+    "1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 * punct_ppm"
+    " - upper_ppm - 100 * abs(mean_wlen_milli - 5000)"
+)
 
-@register(
-    "x_quality_classifier",
-    oracle=(
-        f"WITH f AS (SELECT doc_id, "
+
+def _qc_fp_chain(src: str) -> str:
+    """The quality classifier's f/p feature CTEs over an arbitrary
+    source CTE ``src`` (doc_id, text, ...) — the SINGLE SQL spelling
+    of the feature extraction, shared by the x_quality_classifier
+    oracle and _qc_sql_chain's q-chain."""
+    return (
+        f"f AS (SELECT doc_id, "
         f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
         f" AS n_tokens, "
         f"CAST(len(list_filter(string_split_regex(trim(lower(text)),"
@@ -406,21 +417,25 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
         f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)"
         f" AS n_nonspace, "
         f"CAST(greatest(length(text), 1) AS BIGINT) AS n_chars "
-        f"FROM documents), "
+        f"FROM {src}), "
         f"p AS (SELECT doc_id, n_tokens, "
         f"CAST((1000000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)"
         f" AS stop_ppm, "
         f"CAST((1000000 * n_punct) // n_chars AS BIGINT) AS punct_ppm, "
         f"CAST((1000000 * n_upper) // n_chars AS BIGINT) AS upper_ppm, "
         f"CAST((1000 * n_nonspace) // greatest(n_tokens, 1) AS BIGINT)"
-        f" AS mean_wlen_milli FROM f) "
+        f" AS mean_wlen_milli FROM f)"
+    )
+
+
+@register(
+    "x_quality_classifier",
+    oracle=(
+        f"WITH {_qc_fp_chain('documents')} "
         f"SELECT doc_id, n_tokens, stop_ppm, punct_ppm, upper_ppm, "
         f"mean_wlen_milli, "
-        f"CAST(1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 * punct_ppm"
-        f" - upper_ppm - 100 * abs(mean_wlen_milli - 5000) AS BIGINT)"
-        f" AS score_micro, "
-        f"CASE WHEN 1500 * least(n_tokens, 400) + 3 * stop_ppm - 2 *"
-        f" punct_ppm - upper_ppm - 100 * abs(mean_wlen_milli - 5000)"
+        f"CAST({_QC_SCORE_SQL} AS BIGINT) AS score_micro, "
+        f"CASE WHEN {_QC_SCORE_SQL}"
         f" >= {QC_KEEP_MICRO} THEN 'keep' ELSE 'drop' END AS label "
         f"FROM p ORDER BY doc_id"
     ),
@@ -1089,32 +1104,13 @@ def x_corpus_pipeline_v5(spark: SparkSession, sf: str) -> DataFrame:
 def _qc_sql_chain(src: str) -> str:
     """The x_quality_classifier feature/score CTE chain over an
     arbitrary source CTE ``src`` (doc_id, source, text) — f/p/q:
-    ``q`` ends at (doc_id, n_tokens, score_micro)."""
+    ``q`` ends at (doc_id, n_tokens, score_micro). Built from the
+    SAME _qc_fp_chain/_QC_SCORE_SQL spelling the classifier's own
+    oracle uses, so the two cannot drift (round-7 ADVICE)."""
     return (
-        f"f AS (SELECT doc_id, "
-        f"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
-        f" AS n_tokens, "
-        f"CAST(len(list_filter(string_split_regex(trim(lower(text)),"
-        f" '\\s+'), t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop, "
-        f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',"
-        f" '', 'g')) AS BIGINT) AS n_punct, "
-        f"CAST(length(text) - length(regexp_replace(text, '[A-Z]', '',"
-        f" 'g')) AS BIGINT) AS n_upper, "
-        f"CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)"
-        f" AS n_nonspace, "
-        f"CAST(greatest(length(text), 1) AS BIGINT) AS n_chars "
-        f"FROM {src}), "
-        f"p AS (SELECT doc_id, n_tokens, "
-        f"CAST((1000000 * n_stop) // greatest(n_tokens, 1) AS BIGINT)"
-        f" AS stop_ppm, "
-        f"CAST((1000000 * n_punct) // n_chars AS BIGINT) AS punct_ppm, "
-        f"CAST((1000000 * n_upper) // n_chars AS BIGINT) AS upper_ppm, "
-        f"CAST((1000 * n_nonspace) // greatest(n_tokens, 1) AS BIGINT)"
-        f" AS mean_wlen_milli FROM f), "
-        f"q AS (SELECT doc_id, n_tokens, "
-        f"CAST(1500 * least(n_tokens, 400) + 3 * stop_ppm"
-        f" - 2 * punct_ppm - upper_ppm"
-        f" - 100 * abs(mean_wlen_milli - 5000) AS BIGINT)"
+        _qc_fp_chain(src)
+        + f", q AS (SELECT doc_id, n_tokens, "
+        f"CAST({_QC_SCORE_SQL} AS BIGINT)"
         f" AS score_micro FROM p)"
     )
 
