@@ -1879,6 +1879,22 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _forest_label(nodes: DataFrame, stars: DataFrame) -> DataFrame:
+    """Label every row of ``nodes`` (one column ``id``) with its
+    component minimum (``comp``) given a star FOREST (rows a→b
+    pointing non-roots at their component root); isolated nodes
+    label themselves. The label-join tail shared by _star_labels and
+    the streaming forest's grade (x_stream_components_maintain)."""
+    return (
+        nodes.join(
+            stars.select(F.col("a").alias("id"), "b"), "id", "left"
+        )
+        .groupBy("id")
+        .agg(F.coalesce(F.min("b"), F.min("id")).alias("mn"))
+        .select("id", F.least("mn", F.col("id")).alias("comp"))
+    )
+
+
 def _star_labels(
     spark: SparkSession, pairs: DataFrame, nodes: DataFrame
 ) -> DataFrame:
@@ -1888,14 +1904,8 @@ def _star_labels(
     isolated nodes label themselves. Shared by
     x_dedup_components_star and x_semantic_dedup (the O(log n)-round
     spelling both ride)."""
-    stars = _star_components(spark, pairs.select("a", "b"))
-    return (
-        nodes.join(
-            stars.select(F.col("a").alias("id"), "b"), "id", "left"
-        )
-        .groupBy("id")
-        .agg(F.coalesce(F.min("b"), F.min("id")).alias("mn"))
-        .select("id", F.least("mn", F.col("id")).alias("comp"))
+    return _forest_label(
+        nodes, _star_components(spark, pairs.select("a", "b"))
     )
 
 
