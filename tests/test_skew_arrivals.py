@@ -52,6 +52,11 @@ STATE_OPS = (
     "x_stream_hll_maintain",
     "x_stream_loghist_maintain",
     "x_stream_cms_maintain",
+    # round 8: the composed flagship on the hot corpus — the 120
+    # identical gate-passing texts drive the exact-hash stage's dup
+    # path (one hash = one banded node), the hot band buckets drive
+    # the probe, and one component absorbs nearly every doc
+    "x_stream_corpus_pipeline",
 )
 
 

@@ -892,6 +892,41 @@ def test_stream_components_batching_independent(spark):
     assert len(one) > 0
 
 
+def test_stream_corpus_pipeline_batching_independent(spark):
+    """The composed online pipeline (gate → hash-merge → MinHash
+    probe → forest absorb) must produce IDENTICAL per-doc flags at
+    any chunking — 1 file (everything within one trigger) vs 7 files
+    (hash merges, probes and forest absorbs cross trigger
+    boundaries), both including the newest-batch replay — and its
+    per-trigger work must stay bounded: every tier fold takes
+    exactly K inputs, live band runs stay ≤ K, and the exact-state
+    read is bucket-pruned (first trigger reads zero dirs)."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_PIPE_SRC_FILES
+    try:
+        ss.STREAM_PIPE_SRC_FILES = 1
+        one = ss.x_stream_corpus_pipeline(spark, sf).collect()
+        ss.STREAM_PIPE_SRC_FILES = 7
+        seven = ss.x_stream_corpus_pipeline(spark, sf).collect()
+        st = dict(ss._PIPE_LAST)  # the 7-file run's handles
+    finally:
+        ss.STREAM_PIPE_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0
+    k = ss.STREAM_PIPE_CADENCE
+    assert st["folds"] and all(f["inputs"] == k for f in st["folds"])
+    assert all(c <= k for c in st["live_counts"]), st["live_counts"]
+    assert st["io_audit"][0]["exact_bks_read"] == 0
+    assert all(a["exact_bks_read"] <= 16 for a in st["io_audit"])
+    # the near-dup stage is non-trivial on this corpus (sf0.001 has
+    # 18 gate-passing near-dup non-keepers; its exact dups all FAIL
+    # the gate — the exact stage's dup path is exercised by the skew
+    # drill, whose 120 identical texts pass the gate)
+    assert any(not r["near_keeper"] for r in one)
+
+
 def test_stream_cc_forest_reads_touched_buckets_only(spark, tmp_path):
     """Round-7 judge #1 pin: the per-trigger forest READ opens only
     the buckets the batch's nodes / affected components hash into —

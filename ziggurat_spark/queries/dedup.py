@@ -1846,10 +1846,15 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     ).distinct().localCheckpoint(eager=False)
 
     def fingerprint(df: DataFrame):
+        # per-row term bounded to 31 bits so the ANSI sum can never
+        # overflow (node ids may be 60-bit content-hash ids — the
+        # streaming pipeline's node space — where a*1000003 would);
+        # collisions are handled by the exact verification below
         r = df.agg(
             F.count("*").alias("n"),
             F.coalesce(
-                F.sum(F.col("a") * 1000003 + F.col("b")), F.lit(0)
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 31))),
+                F.lit(0),
             ).alias("s"),
         ).collect()[0]
         return (r["n"], r["s"])
