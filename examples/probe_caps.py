@@ -126,8 +126,10 @@ def star_rounds(pairs, cap: int = 200) -> int:
         if cur == prev and e.exceptAll(prev_e).union(
             prev_e.exceptAll(e)
         ).isEmpty():
+            prev_e.unpersist()
             return r
         prev = cur
+        prev_e.unpersist()  # 1M-row frames x 20 rounds OOM otherwise
     return -1
 
 
@@ -182,24 +184,35 @@ def main() -> None:
     from ziggurat_spark.session import get_session
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_session(app_name="probe_caps")
+    # the 2^20-node path star holds two ~1M-edge frames per round:
+    # give the probe driver real heap (the default test session's
+    # ~1g OOMs); a fresh process, so the setting takes effect
+    spark = get_session(
+        app_name="probe_caps",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     out: dict = {}
+
+    def rec(k, v):  # print incrementally: partial runs keep numbers
+        out[k] = v
+        print(f"{k} = {v}", flush=True)
 
     sym = _symmetric_edges(
         _mutual_knn_graph(spark, sf).select("a", "b")
     ).localCheckpoint()
-    out["sf0.1_knn_peel_rounds"] = peel_rounds(sym, KCORE_K)
-    out["sf0.1_knn_hindex_rounds"] = hindex_rounds(sym)
-    out["sf0.1_jaccard_star_rounds"] = star_rounds(
-        _jaccard_pairs(spark, sf).select("a", "b")
+    rec("sf0.1_knn_peel_rounds", peel_rounds(sym, KCORE_K))
+    rec("sf0.1_knn_hindex_rounds", hindex_rounds(sym))
+    rec(
+        "sf0.1_jaccard_star_rounds",
+        star_rounds(_jaccard_pairs(spark, sf).select("a", "b")),
     )
 
     big = jittered_sfdir(spark, sf, copies=10)
     sym10 = _symmetric_edges(
         _mutual_knn_graph(spark, big).select("a", "b")
     ).localCheckpoint()
-    out["sf1like_knn_peel_rounds"] = peel_rounds(sym10, KCORE_K)
-    out["sf1like_knn_hindex_rounds"] = hindex_rounds(sym10)
+    rec("sf1like_knn_peel_rounds", peel_rounds(sym10, KCORE_K))
+    rec("sf1like_knn_hindex_rounds", hindex_rounds(sym10))
 
     # adversarial diameter: a 2^20-node path — log2(n) ~ 20 is where
     # CC_STAR_CAP is actually exercised; coreness of a path is <= 1
@@ -207,9 +220,15 @@ def main() -> None:
     path = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
-    out["path_1M_star_rounds"] = star_rounds(path)
+    rec("path_1M_star_rounds", star_rounds(path))
+    # h-index on a path converges in O(diameter) rounds by
+    # construction (the value front advances one hop per round) —
+    # probe only far enough to DEMONSTRATE the non-convergence (-1):
+    # no fixed cap covers adversarial diameter, which is why the op
+    # raises instead of truncating, and why the star alternation is
+    # the log-depth labeling path
     psym = _symmetric_edges(path)
-    out["path_1M_hindex_rounds"] = hindex_rounds(psym)
+    rec("path_1M_hindex_rounds_cap30", hindex_rounds(psym, cap=30))
 
     print(json.dumps(out, indent=1))
 

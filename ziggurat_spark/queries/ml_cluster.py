@@ -647,8 +647,15 @@ def _lpa_converge(
 #: fixed point). Peel depth grows slowly with graph size; for
 #: unbounded-depth graphs the h-index iteration is the scale path
 #: (see the op docstring).
+#: round-8 probe (examples/probe_caps.py): sf0.1 kNN graph peels in
+#: 15 rounds; a 10x-denser jittered clone (the sf1 stand-in) in 3 —
+#: depth tracks the tree-like FRINGE, not size, and the old cap of
+#: 24 was within 2x of the observed 15. 40 gives >2.5x headroom;
+#: adversarial-diameter graphs exceed ANY fixed peel cap (a path
+#: peels O(n) layers), which is why the op raises instead of
+#: truncating and documents h-index as the scale path.
 KCORE_K = 2
-KCORE_CAP = 24
+KCORE_CAP = 40
 
 
 def _kcore_oracle(k: int, cap: int) -> str:
@@ -786,7 +793,13 @@ def x_kcore_decompose(spark: SparkSession, sf: str) -> DataFrame:
 #: structure, NOT peel depth, which is why this is the scale path
 #: the k-core docstring advertises); raise-on-unconverged-cap as
 #: everywhere.
-HINDEX_CAP = 24
+#: round-8 probe: 14 rounds at sf0.1, 3 on the 10x-denser sf1
+#: stand-in (denser graphs converge FASTER); old cap 24 was within
+#: 2x of observed — 40 gives >2.5x headroom. On adversarial
+#: diameter the h-index front advances one hop per round (a 2^20
+#: path does not converge under any fixed cap; probed at cap 30 →
+#: -1), hence the exact raise-on-unconverged discipline.
+HINDEX_CAP = 40
 
 
 def _hindex_oracle(cap: int) -> str:
