@@ -144,7 +144,7 @@ def jittered_sfdir(spark, sf: str, copies: int) -> str:
     src = os.path.join(sf, "embeddings.parquet")
     t = pq.read_table(src)
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
-    n, d = vecs.shape
+    n = vecs.shape[0]
     rng = np.random.default_rng(8)
     out_v, out_id = [], []
     for c in range(copies):

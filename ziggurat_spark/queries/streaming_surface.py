@@ -4703,13 +4703,12 @@ def _mm_stream_state(
                 ]
             )
         )
-        # retain the NEWEST batch's raw input: it is always still
-        # keyed (compaction folds strictly-older ids only), so it is
-        # the one legitimate crash-replay target
+        # record the NEWEST batch's source files (control-plane
+        # collect, not a per-trigger data-plane write): it is always
+        # still keyed (compaction folds strictly-older ids only), so
+        # it is the one legitimate crash-replay target
         probe["bid"] = bid
-        b.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(statedir, "probe_input")
-        )
+        probe["files"] = _batch_source_files(b)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -4721,13 +4720,10 @@ def _mm_stream_state(
         q.awaitTermination()
 
     # crash re-delivery BEFORE grading: the newest batch arrives
-    # again — keyed overwrite + own-key-excluded history keep the
-    # graded union unchanged even against the compacted state.
-    # Materialize first: the fold re-writes probe_input, which the
-    # lazy read would otherwise still be scanning
-    replayed = spark.read.parquet(
-        os.path.join(statedir, "probe_input")
-    ).localCheckpoint()
+    # again (re-read verbatim from its recorded source files) —
+    # keyed overwrite + own-key-excluded history keep the graded
+    # union unchanged even against the compacted state
+    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
     _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 
