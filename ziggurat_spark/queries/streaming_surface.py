@@ -4189,6 +4189,13 @@ def _cc_forest_fold(
         e_new = b.select("a", "b")
         node_bks: list = []
         member_bks: list = []
+        # every localCheckpoint below is consumed WITHIN this fold —
+        # release its blocks at the end, or an 8-trigger stream run 3
+        # bench passes deep accumulates hundreds of dead block sets
+        # in the shared local-mode heap (measured: the bench's
+        # alphabetical neighbors of the streaming block paid ~1.7x
+        # in GC pressure)
+        spent: list = []
         if state:
             batch_nodes = (
                 e_new.select(F.col("a").alias("n"))
@@ -4196,6 +4203,7 @@ def _cc_forest_fold(
                 .distinct()
                 .localCheckpoint()
             )
+            spent.append(batch_nodes)
             # (a) bucket-pruned root resolution
             nkbs = sorted(
                 r["k"]
@@ -4222,6 +4230,7 @@ def _cc_forest_fold(
             else:
                 roots = batch_nodes.select(F.col("n").alias("r"))
             roots = roots.localCheckpoint()
+            spent.append(roots)
             # (b) member gathering via the root→bucket bit index
             rkbs = sorted(
                 r["k"]
@@ -4261,6 +4270,10 @@ def _cc_forest_fold(
             .withColumn("v", F.lit(bid).cast("long"))
             .localCheckpoint()
         )
+        spent.append(proj)
+        # the star fixed point's own (lazy) checkpoint is dead once
+        # proj materialized eagerly above
+        spent.append(stars)
         bucketed_lww_merge(
             spark,
             statedir,
@@ -4283,6 +4296,7 @@ def _cc_forest_fold(
             )
             .localCheckpoint()
         )
+        spent.append(newbits)
         tikbs = sorted(
             r["k"]
             for r in newbits.select(_cc_node_kb("r").alias("k"))
@@ -4323,6 +4337,8 @@ def _cc_forest_fold(
                 "state_n": len(state),
             }
         )
+        for df in spent:  # all consumed above; release the blocks
+            df.unpersist()
 
     return _fold
 
@@ -5914,11 +5930,16 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
     def _fold(b, bid):
         # 0) size-tier the band/pair history (strictly-older runs)
         tier(bid)
+        # every localCheckpoint below is consumed within this fold —
+        # released at the end (the CC-fold lesson: dead block sets
+        # accumulate across triggers x bench passes otherwise)
+        spent: list = []
         # 1) GATE: spread the one-file batch across the pool first
         # (the classifier + MinHash UDF otherwise run in one task)
         gated = _pipe_gate(
             b.repartition(spark.sparkContext.defaultParallelism)
         ).localCheckpoint()
+        spent.append(gated)
         # 2) EXACT-HASH MERGE: per content hash keep (min doc_id =
         # the keeper, min fb = the batch that FIRST saw the hash).
         # fb makes the fresh-set replay-stable: a re-delivered batch
@@ -5960,6 +5981,7 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             )
             .localCheckpoint()
         )
+        spent.append(merged)
         seq["n"] += 1
         bucketed_lww_merge(
             spark,
@@ -5985,6 +6007,7 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
                 )("text")
             ).alias("band", "bucket"),
         ).localCheckpoint()
+        spent.append(bands)
         key = f"b{bid}"
         hist_dirs = [
             os.path.join(lsh_dir, d)
@@ -6022,6 +6045,7 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             )
             pairs = pairs.unionByName(cross)
         pairs = pairs.distinct().localCheckpoint()
+        spent.append(pairs)
         pairs.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(lsh_dir, f"pairs_{key}")
         )
@@ -6051,6 +6075,8 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
         probe[bid] = True
         probe["files"] = _batch_source_files(b)
         probe["last"] = bid
+        for df in spent:  # all consumed above; release the blocks
+            df.unpersist()
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
