@@ -716,10 +716,16 @@ def _batch_source_files(b: DataFrame) -> list[str]:
     crash-replay probe can re-read the NEWEST batch verbatim from the
     source instead of re-writing the raw batch to a probe dir on
     every trigger (round-7 ADVICE: the per-trigger coalesce(1) probe
-    write was a single-task O(batch) data-plane write)."""
+    write was a single-task O(batch) data-plane write). An EMPTY
+    micro-batch (a restart trigger with nothing pending) has no
+    source files — input_file_name() yields '' — so this returns []
+    and callers must keep their previous replay target (round-8
+    ADVICE: recording [] would make the close-time replay read
+    crash on a zero-path parquet() call)."""
     return sorted(
         r[0]
         for r in b.select(F.input_file_name()).distinct().collect()
+        if r[0]
     )
 
 
@@ -816,6 +822,21 @@ def bucketed_lww_merge(
     ).parquet(new_path)
     for b in touched:
         state[b] = os.path.join(new_path, f"kb={b}")
+    # prune fully-superseded version dirs (round-8 ADVICE #4): a
+    # state_v* dir none of whose kb= partitions is referenced by the
+    # live state map holds only dead rows — deleting it keeps the
+    # on-disk footprint equal to the LIVE layout (the bench
+    # state_dirs record measures what it claims). Safe: the merge
+    # write above already materialized every row it read from the
+    # superseded buckets, and partially-live version dirs (some
+    # buckets carried over by reference) are kept.
+    import shutil as _sh
+
+    live_dirs = {os.path.dirname(d) for d in state.values()}
+    for d in os.listdir(workdir):
+        full = os.path.join(workdir, d)
+        if d.startswith("state_v") and full not in live_dirs:
+            _sh.rmtree(full, ignore_errors=True)
     return touched
 
 
@@ -3502,6 +3523,22 @@ def make_tier_compactor(
             runs = [
                 d.replace(f"{disc}_", f"{kind}_", 1) for d in disc_runs
             ]
+            # lockstep-naming invariant, asserted LOUDLY (round-8
+            # ADVICE): every kind must have written a run for every
+            # batch the discovery kind wrote one for — a missing dir
+            # would otherwise crash mid-compaction on a bare read
+            # error with no hint which invariant broke
+            missing = [
+                r
+                for r in runs
+                if not os.path.isdir(os.path.join(statedir, r))
+            ]
+            assert not missing, (
+                f"tier-compactor lockstep violated: kind '{kind}' is "
+                f"missing run dir(s) {missing} that discovery kind "
+                f"'{disc}' wrote (every writer must write every "
+                f"batch, even empty ones)"
+            )
             writers[kind](
                 _lsh_read_union(
                     spark, [os.path.join(statedir, d) for d in runs]
@@ -4057,8 +4094,10 @@ def _lsh_cadence_state(
         # crash-replay target (the engine never replays committed
         # offsets, and compaction folds strictly-older ids only, so
         # the newest batch is always still keyed)
-        probe["bid"] = bid
-        probe["files"] = _batch_source_files(b)
+        files = _batch_source_files(b)
+        if files:  # an empty restart trigger keeps the prior target
+            probe["bid"] = bid
+            probe["files"] = files
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -4073,8 +4112,11 @@ def _lsh_cadence_state(
     # again (re-read verbatim from its recorded source files) — the
     # tier compactor sees no new strictly-older runs and the keyed
     # files rewrite in place against the TIERED state
-    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
-    _fold(replayed, probe["bid"])
+    if probe.get("files"):  # an all-empty stream has no replay target
+        replayed = spark.read.parquet(
+            *probe["files"]
+        ).localCheckpoint()
+        _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 
 
@@ -4723,8 +4765,10 @@ def _mm_stream_state(
         # collect, not a per-trigger data-plane write): it is always
         # still keyed (compaction folds strictly-older ids only), so
         # it is the one legitimate crash-replay target
-        probe["bid"] = bid
-        probe["files"] = _batch_source_files(b)
+        files = _batch_source_files(b)
+        if files:  # an empty restart trigger keeps the prior target
+            probe["bid"] = bid
+            probe["files"] = files
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -4739,8 +4783,11 @@ def _mm_stream_state(
     # again (re-read verbatim from its recorded source files) —
     # keyed overwrite + own-key-excluded history keep the graded
     # union unchanged even against the compacted state
-    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
-    _fold(replayed, probe["bid"])
+    if probe.get("files"):  # an all-empty stream has no replay target
+        replayed = spark.read.parquet(
+            *probe["files"]
+        ).localCheckpoint()
+        _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 
 
@@ -5416,8 +5463,10 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
         loghist_buckets(b).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(workdir, f"part_b{bid}")
         )
-        probe["bid"] = bid
-        probe["files"] = _batch_source_files(b)
+        files = _batch_source_files(b)
+        if files:  # an empty restart trigger keeps the prior target
+            probe["bid"] = bid
+            probe["files"] = files
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -5432,8 +5481,11 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
     # only batch a checkpoint-coordinated engine can replay): the
     # keyed overwrite makes the SUM-fold replay-exact even though
     # SUM itself is not idempotent
-    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
-    _fold(replayed, probe["bid"])
+    if probe.get("files"):  # an all-empty stream has no replay target
+        replayed = spark.read.parquet(
+            *probe["files"]
+        ).localCheckpoint()
+        _fold(replayed, probe["bid"])
     return workdir
 
 
@@ -5751,8 +5803,10 @@ def _cms_stream_state(
         _partial(b).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(workdir, f"part_b{bid}")
         )
-        probe["bid"] = bid
-        probe["files"] = _batch_source_files(b)
+        files = _batch_source_files(b)
+        if files:  # an empty restart trigger keeps the prior target
+            probe["bid"] = bid
+            probe["files"] = files
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -5768,8 +5822,11 @@ def _cms_stream_state(
     # still keyed; strictly-older ones are committed, which is why
     # compacting them was safe): the keyed overwrite makes the
     # SUM-fold replay-exact even though SUM itself is not idempotent
-    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
-    _fold(replayed, probe["bid"])
+    if probe.get("files"):  # an all-empty stream has no replay target
+        replayed = spark.read.parquet(
+            *probe["files"]
+        ).localCheckpoint()
+        _fold(replayed, probe["bid"])
     return workdir, ev
 
 
@@ -5784,7 +5841,7 @@ def _cms_stream_state(
 #: micro-batch fan-out; module-level so the batching-independence
 #: test can vary it
 STREAM_PIPE_SRC_FILES = 4
-#: size-tier fold cadence for the band/pair history
+#: size-tier fold cadence for the band history
 STREAM_PIPE_CADENCE = 2
 #: content-hash node id: top 60 bits of the md5 — the SAME integer
 #: on both engines (Spark conv() / DuckDB 0x-cast), so the component
@@ -5914,6 +5971,10 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
     seq = {"n": 0}
     probe: dict = {}
     cc_fold = _cc_forest_fold(spark, cc_dir, cc_state, cc_ridx, cc_audit)
+    # bands is the ONLY tiered state kind: detected pairs feed the
+    # forest absorb directly and are never read back, so persisting
+    # and tier-folding a pairs history was dead per-trigger data-plane
+    # work (round-8 ADVICE #3)
     tier = make_tier_compactor(
         spark,
         lsh_dir,
@@ -5922,13 +5983,12 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             "bands": lambda df, p: _lsh_write_band_epoch(
                 df, p, id_col="hid"
             ),
-            "pairs": _lsh_write_pairs_epoch,
         },
         folds,
     )
 
     def _fold(b, bid):
-        # 0) size-tier the band/pair history (strictly-older runs)
+        # 0) size-tier the band history (strictly-older runs)
         tier(bid)
         # every localCheckpoint below is consumed within this fold —
         # released at the end (the CC-fold lesson: dead block sets
@@ -5944,7 +6004,7 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
         # the keeper, min fb = the batch that FIRST saw the hash).
         # fb makes the fresh-set replay-stable: a re-delivered batch
         # recomputes the identical fresh set (fb == its own bid), so
-        # its keyed band/pair runs rewrite in place with identical
+        # its keyed band runs rewrite in place with identical
         # content — while a genuinely new batch never re-bands a
         # text seen before (the dedup FUNNEL: each distinct text is
         # shingled exactly once across the stream).
@@ -6046,9 +6106,6 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             pairs = pairs.unionByName(cross)
         pairs = pairs.distinct().localCheckpoint()
         spent.append(pairs)
-        pairs.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(lsh_dir, f"pairs_{key}")
-        )
         bands.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(lsh_dir, f"bands_{key}")
         )
@@ -6073,8 +6130,10 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             }
         )
         probe[bid] = True
-        probe["files"] = _batch_source_files(b)
-        probe["last"] = bid
+        files = _batch_source_files(b)
+        if files:  # an empty restart trigger keeps the prior target
+            probe["files"] = files
+            probe["last"] = bid
         for df in spent:  # all consumed above; release the blocks
             df.unpersist()
 
@@ -6090,10 +6149,13 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
     # crash re-delivery of the NEWEST batch before grading: the
     # exact merge re-aggregates to identical rows (min is
     # idempotent), the fb construction reproduces the identical
-    # fresh set so the keyed band/pair runs rewrite in place, and
+    # fresh set so the keyed band runs rewrite in place, and
     # the forest absorb re-converges to identical targets
-    replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
-    _fold(replayed, probe["last"])
+    if probe.get("files"):  # an all-empty stream has no replay target
+        replayed = spark.read.parquet(
+            *probe["files"]
+        ).localCheckpoint()
+        _fold(replayed, probe["last"])
     return {
         "statedir": statedir,
         "exact": exact_state,
