@@ -1290,3 +1290,42 @@ def test_stream_cc_forest_index_past_64_buckets(spark, tmp_path):
         assert all(len(r["bits"]) == 2 for r in bits.collect())
     finally:
         ss.STREAM_CC_KB = prev
+
+
+def test_stream_corpus_pipeline_verified_batching_independent(spark):
+    """The VERIFIED pipeline (gate → hash-merge → probe → estimate
+    gate → exact-Jaccard verify → forest absorb of verified pairs)
+    must produce IDENTICAL per-doc flags AND identical funnel counts
+    at any chunking — 1 file vs 7 files, both including the
+    newest-batch replay — with the same bounded-work pins as the
+    unverified flagship plus the doc-store read bound (first trigger
+    reads zero store buckets; every read ≤ 16)."""
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_PIPE_SRC_FILES
+    try:
+        ss.STREAM_PIPE_SRC_FILES = 1
+        one = ss.x_stream_corpus_pipeline_verified(spark, sf).collect()
+        ss.STREAM_PIPE_SRC_FILES = 7
+        seven = ss.x_stream_corpus_pipeline_verified(spark, sf).collect()
+        st = dict(ss._PIPE_LAST_V)  # the 7-file run's handles
+    finally:
+        ss.STREAM_PIPE_SRC_FILES = prev
+    assert [tuple(r) for r in one] == [tuple(r) for r in seven]
+    assert len(one) > 0
+    k = ss.STREAM_PIPE_CADENCE
+    assert st["folds"] and all(f["inputs"] == k for f in st["folds"])
+    assert all(c <= k for c in st["live_counts"]), st["live_counts"]
+    assert st["io_audit"][0]["exact_bks_read"] == 0
+    assert st["io_audit"][0]["store_bks_read"] == 0
+    assert all(a["exact_bks_read"] <= 16 for a in st["io_audit"])
+    assert all(a["store_bks_read"] <= 16 for a in st["io_audit"])
+    # the funnel actually funnels on this corpus: candidates ≥
+    # estimate-pass ≥ verified > 0, and verified components exist
+    r0 = one[0]
+    assert (
+        r0["n_candidates"] >= r0["n_estimate_pass"] >= r0["n_verified"]
+    )
+    assert r0["n_verified"] > 0
+    assert any(not r["near_keeper"] for r in one)

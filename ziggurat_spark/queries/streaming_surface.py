@@ -5959,16 +5959,27 @@ _PIPE_HID_SPARK = "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)"
 _PIPE_HID_DUCK = "CAST(('0x' || substring(h, 1, 15)) AS BIGINT)"
 
 
-def _pipe_oracle() -> str:
+def _pipe_oracle(verify: bool = False) -> str:
     """The batch composite oracle: QC gate (the x_quality_classifier
     chain) → exact keeper per content hash → LSH candidate pairs
     over DISTINCT TEXTS keyed by the 60-bit hash id (identical band
     machinery to x_minhash_lsh_pairs) → recursive-CTE connected
-    components → per-doc exact/near keeper flags."""
+    components → per-doc exact/near keeper flags. With ``verify``
+    the candidates additionally pass x_neardup_staged's funnel keyed
+    by hid — MinHash estimate gate (≥ _EST_GATE of N_HASHES matching
+    rows), then exact distinct-shingle Jaccard ≥ JACCARD_THRESHOLD
+    (k = JACCARD_SHINGLE_K; uncapped — the verify join is per
+    surviving pair, so the inverted-index df-cap skew guard has
+    nothing to guard) — components form over VERIFIED pairs only,
+    and the three funnel counts ride on every row."""
     from ziggurat_spark.functions import texthash as TH
     from ziggurat_spark.queries.dedup import (
+        _EST_GATE,
         BANDS,
+        JACCARD_SHINGLE_K,
+        JACCARD_THRESHOLD,
         MINHASH_SHINGLE_K,
+        N_HASHES,
         _duck_band_key,
     )
     from ziggurat_spark.queries.training_ops import (
@@ -5976,6 +5987,50 @@ def _pipe_oracle() -> str:
         _qc_sql_chain,
     )
 
+    funnel = ""
+    count_cols = ""
+    edge_src = "prs"
+    if verify:
+        edge_src = "ver"
+        funnel = (
+            "sig AS (SELECT hid, "
+            + ", ".join(
+                f"{TH.minhash('sh', j)[1]} AS mh{j}"
+                for j in range(N_HASHES)
+            )
+            + " FROM shh), "
+            "sh5 AS (SELECT hid, "
+            f"{TH.shingle_hashes('whash', JACCARD_SHINGLE_K)[1]} AS sh"
+            " FROM wh), "
+            "est AS (SELECT prs.a, prs.b FROM prs"
+            " JOIN sig sa ON sa.hid = prs.a"
+            " JOIN sig sb ON sb.hid = prs.b"
+            " WHERE ("
+            + " + ".join(
+                f"CAST(sa.mh{j} = sb.mh{j} AS INT)"
+                for j in range(N_HASHES)
+            )
+            + f") >= {_EST_GATE}), "
+            "exd AS (SELECT DISTINCT hid, unnest(sh) AS s FROM sh5), "
+            "szs AS (SELECT hid, count(*) AS n FROM exd GROUP BY hid), "
+            "inter AS (SELECT e.a, e.b, count(*) AS i FROM est e"
+            " JOIN exd xa ON xa.hid = e.a"
+            " JOIN exd xb ON xb.hid = e.b AND xa.s = xb.s"
+            " GROUP BY e.a, e.b), "
+            "ver AS (SELECT inter.a, inter.b FROM inter"
+            " JOIN szs sa ON sa.hid = inter.a"
+            " JOIN szs sb ON sb.hid = inter.b"
+            " WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= "
+            f"{JACCARD_THRESHOLD}), "
+        )
+        count_cols = (
+            ", CAST((SELECT count(*) FROM prs) AS BIGINT)"
+            " AS n_candidates"
+            ", CAST((SELECT count(*) FROM est) AS BIGINT)"
+            " AS n_estimate_pass"
+            ", CAST((SELECT count(*) FROM ver) AS BIGINT)"
+            " AS n_verified"
+        )
     return (
         "WITH RECURSIVE "
         + _qc_sql_chain("documents")
@@ -6001,8 +6056,9 @@ def _pipe_oracle() -> str:
         " FROM bands x JOIN bands y ON x.band = y.band"
         " AND x.bucket = y.bucket AND x.hid < y.hid"
         " WHERE x.bucket IS NOT NULL), "
-        "edges AS (SELECT a AS s, b AS t FROM prs"
-        " UNION ALL SELECT b AS s, a AS t FROM prs), "
+        + funnel
+        + f"edges AS (SELECT a AS s, b AS t FROM {edge_src}"
+        f" UNION ALL SELECT b AS s, a AS t FROM {edge_src}), "
         "reach AS (SELECT hid AS id, hid AS comp FROM dt"
         " UNION SELECT e.t AS id, r.comp FROM reach r"
         " JOIN edges e ON e.s = r.id), "
@@ -6016,8 +6072,9 @@ def _pipe_oracle() -> str:
         " JOIN cmp c ON c.id = l.hid) "
         "SELECT doc_id, source, exact_keeper, component, "
         "doc_id = min(doc_id) OVER (PARTITION BY component)"
-        " AS near_keeper "
-        "FROM o0 ORDER BY doc_id"
+        " AS near_keeper"
+        + count_cols
+        + " FROM o0 ORDER BY doc_id"
     )
 
 
@@ -6039,13 +6096,23 @@ def _pipe_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
+def _pipe_stream_state(
+    spark: SparkSession, sf: str, verify: bool = False
+) -> dict:
     """Run the composed pipeline stream; returns the state handles:
     {statedir, exact (bucket→dir), cc (bucket→dir), cc_audit,
-    folds, live_counts, io_audit}."""
+    folds, live_counts, io_audit, store (bucket→dir)}. With
+    ``verify`` each trigger runs the staged dedup funnel on its
+    candidate pairs (estimate gate → exact Jaccard), maintains
+    cand/est/ver pair state kinds (tier-compacted, graded as the
+    funnel counts) plus a keyed doc store (hid → signature + text,
+    bucketed LWW), and the forest absorbs VERIFIED pairs only."""
     from ziggurat_spark.functions import texthash_udfs as THU
     from ziggurat_spark.queries.dedup import (
+        _EST_GATE,
         BANDS,
+        JACCARD_SHINGLE_K,
+        JACCARD_THRESHOLD,
         MINHASH_SHINGLE_K,
         ROWS_PER_BAND,
     )
@@ -6068,11 +6135,13 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
     exact_dir = os.path.join(statedir, "exact")
     lsh_dir = os.path.join(statedir, "lsh")
     cc_dir = os.path.join(statedir, "cc")
-    for d in (exact_dir, lsh_dir, cc_dir):
+    store_dir = os.path.join(statedir, "store")
+    for d in (exact_dir, lsh_dir, cc_dir, store_dir):
         os.makedirs(d, exist_ok=True)
     exact_state: dict = {}
     cc_state: dict = {}
     cc_ridx: dict = {}
+    store_state: dict = {}
     cc_audit: list = []
     folds: list = []
     live_counts: list = []
@@ -6080,20 +6149,22 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
     seq = {"n": 0}
     probe: dict = {}
     cc_fold = _cc_forest_fold(spark, cc_dir, cc_state, cc_ridx, cc_audit)
-    # bands is the ONLY tiered state kind: detected pairs feed the
-    # forest absorb directly and are never read back, so persisting
-    # and tier-folding a pairs history was dead per-trigger data-plane
-    # work (round-8 ADVICE #3)
+    # in the unverified pipeline, bands is the ONLY tiered state
+    # kind: detected pairs feed the forest absorb directly and are
+    # never read back, so persisting a pairs history would be dead
+    # per-trigger data-plane work (round-8 ADVICE #3). The VERIFIED
+    # pipeline maintains the three funnel-stage pair kinds because
+    # their distinct unions ARE graded (the stage counts).
+    kinds: dict = {
+        "bands": lambda df, p: _lsh_write_band_epoch(
+            df, p, id_col="hid"
+        ),
+    }
+    if verify:
+        for k in ("cand", "est", "ver"):
+            kinds[k] = _lsh_write_pairs_epoch
     tier = make_tier_compactor(
-        spark,
-        lsh_dir,
-        STREAM_PIPE_CADENCE,
-        {
-            "bands": lambda df, p: _lsh_write_band_epoch(
-                df, p, id_col="hid"
-            ),
-        },
-        folds,
+        spark, lsh_dir, STREAM_PIPE_CADENCE, kinds, folds
     )
 
     def _fold(b, bid):
@@ -6168,6 +6239,15 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             .join(F.broadcast(fresh), "h")
             .select("hid", "text")
         )
+        if verify:
+            # the verified pipeline also signs the fresh texts (the
+            # estimate gate's sketch) — one extra Arrow UDF over the
+            # same fresh rows, still shingled exactly once
+            fresh_docs = fresh_docs.withColumn(
+                "mhs",
+                THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text"),
+            ).localCheckpoint()
+            spent.append(fresh_docs)
         bands = fresh_docs.select(
             "hid",
             F.posexplode(
@@ -6192,10 +6272,125 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
         bands.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(lsh_dir, f"bands_{key}")
         )
-        # 4) FOREST ABSORB this trigger's new pairs (bucket-pruned
-        # reads + root→bucket index inside _cc_forest_fold)
-        if not pairs.isEmpty():
-            cc_fold(pairs, bid if bid not in probe else bid + 1000)
+        store_bks = 0
+        if verify:
+            # 3v) STAGED FUNNEL in-stream (x_neardup_staged composed
+            # online): estimate gate over MinHash signatures, exact
+            # distinct-shingle Jaccard for survivors only. Partner
+            # rows (signature + text) for HISTORIC pair members come
+            # from the keyed doc store, bucket-pruned — O(candidate
+            # members), never a corpus re-read; batch members are at
+            # hand. This is the production drop rule: documents fall
+            # on VERIFIED pairs, not raw LSH candidates.
+            members = (
+                pairs.select(F.col("a").alias("hid"))
+                .unionByName(pairs.select(F.col("b").alias("hid")))
+                .distinct()
+            )
+            hist_members = members.join(
+                fresh_docs.select("hid"), "hid", "left_anti"
+            )
+            hkbs = sorted(
+                r["k"]
+                for r in hist_members.select(
+                    F.pmod(F.xxhash64("hid"), F.lit(16))
+                    .cast("int")
+                    .alias("k")
+                )
+                .distinct()
+                .collect()
+            )
+            sdirs = [store_state[k] for k in hkbs if k in store_state]
+            store_bks = len(sdirs)
+            lookup = fresh_docs.select("hid", "mhs", "text")
+            if sdirs:
+                lookup = lookup.unionByName(
+                    spark.read.parquet(*sdirs)
+                    .join(
+                        F.broadcast(hist_members), "hid", "left_semi"
+                    )
+                    .select("hid", "mhs", "text")
+                )
+            lookup = lookup.localCheckpoint()
+            spent.append(lookup)
+            la = lookup.select(
+                F.col("hid").alias("a"),
+                F.col("mhs").alias("ma"),
+                F.col("text").alias("ta"),
+            )
+            lb = lookup.select(
+                F.col("hid").alias("b"),
+                F.col("mhs").alias("mb"),
+                F.col("text").alias("tb"),
+            )
+            # estimate gate: codegen'd agreement count over the two
+            # already-computed signatures (x_neardup_staged spelling)
+            estf = (
+                pairs.join(F.broadcast(la), "a")
+                .join(F.broadcast(lb), "b")
+                .where(
+                    F.expr(
+                        "aggregate(zip_with(ma, mb, "
+                        "(x, y) -> CAST(x = y AS INT)), "
+                        f"0, (acc, v) -> acc + v) >= {_EST_GATE}"
+                    )
+                )
+                .localCheckpoint()
+            )
+            spent.append(estf)
+            # exact verify of survivors: distinct-shingle Jaccard
+            # via the Arrow shingle UDF — per-pair arrays, uncapped
+            sh5 = THU.shingles_udf(JACCARD_SHINGLE_K)
+            vd = (
+                estf.withColumn("sa", F.array_distinct(sh5("ta")))
+                .withColumn("sb", F.array_distinct(sh5("tb")))
+                .withColumn(
+                    "i", F.size(F.array_intersect("sa", "sb"))
+                )
+            )
+            ver = (
+                vd.where(
+                    F.col("i").cast("double")
+                    / (F.size("sa") + F.size("sb") - F.col("i"))
+                    >= F.lit(JACCARD_THRESHOLD)
+                )
+                .select("a", "b")
+                .localCheckpoint()
+            )
+            spent.append(ver)
+            for kind, df_ in (
+                ("cand", pairs),
+                ("est", estf.select("a", "b")),
+                ("ver", ver),
+            ):
+                df_.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(lsh_dir, f"{kind}_{key}")
+                )
+            # 4v) forest absorbs VERIFIED pairs only
+            if not ver.isEmpty():
+                cc_fold(ver, bid if bid not in probe else bid + 1000)
+            # 5v) doc-store upsert: fresh rows only, touched buckets
+            seq["n"] += 1
+            bucketed_lww_merge(
+                spark,
+                store_dir,
+                store_state,
+                fresh_docs.select("hid", "mhs", "text")
+                .withColumn(
+                    "kb",
+                    F.pmod(F.xxhash64("hid"), F.lit(16)).cast("int"),
+                )
+                .withColumn("v", F.lit(seq["n"]).cast("long")),
+                seq["n"],
+                key="hid",
+                order_cols=(F.desc("v"),),
+            )
+        else:
+            # 4) FOREST ABSORB this trigger's new pairs
+            # (bucket-pruned reads + root→bucket index inside
+            # _cc_forest_fold)
+            if not pairs.isEmpty():
+                cc_fold(pairs, bid if bid not in probe else bid + 1000)
         live_counts.append(
             len(
                 [
@@ -6209,6 +6404,7 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
             {
                 "bid": bid,
                 "exact_bks_read": len(old_dirs),
+                "store_bks_read": store_bks,
                 **pio[0],
             }
         )
@@ -6243,6 +6439,7 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
         "statedir": statedir,
         "exact": exact_state,
         "cc": cc_state,
+        "store": store_state,
         "cc_audit": cc_audit,
         "folds": folds,
         "live_counts": live_counts,
@@ -6254,6 +6451,83 @@ def _pipe_stream_state(spark: SparkSession, sf: str) -> dict:
 #: io_audit) — read by the batching-independence test's bound pins
 #: so pinning does not cost a third full stream run
 _PIPE_LAST: dict = {}
+
+#: same, for the VERIFIED pipeline's most recent run
+_PIPE_LAST_V: dict = {}
+
+
+def _pipe_grade(
+    spark: SparkSession, sf: str, st: dict, funnel: bool = False
+) -> DataFrame:
+    """Shared grade tail for both corpus-pipeline flagships: ONE
+    corpus scan (the grade itself, not trigger work) re-derives the
+    gate-passers; keepers and components come from the maintained
+    state. With ``funnel`` the graded stage counts ride on every row
+    — distinct unions over the maintained cand/est/ver pair kinds
+    (runs + tiered epochs), the same quantities x_neardup_staged
+    grades in batch."""
+    from pyspark.sql.window import Window as W
+
+    from ziggurat_spark.queries.dedup import _forest_label
+    from ziggurat_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    gated = _pipe_gate(docs).select(
+        "doc_id", "source", "h", F.expr(_PIPE_HID_SPARK).alias("hid")
+    )
+    ek = spark.read.parquet(*sorted(st["exact"].values())).select(
+        "h", F.col("doc_id").alias("keeper")
+    )
+    if st["cc"]:
+        stars = spark.read.parquet(*sorted(st["cc"].values()))
+    else:
+        stars = spark.createDataFrame([], "a long, b long")
+    comp = _forest_label(
+        gated.select(F.col("hid").alias("id")).distinct(), stars
+    )
+    o0 = (
+        gated.join(ek, "h")
+        .join(comp.select(F.col("id").alias("hid"), "comp"), "hid")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") == F.col("keeper")).alias("exact_keeper"),
+            F.col("comp").alias("component"),
+        )
+    )
+    w = W.partitionBy("component")
+    out = o0.withColumn(
+        "near_keeper", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    cols = [
+        "doc_id",
+        "source",
+        "exact_keeper",
+        "component",
+        "near_keeper",
+    ]
+    if funnel:
+        lsh_dir = os.path.join(st["statedir"], "lsh")
+        for kind, alias in (
+            ("cand", "n_candidates"),
+            ("est", "n_estimate_pass"),
+            ("ver", "n_verified"),
+        ):
+            dirs = [
+                os.path.join(lsh_dir, d)
+                for d in sorted(os.listdir(lsh_dir))
+                if d.startswith(f"{kind}_")
+            ]
+            n = (
+                _lsh_read_union(spark, dirs).distinct().count()
+                if dirs
+                else 0
+            )
+            out = out.withColumn(alias, F.lit(n).cast("long"))
+            cols.append(alias)
+    return out.select(*cols).orderBy("doc_id")
 
 
 @register(
@@ -6290,57 +6564,48 @@ _PIPE_LAST: dict = {}
 )
 @_sized_state
 def x_stream_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    from ziggurat_spark.queries.dedup import _forest_label
-    from ziggurat_spark.tables import load_table
-
     st = _pipe_stream_state(spark, sf)
     _PIPE_LAST.clear()
     _PIPE_LAST.update(st)
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", "source", "text"
-    )
-    # grade tail: ONE corpus scan (the grade itself, not trigger
-    # work) re-derives the gate-passers; keepers/components come
-    # from the maintained state
-    gated = _pipe_gate(docs).select(
-        "doc_id", "source", "h", F.expr(_PIPE_HID_SPARK).alias("hid")
-    )
-    ek = spark.read.parquet(*sorted(st["exact"].values())).select(
-        "h", F.col("doc_id").alias("keeper")
-    )
-    if st["cc"]:
-        stars = spark.read.parquet(*sorted(st["cc"].values()))
-    else:
-        stars = spark.createDataFrame([], "a long, b long")
-    comp = _forest_label(
-        gated.select(F.col("hid").alias("id")).distinct(), stars
-    )
-    o0 = (
-        gated.join(ek, "h")
-        .join(
-            comp.select(F.col("id").alias("hid"), "comp"), "hid"
-        )
-        .select(
-            "doc_id",
-            "source",
-            (F.col("doc_id") == F.col("keeper")).alias("exact_keeper"),
-            F.col("comp").alias("component"),
-        )
-    )
-    w = W.partitionBy("component")
-    return (
-        o0.withColumn(
-            "near_keeper",
-            F.col("doc_id") == F.min("doc_id").over(w),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "exact_keeper",
-            "component",
-            "near_keeper",
-        )
-        .orderBy("doc_id")
-    )
+    return _pipe_grade(spark, sf, st)
+
+
+@register(
+    "x_stream_corpus_pipeline_verified",
+    oracle=_pipe_oracle(verify=True),
+    doc=(
+        "The streaming flagship with the VERIFY stage of the dedup "
+        "funnel composed in (round-8 judge #4): per trigger the "
+        "micro-batch runs quality gate → exact-hash merge → "
+        "MinHash/LSH probe of fresh texts only (bucket-shard-pruned "
+        "history reads) → x_neardup_staged's funnel ON THE STREAM — "
+        "MinHash estimate gate (≥ 5 of 8 matching signature rows, a "
+        "codegen'd bit-count over already-computed sketches), then "
+        "exact distinct-shingle Jaccard ONLY for survivors (Arrow "
+        "shingle UDF, per-pair arrays — no inverted index, no df "
+        "cap needed) — and the star forest absorbs VERIFIED pairs "
+        "only: near_keeper is graded over pairs a production "
+        "pipeline would actually drop documents on, not raw LSH "
+        "candidates. Historic pair members' signatures and texts "
+        "come from a keyed doc store (hid → mhs + text, bucketed "
+        "LWW, touched-only reads of O(candidate members) rows — the "
+        "corpus is still never re-read; each distinct text is "
+        "shingled once at arrival and re-read only when a candidate "
+        "pair names it). The cand/est/ver pair sets are maintained "
+        "as size-tiered state kinds because their distinct unions "
+        "ARE graded: the three funnel counts ride on every output "
+        "row and must equal the one-shot batch funnel exactly. "
+        "Replay-stable by the same fb construction (newest batch "
+        "re-delivered before grading); per-trigger I/O audited "
+        "in-op (exact buckets + probe shards + store buckets)."
+    ),
+    tags=("streaming", "pipeline", "dedup", "corpus", "quality"),
+)
+@_sized_state
+def x_stream_corpus_pipeline_verified(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    st = _pipe_stream_state(spark, sf, verify=True)
+    _PIPE_LAST_V.clear()
+    _PIPE_LAST_V.update(st)
+    return _pipe_grade(spark, sf, st, funnel=True)
