@@ -3968,7 +3968,8 @@ def _lsh_compacted_state(spark: SparkSession, sf: str) -> str:
         "DIRECTORY per kind, written at normal parallelism — the "
         "bands epoch is partitionBy(band) with bucket sub-shards "
         "(no single task ever carries the O(corpus) band union; a "
-        "probe can prune history to the arrival's bands), the pairs "
+        "probe prunes history to the arrival's (band, bucket-shard) "
+        "set), the pairs "
         "epoch is sharded. Band rows are key-unioned over disjoint "
         "per-batch doc sets so plain union is exact, and the pair "
         "set is graded as a DISTINCT union so the distinct union is "
@@ -4162,7 +4163,8 @@ def _lsh_cadence_state(
     per level it climbs (total write amplification O(n·log_K n),
     not the O(stream²/K) of re-folding one flat epoch every K
     batches), and per-trigger history I/O is O(K·levels) =
-    O(K·log n) directories. Epochs write as partitionBy(band) /
+    O(K·log n) directories. Epochs write as partitionBy(band,
+    bshard) /
     sharded directories at normal parallelism (_lsh_write_*_epoch)
     — never a coalesce(1) single task. Only strictly-older batch
     ids ever fold: a crash replay re-delivers the newest batch,
@@ -4260,7 +4262,7 @@ def _lsh_cadence_state(
         "level it climbs — total write amplification O(n·log_K n) "
         "over an unbounded stream, vs O(stream²/K) for re-folding "
         "one flat epoch every K batches. Epochs write as "
-        "partitionBy(band)/sharded directories at normal "
+        "partitionBy(band, bshard) directories at normal "
         "parallelism, never a coalesce(1) single task. Only "
         "strictly-older batch ids fold (a crash replay re-delivers "
         "the newest batch, whose keyed files must stay rewritable "
@@ -4699,7 +4701,8 @@ def _mm_stream_state(
     construction applied to all three state kinds — bands, pairs,
     feat): every K strictly-older per-batch runs fold into a level-1
     epoch, K level-L epochs into level-(L+1). Band epochs write
-    partitionBy(band); pairs epochs distinct-union; feat rows are
+    partitionBy(band, bshard); pairs epochs distinct-union; feat
+    rows are
     per-asset and batches own disjoint assets, so plain union is
     exact. Returns (statedir, live_counts, folds): live_counts is
     the per-trigger count of live per-batch band runs (≤ K), folds
