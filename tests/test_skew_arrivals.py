@@ -57,6 +57,11 @@ STATE_OPS = (
     # path (one hash = one banded node), the hot band buckets drive
     # the probe, and one component absorbs nearly every doc
     "x_stream_corpus_pipeline",
+    # round 9: the VERIFIED flagship on the same hot corpus — the
+    # hot band bucket floods the candidate stage, the estimate gate
+    # and exact-Jaccard verify run on the flood's survivors, and the
+    # graded funnel counts must match the one-shot batch funnel
+    "x_stream_corpus_pipeline_verified",
 )
 
 
