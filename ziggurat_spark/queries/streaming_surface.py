@@ -6243,12 +6243,21 @@ def _pipe_stream_state(
             .select("hid", "text")
         )
         if verify:
-            # the verified pipeline also signs the fresh texts (the
-            # estimate gate's sketch) — one extra Arrow UDF over the
-            # same fresh rows, still shingled exactly once
+            # the verified pipeline also sketches the fresh texts —
+            # the estimate gate's MinHash signature AND the exact
+            # stage's DISTINCT shingle set (k=JACCARD_SHINGLE_K),
+            # each computed ONCE per distinct text at arrival: the
+            # doc store holds only these integer sketches (never the
+            # text — no second corpus copy at 100 TB), and a hot doc
+            # named by many candidate pairs is never re-shingled
             fresh_docs = fresh_docs.withColumn(
                 "mhs",
                 THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text"),
+            ).withColumn(
+                "shd",
+                F.array_distinct(
+                    THU.shingles_udf(JACCARD_SHINGLE_K)("text")
+                ),
             ).localCheckpoint()
             spent.append(fresh_docs)
         bands = fresh_docs.select(
@@ -6305,26 +6314,26 @@ def _pipe_stream_state(
             )
             sdirs = [store_state[k] for k in hkbs if k in store_state]
             store_bks = len(sdirs)
-            lookup = fresh_docs.select("hid", "mhs", "text")
+            lookup = fresh_docs.select("hid", "mhs", "shd")
             if sdirs:
                 lookup = lookup.unionByName(
                     spark.read.parquet(*sdirs)
                     .join(
                         F.broadcast(hist_members), "hid", "left_semi"
                     )
-                    .select("hid", "mhs", "text")
+                    .select("hid", "mhs", "shd")
                 )
             lookup = lookup.localCheckpoint()
             spent.append(lookup)
             la = lookup.select(
                 F.col("hid").alias("a"),
                 F.col("mhs").alias("ma"),
-                F.col("text").alias("ta"),
+                F.col("shd").alias("sa"),
             )
             lb = lookup.select(
                 F.col("hid").alias("b"),
                 F.col("mhs").alias("mb"),
-                F.col("text").alias("tb"),
+                F.col("shd").alias("sb"),
             )
             # estimate gate: codegen'd agreement count over the two
             # already-computed signatures (x_neardup_staged spelling)
@@ -6342,14 +6351,10 @@ def _pipe_stream_state(
             )
             spent.append(estf)
             # exact verify of survivors: distinct-shingle Jaccard
-            # via the Arrow shingle UDF — per-pair arrays, uncapped
-            sh5 = THU.shingles_udf(JACCARD_SHINGLE_K)
-            vd = (
-                estf.withColumn("sa", F.array_distinct(sh5("ta")))
-                .withColumn("sb", F.array_distinct(sh5("tb")))
-                .withColumn(
-                    "i", F.size(F.array_intersect("sa", "sb"))
-                )
+            # straight off the STORED sketch arrays — per-pair
+            # array_intersect, uncapped, no re-shingling
+            vd = estf.withColumn(
+                "i", F.size(F.array_intersect("sa", "sb"))
             )
             ver = (
                 vd.where(
@@ -6372,13 +6377,14 @@ def _pipe_stream_state(
             # 4v) forest absorbs VERIFIED pairs only
             if not ver.isEmpty():
                 cc_fold(ver, bid if bid not in probe else bid + 1000)
-            # 5v) doc-store upsert: fresh rows only, touched buckets
+            # 5v) sketch-store upsert: fresh rows only, touched
+            # buckets (integer sketches only — never the text)
             seq["n"] += 1
             bucketed_lww_merge(
                 spark,
                 store_dir,
                 store_state,
-                fresh_docs.select("hid", "mhs", "text")
+                fresh_docs.select("hid", "mhs", "shd")
                 .withColumn(
                     "kb",
                     F.pmod(F.xxhash64("hid"), F.lit(16)).cast("int"),
@@ -6589,12 +6595,12 @@ def x_stream_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "cap needed) — and the star forest absorbs VERIFIED pairs "
         "only: near_keeper is graded over pairs a production "
         "pipeline would actually drop documents on, not raw LSH "
-        "candidates. Historic pair members' signatures and texts "
-        "come from a keyed doc store (hid → mhs + text, bucketed "
-        "LWW, touched-only reads of O(candidate members) rows — the "
-        "corpus is still never re-read; each distinct text is "
-        "shingled once at arrival and re-read only when a candidate "
-        "pair names it). The cand/est/ver pair sets are maintained "
+        "candidates. Historic pair members' sketches come "
+        "from a keyed SKETCH store (hid → MinHash signature + "
+        "distinct-shingle array, bucketed LWW, touched-only reads "
+        "of O(candidate members) rows): the corpus is never "
+        "re-read, never copied — each distinct text is sketched "
+        "exactly once at arrival and the store holds integers only. The cand/est/ver pair sets are maintained "
         "as size-tiered state kinds because their distinct unions "
         "ARE graded: the three funnel counts ride on every output "
         "row and must equal the one-shot batch funnel exactly. "
