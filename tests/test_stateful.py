@@ -1060,11 +1060,10 @@ def test_stream_ivf_cadence_refresh_contract(spark):
 def test_stream_multimodal_tiered_bounds(spark):
     """The multimodal stream's size-tiered compaction: live per-batch
     run count ≤ K+1, every fold consumed exactly K runs of one level,
-    tiered epochs exist for both HISTORY kinds (bands
-    band-partitioned, pairs), the feature table lives in the keyed
-    bucketed store (round 9: ≤ 16 live bucket dirs, one row per
-    asset — never tiered history scanned per trigger), and the
-    graded pair set equals the one-shot batch op's."""
+    tiered epochs exist for ALL THREE kinds (bands band-partitioned
+    with bshard sub-shards; feat fkb-partitioned on the asset hash so
+    verify reads prune to touched buckets — round 9), and the graded
+    pair set equals the one-shot batch op's."""
     import os
 
     from ziggurat_spark.queries import streaming_surface as ss
@@ -1094,29 +1093,24 @@ def test_stream_multimodal_tiered_bounds(spark):
     assert folds and all(f["inputs"] == K for f in folds), folds
     assert any(f["level"] >= 1 for f in folds), folds
     names = sorted(os.listdir(statedir))
-    for kind in ("bands", "pairs"):
+    for kind in ("bands", "pairs", "feat"):
         tiered = [n for n in names if n.startswith(f"{kind}_L")]
         assert tiered, (kind, names)
-    assert not [n for n in names if n.startswith("feat_")], names
     for n in names:
         if n.startswith("bands_L"):
             sub = sorted(os.listdir(os.path.join(statedir, n)))
             assert any(d.startswith("band=") for d in sub), (n, sub)
-    # the feature store: ≤ 16 live bucket dirs, one CURRENT row per
-    # banded asset (bucketed LWW with superseded versions pruned)
-    fst = os.path.join(statedir, "featstore")
-    vdirs = sorted(
-        (d for d in os.listdir(fst) if d.startswith("state_v")),
-        key=lambda d: int(d[len("state_v") :]),
+        if n.startswith("feat_L"):
+            # prunable-layout pin (round 9): every O(corpus) feat
+            # EPOCH is fkb-partitioned on the asset hash (per-batch
+            # runs stay flat — O(batch), read whole either way)
+            sub = sorted(os.listdir(os.path.join(statedir, n)))
+            assert any(d.startswith("fkb=") for d in sub), (n, sub)
+    # one feature row per banded asset across the whole history
+    # (append-only over disjoint per-batch asset sets)
+    frows = ss._mm_read_feat_pruned(
+        spark, statedir, "nosuchkey", set(range(ss.MM_FEAT_KB))
     )
-    assert vdirs, "feature store never written"
-    live: dict = {}  # newest version per bucket = the live state map
-    for v in vdirs:
-        for kb in os.listdir(os.path.join(fst, v)):
-            if kb.startswith("kb="):
-                live[kb] = os.path.join(fst, v, kb)
-    assert 1 <= len(live) <= 16, live
-    frows = spark.read.parquet(*live.values())
     assert frows.count() == frows.select("asset_id").distinct().count()
     from ziggurat_spark.queries.dedup import x_multimodal_neardup
 

@@ -4692,27 +4692,105 @@ def _mm_stream_oracle() -> str:
 #: fold committed multimodal state into tiered epochs every K batches
 STREAM_MM_CADENCE = 2
 
+#: asset-hash buckets in the feat history's directory layout —
+#: the verify stage prunes its feature reads to the candidate
+#: members' buckets; same regime as LSH_BUCKET_SHARDS (pays when
+#: the trigger's candidate-member set is small vs the grid)
+MM_FEAT_KB = 16
+
+
+def _mm_write_feat(df: DataFrame, path: str) -> None:
+    """Write a feat EPOCH as a partitionBy(fkb) directory on the
+    asset-id hash: append-only history (batches own disjoint assets)
+    whose reads prune to the touched buckets — write O(rows), no
+    rewrite of prior state. Per-batch runs stay flat coalesce(1)
+    files: they are O(batch) and ≤ K live, read whole either way —
+    only the O(corpus) epochs need the prunable layout (and only
+    they should pay the partitioned-write shuffle)."""
+    (
+        df.select("asset_id", "bv", "n2")
+        .withColumn(
+            "fkb",
+            F.pmod(F.xxhash64("asset_id"), F.lit(MM_FEAT_KB)).cast(
+                "int"
+            ),
+        )
+        .repartition("fkb")
+        .write.partitionBy("fkb")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _mm_read_feat_pruned(
+    spark: SparkSession, statedir: str, key: str, fkbs: set
+):
+    """Union of the feat history's fkb= subdirectories named by
+    ``fkbs`` across every run/epoch except the batch's own key —
+    O(touched buckets) I/O, never the O(corpus) feature table.
+    When the wanted set covers the whole grid (a bulk trigger whose
+    candidates touch every bucket — the common case at bench batch
+    sizes) each dir is read WHOLE instead: same bytes, none of the
+    per-subdirectory listing/discovery overhead (the same graceful
+    degradation _lsh_probe_pairs has by construction). Returns None
+    when nothing matches."""
+    whole = len(fkbs) >= MM_FEAT_KB
+    parts = []
+    for d in sorted(os.listdir(statedir)):
+        if not d.startswith("feat_") or d == f"feat_{key}":
+            continue
+        full = os.path.join(statedir, d)
+        subs = [
+            e for e in os.listdir(full) if e.startswith("fkb=")
+        ]
+        if whole or not subs:
+            # bulk trigger, or a flat O(batch) per-batch run:
+            # read the dir whole
+            parts.append(
+                spark.read.parquet(full).select(
+                    "asset_id", "bv", "n2"
+                )
+            )
+            continue
+        paths = [
+            os.path.join(full, e)
+            for e in subs
+            if int(e.split("=", 1)[1]) in fkbs
+        ]
+        if paths:
+            parts.append(
+                spark.read.option("basePath", full)
+                .parquet(*paths)
+                .select("asset_id", "bv", "n2")
+            )
+    if not parts:
+        return None
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
 
 def _mm_stream_state(
     spark: SparkSession, sf: str
 ) -> tuple[str, list, list]:
     """Run the streaming multimodal near-dup maintenance WITH
     size-tiered epoch compaction on cadence (the x_stream_lsh_cadence
-    construction applied to the bands and pairs state kinds): every
-    K strictly-older per-batch runs fold into a level-1 epoch, K
+    construction applied to all three state kinds): every K
+    strictly-older per-batch runs fold into a level-1 epoch, K
     level-L epochs into level-(L+1). Band epochs write
-    partitionBy(band, bshard); pairs epochs distinct-union. The
-    FEATURE table is NOT tiered history — it is a keyed bucketed-LWW
-    store (asset_id → integer byte vector + norm, batches own
-    disjoint assets) read back ONLY for the buckets the trigger's
-    candidate members hash into (round 9: the per-trigger
-    feature-table union was the last O(corpus) read in this stream —
-    the same shape as the round-8 band-scan weak item, fixed with
-    the same keyed-store pattern as the verified pipeline's sketch
-    store). Returns (statedir, live_counts, folds). The NEWEST batch
-    is re-delivered verbatim at close (it is always still keyed —
-    compaction folds strictly-older ids only), proving crash replay
-    against the compacted state."""
+    partitionBy(band, bshard); pairs epochs distinct-union; feat
+    rows are per-asset and batches own disjoint assets so the feat
+    history is APPEND-ONLY (plain union exact) — and every feat
+    run/epoch writes partitionBy(fkb) on the asset-id hash, so the
+    verify stage reads back only the buckets its candidate members
+    hash into (round 9: the per-trigger full feature-table union
+    was the last O(corpus) read in this stream; writes stay
+    O(batch) — an LWW keyed store was tried first and rewrote
+    O(store) per trigger). Returns (statedir, live_counts, folds).
+    The NEWEST batch is re-delivered verbatim at close (it is
+    always still keyed — compaction folds strictly-older ids only),
+    proving crash replay against the compacted state."""
     from ziggurat_spark.operators.multimodal import (
         decode_and_featurize,
         documents_as_assets,
@@ -4739,15 +4817,19 @@ def _mm_stream_state(
         .parquet(src_dir)
     )
     statedir = scratch_dir("zs_stream_mm_state_")
-    feat_dir = os.path.join(statedir, "featstore")
-    os.makedirs(feat_dir, exist_ok=True)
-    feat_state: dict = {}
-    seq = {"n": 0}
     probe: dict = {}
     live_counts: list = []
     folds: list = []
-    # the shared size-tiered compactor over the two HISTORY kinds
-    # (the feature table is a keyed store, not history — see above)
+    # the shared size-tiered compactor over ALL THREE state kinds.
+    # feat rows are per-asset and batches own disjoint assets, so
+    # the history is APPEND-ONLY (plain union is exact) — and every
+    # feat run/epoch writes partitionBy(fkb) on the asset-id hash so
+    # the verify stage reads back only the buckets its candidate
+    # members hash into (round 9: the per-trigger full feature-table
+    # union was the last O(corpus) read in this stream; an LWW
+    # keyed store was tried first and rewrote O(store) per trigger —
+    # bucket-partitioned append-only history keeps writes O(batch)
+    # AND reads O(touched buckets))
     _tier_compact = make_tier_compactor(
         spark,
         statedir,
@@ -4757,6 +4839,7 @@ def _mm_stream_state(
                 df, p, id_col="asset_id"
             ),
             "pairs": _lsh_write_pairs_epoch,
+            "feat": _mm_write_feat,
         },
         folds,
     )
@@ -4798,6 +4881,7 @@ def _mm_stream_state(
         _tier_compact(bid)
         key = f"b{bid}"
         feat = _feat(b).localCheckpoint()  # bands + verify sides
+        batch_assets = feat.count()  # on materialized blocks: cheap
         bands = feat.select(
             "asset_id", F.posexplode("bks").alias("band", "bucket")
         ).localCheckpoint()
@@ -4815,36 +4899,53 @@ def _mm_stream_state(
             .distinct()
             .repartition(spark.sparkContext.defaultParallelism)
         )
-        # verify sides: candidate members may live in history — the
-        # batch's own features are at hand, historic members read
-        # BUCKET-PRUNED from the keyed feature store (O(candidate
-        # members) rows, never the O(corpus) feature table)
-        members = (
-            cand.select(F.col("a").alias("asset_id"))
-            .unionByName(cand.select(F.col("b").alias("asset_id")))
-            .distinct()
-        )
-        hist_members = members.join(
-            feat.select("asset_id"), "asset_id", "left_anti"
-        )
-        fkbs = sorted(
-            r["k"]
-            for r in hist_members.select(
-                F.pmod(F.xxhash64("asset_id"), F.lit(16))
-                .cast("int")
-                .alias("k")
-            )
-            .distinct()
-            .collect()
-        )
-        fdirs = [feat_state[k] for k in fkbs if k in feat_state]
+        # verify sides: candidate members may live in history. A
+        # BULK trigger (≥ ~4 assets per feature bucket) touches
+        # every bucket with overwhelming probability, so pruning
+        # buys nothing — keep the old FUSED plan (lazy cand, one
+        # verify job over the whole feat history). A SELECTIVE
+        # trigger pays two bounded control-plane jobs (materialize
+        # candidates, collect their members' buckets) to read only
+        # the touched fkb= subdirectories — O(touched buckets), the
+        # read bound that survives 100 TB where the corpus dwarfs
+        # any trigger. Same regime split as the band-probe pruning
+        # (SCALE.md §23); batch assets are never in history
+        # (feat_{key} excluded, batches own disjoint assets).
+        spent = [feat, bands]
         feat_all = feat.select("asset_id", "bv", "n2")
-        if fdirs:
-            feat_all = feat_all.unionByName(
-                spark.read.parquet(*fdirs)
-                .join(F.broadcast(hist_members), "asset_id", "left_semi")
-                .select("asset_id", "bv", "n2")
+        if batch_assets >= MM_FEAT_KB * 4:
+            hist_feat = _mm_read_feat_pruned(
+                spark, statedir, key, set(range(MM_FEAT_KB))
             )
+            if hist_feat is not None:
+                feat_all = feat_all.unionByName(hist_feat)
+        else:
+            cand = cand.localCheckpoint()  # members + verify consume
+            spent.append(cand)
+            members = (
+                cand.select(F.col("a").alias("asset_id"))
+                .unionByName(cand.select(F.col("b").alias("asset_id")))
+                .distinct()
+                .localCheckpoint()
+            )
+            spent.append(members)
+            fkbs = {
+                r["k"]
+                for r in members.select(
+                    F.pmod(F.xxhash64("asset_id"), F.lit(MM_FEAT_KB))
+                    .cast("int")
+                    .alias("k")
+                )
+                .distinct()
+                .collect()
+            }
+            hist_feat = _mm_read_feat_pruned(spark, statedir, key, fkbs)
+            if hist_feat is not None:
+                feat_all = feat_all.unionByName(
+                    hist_feat.join(
+                        F.broadcast(members), "asset_id", "left_semi"
+                    )
+                )
         fa = feat_all.select(
             F.col("asset_id").alias("a"),
             F.col("bv").alias("av"),
@@ -4879,21 +4980,11 @@ def _mm_stream_state(
         bands.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(statedir, f"bands_{key}")
         )
-        seq["n"] += 1
-        bucketed_lww_merge(
-            spark,
-            feat_dir,
-            feat_state,
-            feat.select("asset_id", "bv", "n2")
-            .withColumn(
-                "kb",
-                F.pmod(F.xxhash64("asset_id"), F.lit(16)).cast("int"),
-            )
-            .withColumn("v", F.lit(seq["n"]).cast("long")),
-            seq["n"],
-            key="asset_id",
-            order_cols=(F.desc("v"),),
-        )
+        feat.select("asset_id", "bv", "n2").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(statedir, f"feat_{key}"))
+        for df in spent:
+            df.unpersist()  # all consumed above; release the blocks
         live_counts.append(
             len(
                 [
@@ -4958,16 +5049,18 @@ def _mm_stream_state(
         "Graded: the union of per-batch detections equals the "
         "one-shot batch pair set with identical cos2_ppm — same "
         "oracle as x_multimodal_neardup; 1-vs-7-file batching "
-        "independence pinned in tests/test_stateful.py. History "
-        "state is size-tiered IN-OP (bands + pairs: every K=2 "
+        "independence pinned in tests/test_stateful.py. State is "
+        "size-tiered IN-OP (all three kinds: every K=2 "
         "strictly-older per-batch runs fold into a level-1 epoch, K "
         "level-L epochs into level-(L+1); band epochs write "
         "partitionBy(band, bshard) at parallelism, probe-prunable); "
-        "the FEATURE table is a keyed bucketed-LWW store read back "
-        "only for the buckets the trigger's candidate members hash "
-        "into — O(candidate members) rows, never the O(corpus) "
-        "feature union per trigger (round 9: the last corpus-sized "
-        "per-trigger read in this stream). Every fold's input is "
+        "the FEAT history is append-only (batches own disjoint "
+        "assets) and every feat run/epoch is partitionBy(fkb) on "
+        "the asset-id hash, so verify reads back only the buckets "
+        "the trigger's candidate members hash into — O(touched "
+        "buckets), never the O(corpus) feature union per trigger "
+        "(round 9: the last corpus-sized per-trigger read in this "
+        "stream), while writes stay O(batch). Every fold's input is "
         "exactly K runs of one level (audited, pinned) and the "
         "newest batch is re-delivered verbatim at close against the "
         "COMPACTED state. At 100 TB: per-trigger work is O(batch "

@@ -54,7 +54,7 @@ STATE_FILE_BOUNDS: dict[str, int] = {
     "x_stream_lsh_maintain": 69,  # measured 46 (r9, sf0.1)
     "x_stream_max_poll_batches": 54,  # measured 36 (r9, sf0.1)
     "x_stream_mixture_monitor": 18,  # measured 10 (r9, sf0.1)
-    "x_stream_multimodal_neardup": 198,  # measured 132 (r9, keyed feat store)
+    "x_stream_multimodal_neardup": 210,  # measured 140 (r9, fkb-partitioned feat epochs)
     "x_stream_pii_redact": 18,  # measured 10 (r9, sf0.1)
     "x_stream_poison_shunt": 20,  # measured 12 (r9, sf0.1)
     "x_stream_quality_gate": 18,  # measured 10 (r9, sf0.1)
