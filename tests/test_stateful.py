@@ -1342,3 +1342,82 @@ def test_stream_corpus_pipeline_verified_batching_independent(spark):
     )
     assert r0["n_verified"] > 0
     assert any(not r["near_keeper"] for r in one)
+
+
+def test_mm_feat_pruned_read_touches_only_named_buckets(spark, tmp_path):
+    """Round-9 pin for the multimodal feat history's prunable layout:
+    a pruned read over an fkb-partitioned epoch returns exactly the
+    rows whose asset hash lands in the named buckets — a strict
+    subset when the bucket set is — and the whole-grid read returns
+    everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ziggurat_spark.queries import streaming_surface as ss
+
+    rows = [(i, [i % 7, 1], 5 + i % 3) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "asset_id long, bv array<int>, n2 long"
+    )
+    statedir = str(tmp_path / "mmfeat")
+    os.makedirs(statedir)
+    ss._mm_write_feat(df, os.path.join(statedir, "feat_L1_000001"))
+    kb = {
+        r["k"]
+        for r in spark.range(0, 4)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(ss.MM_FEAT_KB))
+            .cast("int")
+            .alias("k")
+        )
+        .collect()
+    }
+    assert len(kb) < ss.MM_FEAT_KB
+    pruned = ss._mm_read_feat_pruned(spark, statedir, "b9", kb)
+    full = ss._mm_read_feat_pruned(
+        spark, statedir, "b9", set(range(ss.MM_FEAT_KB))
+    )
+    got = {r["asset_id"] for r in pruned.collect()}
+    allids = {r["asset_id"] for r in full.collect()}
+    assert allids == set(range(200))
+    assert got < allids  # strictly pruned
+    assert {0, 1, 2, 3} <= got  # the named assets' buckets are there
+    # every returned row hashes into a named bucket
+    chk = {
+        r["k"]
+        for r in pruned.select(
+            F.pmod(F.xxhash64("asset_id"), F.lit(ss.MM_FEAT_KB))
+            .cast("int")
+            .alias("k")
+        )
+        .distinct()
+        .collect()
+    }
+    assert chk <= kb
+
+
+def test_stream_multimodal_selective_batches_oracle_exact(spark):
+    """The SELECTIVE feat-read path (small triggers below the
+    bulk threshold pay two control-plane jobs to read only their
+    candidate members' fkb= subdirectories) must produce the
+    identical graded pair set: 16-file batching (~31 assets/trigger
+    < MM_FEAT_KB*4) vs the one-shot batch op."""
+    from ziggurat_spark.queries import streaming_surface as ss
+    from ziggurat_spark.queries.dedup import x_multimodal_neardup
+
+    sf = "/root/testdata/sf0.001"
+    prev = ss.STREAM_MM_SRC_FILES
+    try:
+        ss.STREAM_MM_SRC_FILES = 16
+        got = sorted(
+            tuple(r)
+            for r in ss.x_stream_multimodal_neardup(spark, sf).collect()
+        )
+    finally:
+        ss.STREAM_MM_SRC_FILES = prev
+    want = sorted(
+        tuple(r) for r in x_multimodal_neardup(spark, sf).collect()
+    )
+    assert got == want
+    assert len(got) > 0
