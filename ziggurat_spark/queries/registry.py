@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         behavior,
         corpus_ops,
         dedup,
+        entity_res,
         envelope,
         functions_more,
         functions_surface,
