@@ -107,11 +107,12 @@ def _registry(spark: SparkSession, sf: str) -> DataFrame:
     return r0.unionByName(r1).unionByName(r2)
 
 
-def _featurized(spark: SparkSession, sf: str) -> DataFrame:
-    """Registry + normalized name, digit key, distinct char trigrams."""
+def featurize_records(reg: DataFrame) -> DataFrame:
+    """Normalized name, digit keys, distinct char trigrams for any
+    frame of registry-shaped records — ONE Spark spelling shared by
+    the batch op and the streaming twin's per-trigger featurize."""
     return (
-        _registry(spark, sf)
-        .withColumn(
+        reg.withColumn(
             "norm", F.expr("lower(regexp_replace(name, '[^a-zA-Z0-9]', ''))")
         )
         .withColumn(
@@ -142,6 +143,11 @@ def _featurized(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("ntg", F.size("tg"))
     )
+
+
+def _featurized(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry + normalized name, digit key, distinct char trigrams."""
+    return featurize_records(_registry(spark, sf))
 
 
 def _snm_pairs(feat: DataFrame, order_cols: list, n_parts: int) -> DataFrame:
@@ -183,52 +189,130 @@ def _snm_pairs(feat: DataFrame, order_cols: list, n_parts: int) -> DataFrame:
 ER_CC_MAX_ITERS = 15
 
 
+#: Spark spelling of the symmetric-delete blocking neighborhood
+#: (SymSpell / Mor-Fraenkel): the zero-trimmed digit string plus
+#: every single-character deletion of it. Two strings within edit
+#: distance 1 always share at least one key, so a join on these
+#: keys is a LOSSLESS blocking for the lev<=1 verify — with key
+#: cardinality that grows with the data (unlike a fixed band key)
+#: and fan-out bounded by len(dstr)+1. Used by the streaming twin
+#: (x_stream_entity_resolution); the batch op blocks by sorted
+#: neighborhood instead so the two ops prove both classic schemes.
+ER_DELKEYS_SQL = (
+    "array_distinct(concat(array(dstr), "
+    "transform(sequence(1, length(dstr)), i -> "
+    "concat(substring(dstr, 1, i - 1), "
+    "substring(dstr, i + 1, length(dstr) - i)))))"
+)
+
+
+# --- oracle SQL fragments, shared verbatim by the batch op and the
+# --- streaming twin so the registry/featurize/verify/cluster logic
+# --- has exactly ONE DuckDB spelling
+_SQL_PREFIX = (
+    "WITH RECURSIVE base AS (SELECT c_custkey AS ck, c_name AS nm, "
+    "c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS bal FROM customer), "
+    "reg AS ("
+    "SELECT ck*4 AS rec_id, ck, nm AS name, seg, bal FROM base "
+    "UNION ALL SELECT ck*4+1, ck, regexp_replace(nm, '#0+', '#'), seg, "
+    "bal + (ck % 100) - 50 FROM base WHERE ck % 3 <> 0 "
+    "UNION ALL SELECT ck*4+2, ck, substr(nm, 1, length(nm) - 5) || "
+    "substr(nm, length(nm) - 3, 4), seg, bal - (ck % 80) "
+    "FROM base WHERE ck % 5 = 2), "
+    "feat AS (SELECT rec_id, ck, name, seg, bal, "
+    "lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')) AS norm, "
+    "CAST(nullif(regexp_replace(name, '[^0-9]', '', 'g'), '') AS BIGINT) "
+    "AS dig, "
+    "regexp_replace(regexp_replace(name, '[^0-9]', '', 'g'), '^0+', '') "
+    "AS dstr FROM reg), "
+    "tgt AS (SELECT rec_id, ck, seg, bal, dstr, "
+    "list_distinct(list_transform(range(1, length(norm) - 1), "
+    "i -> substr(norm, i, 3))) AS tg FROM feat), "
+)
+
+#: the multi-pass sorted-neighborhood candidate CTEs (batch op)
+_SQL_SNM_CAND = (
+    "o1 AS (SELECT rec_id, row_number() OVER (ORDER BY dig, norm, rec_id) "
+    "AS rn FROM feat), "
+    f"c1 AS (SELECT x.rec_id AS l, y.rec_id AS r FROM o1 x JOIN o1 y "
+    f"ON y.rn > x.rn AND y.rn <= x.rn + {SNM_WINDOW}), "
+    "o2 AS (SELECT rec_id, row_number() OVER "
+    "(ORDER BY seg, bal, dig, rec_id) AS rn FROM feat), "
+    f"c2 AS (SELECT x.rec_id AS l, y.rec_id AS r FROM o2 x JOIN o2 y "
+    f"ON y.rn > x.rn AND y.rn <= x.rn + {SNM_WINDOW}), "
+    "cand AS (SELECT DISTINCT least(l, r) AS a, greatest(l, r) AS b "
+    "FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)), "
+)
+
+#: the symmetric-delete candidate CTEs (streaming twin); the
+#: blocking key is (segment, deletion-key) — segment equality is a
+#: verify condition anyway, and folding it into the key divides
+#: block sizes by the segment count before any pair materializes
+_SQL_DELKEY_CAND = (
+    "keys AS (SELECT rec_id, seg, "
+    "unnest(list_distinct(list_prepend(dstr, "
+    "list_transform(range(1, length(dstr) + 1), i -> "
+    "substr(dstr, 1, i - 1) || substr(dstr, i + 1, length(dstr) - i))))) "
+    "AS k FROM feat), "
+    "cand AS (SELECT DISTINCT x.rec_id AS a, y.rec_id AS b "
+    "FROM keys x JOIN keys y ON x.k = y.k AND x.seg = y.seg "
+    "AND x.rec_id < y.rec_id), "
+)
+
+_SQL_VER_REACH = (
+    "ver AS (SELECT cand.a, cand.b, fa.ck AS cka, fb.ck AS ckb "
+    "FROM cand JOIN tgt fa ON fa.rec_id = cand.a "
+    "JOIN tgt fb ON fb.rec_id = cand.b "
+    f"WHERE fa.seg = fb.seg AND abs(fa.bal - fb.bal) <= {ER_BAL_TOL} "
+    f"AND levenshtein(fa.dstr, fb.dstr) <= {ER_DIGIT_EDIT_MAX} "
+    "AND CAST(length(list_intersect(fa.tg, fb.tg)) AS DOUBLE) / "
+    "(length(fa.tg) + length(fb.tg) - "
+    f"length(list_intersect(fa.tg, fb.tg))) >= {ER_JACCARD_MIN}), "
+    "edges AS (SELECT a AS s, b AS t FROM ver "
+    "UNION ALL SELECT b AS s, a AS t FROM ver), "
+    "reach AS (SELECT rec_id AS id, rec_id AS comp FROM reg "
+    "UNION SELECT e.t AS id, r.comp FROM reach r "
+    "JOIN edges e ON e.s = r.id), "
+    "lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id), "
+)
+
+_SQL_COUNTS = (
+    "mc AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM cand), "
+    "mv AS (SELECT CAST(count(*) AS BIGINT) AS ver_pairs, "
+    "CAST(sum(CASE WHEN cka = ckb THEN 1 ELSE 0 END) AS BIGINT) AS "
+    "tp_pairs FROM ver), "
+    "mt AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS "
+    "truth_pairs FROM (SELECT ck, count(*) AS n FROM reg GROUP BY ck)) "
+)
+
+
+def er_stream_oracle_sql() -> str:
+    """Record-level DuckDB oracle for the streaming twin: the same
+    registry/featurize/verify/cluster fragments, with
+    symmetric-delete blocking instead of sorted neighborhood, graded
+    per record (entity = min rec_id of the component) with the same
+    funnel constants riding."""
+    return (
+        _SQL_PREFIX
+        + _SQL_DELKEY_CAND
+        + _SQL_VER_REACH
+        + _SQL_COUNTS
+        + "SELECT f.rec_id, l.comp AS entity, l.comp = f.rec_id AS "
+        "is_keeper, mc.cand_pairs, mv.ver_pairs, mv.tp_pairs, "
+        "mt.truth_pairs, (100 * mv.tp_pairs) // mv.ver_pairs AS "
+        "precision_pct, (100 * mv.tp_pairs) // mt.truth_pairs AS "
+        "recall_pct FROM feat f JOIN lab l ON l.id = f.rec_id "
+        "CROSS JOIN mc CROSS JOIN mv CROSS JOIN mt ORDER BY f.rec_id"
+    )
+
+
 @register(
     "x_entity_resolution",
     oracle=(
-        "WITH RECURSIVE base AS (SELECT c_custkey AS ck, c_name AS nm, "
-        "c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS bal FROM customer), "
-        "reg AS ("
-        "SELECT ck*4 AS rec_id, ck, nm AS name, seg, bal FROM base "
-        "UNION ALL SELECT ck*4+1, ck, regexp_replace(nm, '#0+', '#'), seg, "
-        "bal + (ck % 100) - 50 FROM base WHERE ck % 3 <> 0 "
-        "UNION ALL SELECT ck*4+2, ck, substr(nm, 1, length(nm) - 5) || "
-        "substr(nm, length(nm) - 3, 4), seg, bal - (ck % 80) "
-        "FROM base WHERE ck % 5 = 2), "
-        "feat AS (SELECT rec_id, ck, name, seg, bal, "
-        "lower(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')) AS norm, "
-        "CAST(nullif(regexp_replace(name, '[^0-9]', '', 'g'), '') AS BIGINT) "
-        "AS dig, "
-        "regexp_replace(regexp_replace(name, '[^0-9]', '', 'g'), '^0+', '') "
-        "AS dstr FROM reg), "
-        "tgt AS (SELECT rec_id, ck, seg, bal, dstr, "
-        "list_distinct(list_transform(range(1, length(norm) - 1), "
-        "i -> substr(norm, i, 3))) AS tg FROM feat), "
-        "o1 AS (SELECT rec_id, row_number() OVER (ORDER BY dig, norm, rec_id) "
-        "AS rn FROM feat), "
-        f"c1 AS (SELECT x.rec_id AS l, y.rec_id AS r FROM o1 x JOIN o1 y "
-        f"ON y.rn > x.rn AND y.rn <= x.rn + {SNM_WINDOW}), "
-        "o2 AS (SELECT rec_id, row_number() OVER "
-        "(ORDER BY seg, bal, dig, rec_id) AS rn FROM feat), "
-        f"c2 AS (SELECT x.rec_id AS l, y.rec_id AS r FROM o2 x JOIN o2 y "
-        f"ON y.rn > x.rn AND y.rn <= x.rn + {SNM_WINDOW}), "
-        "cand AS (SELECT DISTINCT least(l, r) AS a, greatest(l, r) AS b "
-        "FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)), "
-        "ver AS (SELECT cand.a, cand.b, fa.ck AS cka, fb.ck AS ckb "
-        "FROM cand JOIN tgt fa ON fa.rec_id = cand.a "
-        "JOIN tgt fb ON fb.rec_id = cand.b "
-        f"WHERE fa.seg = fb.seg AND abs(fa.bal - fb.bal) <= {ER_BAL_TOL} "
-        f"AND levenshtein(fa.dstr, fb.dstr) <= {ER_DIGIT_EDIT_MAX} "
-        "AND CAST(length(list_intersect(fa.tg, fb.tg)) AS DOUBLE) / "
-        "(length(fa.tg) + length(fb.tg) - "
-        f"length(list_intersect(fa.tg, fb.tg))) >= {ER_JACCARD_MIN}), "
-        "edges AS (SELECT a AS s, b AS t FROM ver "
-        "UNION ALL SELECT b AS s, a AS t FROM ver), "
-        "reach AS (SELECT rec_id AS id, rec_id AS comp FROM reg "
-        "UNION SELECT e.t AS id, r.comp FROM reach r "
-        "JOIN edges e ON e.s = r.id), "
-        "lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id), "
-        "la AS (SELECT lab.id, lab.comp, f.ck, f.name, f.bal "
+        _SQL_PREFIX
+        + _SQL_SNM_CAND
+        + _SQL_VER_REACH
+        + "la AS (SELECT lab.id, lab.comp, f.ck, f.name, f.bal "
         "FROM lab JOIN feat f ON f.rec_id = lab.id), "
         "cl AS (SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS "
         "n_members, CAST(count(DISTINCT ck) AS BIGINT) AS n_entities "
@@ -237,13 +321,8 @@ ER_CC_MAX_ITERS = 15
         "(SELECT comp AS cluster_id, name AS golden_name, bal AS golden_bal, "
         "row_number() OVER (PARTITION BY comp ORDER BY bal DESC, id DESC) "
         "AS rnk FROM la) WHERE rnk = 1), "
-        "mc AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM cand), "
-        "mv AS (SELECT CAST(count(*) AS BIGINT) AS ver_pairs, "
-        "CAST(sum(CASE WHEN cka = ckb THEN 1 ELSE 0 END) AS BIGINT) AS "
-        "tp_pairs FROM ver), "
-        "mt AS (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS "
-        "truth_pairs FROM (SELECT ck, count(*) AS n FROM reg GROUP BY ck)) "
-        "SELECT cl.cluster_id, g.golden_name, g.golden_bal, cl.n_members, "
+        + _SQL_COUNTS
+        + "SELECT cl.cluster_id, g.golden_name, g.golden_bal, cl.n_members, "
         "cl.n_entities, mc.cand_pairs, mv.ver_pairs, mv.tp_pairs, "
         "mt.truth_pairs, (100 * mv.tp_pairs) // mv.ver_pairs AS "
         "precision_pct, (100 * mv.tp_pairs) // mt.truth_pairs AS recall_pct "

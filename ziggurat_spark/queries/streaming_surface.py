@@ -6744,3 +6744,430 @@ def x_stream_corpus_pipeline_verified(
     _PIPE_LAST_V.clear()
     _PIPE_LAST_V.update(st)
     return _pipe_grade(spark, sf, st, funnel=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming entity resolution: online record linkage
+# ---------------------------------------------------------------------------
+
+#: micro-batch fan-out for the streaming entity-resolution op
+#: (3 at bench scale — the batching-independence pin runs 2-vs-4)
+STREAM_ER_SRC_FILES = 3
+
+#: fold the ER state runs into tiered epochs every K batches
+STREAM_ER_CADENCE = 2
+
+#: key-buckets in the ER record store's directory layout
+ER_STORE_KB = 8
+
+
+def _er_stream_state(spark: SparkSession, sf: str) -> dict:
+    """Run the online record-linkage stream; returns state handles
+    {statedir, lsh_dir, cc (bucket→dir), store (bucket→dir),
+    cc_audit, folds, io_audit}.
+
+    Per trigger: featurize the arriving registry records →
+    symmetric-delete blocking keys (SymSpell deletion neighborhood
+    of the zero-trimmed digit string — lossless for the lev<=1
+    verify, key cardinality grows with the data) → candidate pairs
+    via the ONE shared probe spelling (_lsh_probe_pairs: within-
+    batch self-join + arrivals broadcast against the size-tiered
+    key history, reads pruned to the batch's (band, bucket-shard)
+    set) → VERIFY against record attributes (batch members at hand,
+    historic members from the keyed record store, bucket-pruned
+    reads of O(candidate members) rows) → the star forest absorbs
+    verified match pairs (_cc_forest_fold: bucket-pruned roots +
+    the root→bucket index). The ver pair kind is size-tiered state
+    whose distinct union IS graded; the candidate count rides as
+    replay-idempotent per-batch count rows, epoch-compacted.
+    The record store holds bounded-length entity-key attributes
+    (segment, balance, digit string, name trigrams) — records are
+    keys, not documents; no unbounded text enters state."""
+    from ziggurat_spark.queries.entity_res import (
+        ER_BAL_TOL,
+        ER_DELKEYS_SQL,
+        ER_DIGIT_EDIT_MAX,
+        ER_JACCARD_MIN,
+        _registry,
+        featurize_records,
+    )
+
+    reg = _registry(spark, sf)
+    src_dir = scratch_dir("zs_stream_er_")
+    reg.repartition(STREAM_ER_SRC_FILES).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    statedir = scratch_dir("zs_stream_er_state_")
+    lsh_dir = os.path.join(statedir, "lsh")
+    cc_dir = os.path.join(statedir, "cc")
+    store_dir = os.path.join(statedir, "store")
+    for d in (lsh_dir, cc_dir, store_dir):
+        os.makedirs(d, exist_ok=True)
+    cc_state: dict = {}
+    cc_ridx: dict = {}
+    store_state: dict = {}
+    cc_audit: list = []
+    folds: list = []
+    io_audit: list = []
+    seq = {"n": 0}
+    probe: dict = {}
+    cc_fold = _cc_forest_fold(spark, cc_dir, cc_state, cc_ridx, cc_audit)
+    # "bands" is the blocking-key index (symmetric-delete keys ARE a
+    # 1-band LSH whose bucket is the (segment, key) string); the ver
+    # pair kind is maintained because its distinct union is graded
+    # (and read back for the true-positive count at grade time). The
+    # CANDIDATE set is NOT kept as pair state: nothing ever re-reads
+    # it (the round-8 ADVICE lesson — dead data-plane writes), and on
+    # a dense serial keyspace it is the one O(big) object per
+    # trigger. Its graded count is maintained instead as per-batch
+    # COUNT rows (exact: a pair is discovered exactly once — at the
+    # later member's trigger — and a replayed batch overwrites its
+    # own count row), epoch-compacted in-stream so count state stays
+    # 1 epoch + 1 live partial forever.
+    kinds: dict = {
+        "bands": lambda df, p: _lsh_write_band_epoch(
+            df, p, id_col="rec_id"
+        ),
+        "ver": _lsh_write_pairs_epoch,
+    }
+    candn_dir = os.path.join(statedir, "candn")
+    os.makedirs(candn_dir, exist_ok=True)
+    tier = make_tier_compactor(
+        spark, lsh_dir, STREAM_ER_CADENCE, kinds, folds
+    )
+
+    def _fold(b, bid):
+        tier(bid)
+        # every localCheckpoint below is consumed within this fold —
+        # released at the end (the CC-fold GC lesson)
+        spent: list = []
+        feat = featurize_records(
+            b.repartition(spark.sparkContext.defaultParallelism)
+        ).localCheckpoint()
+        spent.append(feat)
+        # blocking keys as a 1-band index: bucket = the (segment,
+        # deletion-key) STRING — the probe joins on bucket equality,
+        # so parity with the oracle's (seg, key) join is exact, and
+        # segment equality never materializes a cross-segment pair
+        kdf = (
+            feat.select(
+                "rec_id",
+                "seg",
+                F.explode(F.expr(ER_DELKEYS_SQL)).alias("dk"),
+            )
+            .select(
+                "rec_id",
+                F.concat_ws("|", "seg", "dk").alias("bucket"),
+            )
+            .withColumn("band", F.lit(0).cast("int"))
+            .localCheckpoint()
+        )
+        spent.append(kdf)
+        key = f"b{bid}"
+        pio: list = []
+        pairs = (
+            _lsh_probe_pairs(
+                spark, lsh_dir, key, kdf, id_col="rec_id", io=pio
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        spent.append(pairs)
+        kdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(lsh_dir, f"bands_{key}")
+        )
+        # VERIFY: batch members' attributes are at hand; historic
+        # members' come from the record store, bucket-pruned. The
+        # bucket set is computed over ALL candidate members (batch
+        # members' buckets over-read only — cheaper than an
+        # anti-join job per trigger); dropDuplicates keeps the
+        # attribute table exact under replay, when the re-delivered
+        # batch's own rows are already in the store.
+        members = (
+            pairs.select(F.col("a").alias("rec_id"))
+            .unionByName(pairs.select(F.col("b").alias("rec_id")))
+            .distinct()
+        )
+        hkbs = sorted(
+            r["k"]
+            for r in members.select(
+                F.pmod(F.xxhash64("rec_id"), F.lit(ER_STORE_KB))
+                .cast("int")
+                .alias("k")
+            )
+            .distinct()
+            .collect()
+        )
+        sdirs = [store_state[k] for k in hkbs if k in store_state]
+        attrs = feat.select("rec_id", "seg", "bal", "dstr", "tg")
+        if sdirs:
+            attrs = attrs.unionByName(
+                spark.read.parquet(*sdirs)
+                .join(F.broadcast(members), "rec_id", "left_semi")
+                .select("rec_id", "seg", "bal", "dstr", "tg")
+            )
+        attrs = attrs.dropDuplicates(["rec_id"]).localCheckpoint()
+        spent.append(attrs)
+        la = attrs.select(
+            F.col("rec_id").alias("a"),
+            F.col("seg").alias("sega"),
+            F.col("bal").alias("bala"),
+            F.col("dstr").alias("dstra"),
+            F.col("tg").alias("tga"),
+        )
+        lb = attrs.select(
+            F.col("rec_id").alias("b"),
+            F.col("seg").alias("segb"),
+            F.col("bal").alias("balb"),
+            F.col("dstr").alias("dstrb"),
+            F.col("tg").alias("tgb"),
+        )
+        vd = (
+            pairs.join(F.broadcast(la), "a")
+            .join(F.broadcast(lb), "b")
+            .filter(
+                (F.col("sega") == F.col("segb"))
+                & (F.abs(F.col("bala") - F.col("balb")) <= ER_BAL_TOL)
+                & (F.levenshtein("dstra", "dstrb") <= ER_DIGIT_EDIT_MAX)
+            )
+            .withColumn("i", F.size(F.array_intersect("tga", "tgb")))
+        )
+        ver = (
+            vd.filter(
+                F.col("i").cast("double")
+                / (F.size("tga") + F.size("tgb") - F.col("i"))
+                >= ER_JACCARD_MIN
+            )
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        spent.append(ver)
+        ver.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(lsh_dir, f"ver_{key}")
+        )
+        # candidate count: fold older partials into the standing
+        # epoch, then write this batch's 1-row partial (overwrite =
+        # replay-idempotent; see the kinds comment above)
+        _sum_epoch_compact(spark, candn_dir, bid, ("k",), ("n",))
+        # JVM-side literal row (the 1-row-write lesson above: a
+        # Python-RDD plan here pays a multi-second worker respawn
+        # after every streaming trigger)
+        spark.range(1).select(
+            F.lit(0).cast("int").alias("k"),
+            F.lit(pairs.count()).cast("long").alias("n"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(candn_dir, f"part_b{bid}")
+        )
+        # forest absorbs VERIFIED matches only
+        if not ver.isEmpty():
+            cc_fold(ver, bid if bid not in probe else bid + 1000)
+        # record-store upsert: touched buckets only (records are
+        # immutable, so replay overwrites identical rows)
+        seq["n"] += 1
+        bucketed_lww_merge(
+            spark,
+            store_dir,
+            store_state,
+            feat.select("rec_id", "ck", "seg", "bal", "dstr", "tg")
+            .withColumn(
+                "kb",
+                F.pmod(F.xxhash64("rec_id"), F.lit(ER_STORE_KB)).cast(
+                    "int"
+                ),
+            )
+            .withColumn("v", F.lit(seq["n"]).cast("long")),
+            seq["n"],
+            key="rec_id",
+            order_cols=(F.desc("v"),),
+        )
+        io_audit.append(
+            {"bid": bid, "store_bks_read": len(sdirs), **pio[0]}
+        )
+        probe[bid] = True
+        files = _batch_source_files(b)
+        if files:  # an empty restart trigger keeps the prior target
+            probe["files"] = files
+            probe["last"] = bid
+        for df in spent:
+            df.unpersist()
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", os.path.join(ckpt, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # crash re-delivery of the NEWEST batch before grading: blocking
+    # keys and pair sets are pure functions of the records, the
+    # record store is keyed LWW over immutable rows, and min-parent
+    # connectivity is idempotent — the replay must land identical
+    # state
+    if probe.get("files"):
+        replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
+        _fold(replayed, probe["last"])
+    return {
+        "statedir": statedir,
+        "lsh_dir": lsh_dir,
+        "candn_dir": candn_dir,
+        "cc": cc_state,
+        "store": store_state,
+        "cc_audit": cc_audit,
+        "folds": folds,
+        "io_audit": io_audit,
+    }
+
+
+#: the most recent ER stream run's handles (read by the pins so
+#: pinning does not cost another full stream run)
+_ER_LAST: dict = {}
+
+
+def _er_stream_oracle() -> str:
+    from ziggurat_spark.queries.entity_res import er_stream_oracle_sql
+
+    return er_stream_oracle_sql()
+
+
+@register(
+    "x_stream_entity_resolution",
+    oracle=_er_stream_oracle(),
+    doc=(
+        "ONLINE entity resolution (the streaming twin of "
+        "x_entity_resolution): registry records arrive in "
+        "micro-batches and every trigger resolves them against the "
+        "standing entity state — featurize → SYMMETRIC-DELETE "
+        "blocking (SymSpell deletion neighborhood of the "
+        "zero-trimmed digit string: lossless for the lev<=1 verify, "
+        "key cardinality grows with the data — the scale-safe "
+        "replacement for the batch op's sort, which has no "
+        "streaming form) → candidate pairs via the ONE shared probe "
+        "spelling against the size-tiered key history (reads pruned "
+        "to the batch's bucket-shards) → verify (trigram Jaccard + "
+        "digit edit distance + segment/balance agreement) with "
+        "historic members' attributes from a keyed record store "
+        "(bucketed LWW, touched-only reads) → the star forest "
+        "absorbs VERIFIED matches (bucket-pruned roots + the "
+        "root→bucket index). The ver pair kind is size-tiered state "
+        "whose distinct union IS graded (and yields the "
+        "true-positive count); the candidate COUNT is maintained as "
+        "replay-idempotent per-batch count rows, epoch-compacted "
+        "in-stream — the candidate pair set itself is never re-read "
+        "by anything, so persisting it would be dead data-plane "
+        "writes (on a dense serial keyspace it is the one O(big) "
+        "object per trigger). The funnel counts and integer "
+        "precision/recall ride every row and must equal "
+        "the one-shot batch computation exactly, no matter how the "
+        "stream was batched. Replay-proven in-op (newest batch "
+        "re-delivered before grading); per-trigger I/O audited "
+        "(probe shards + store buckets). At 100 TB: per-trigger "
+        "work is O(batch keys + touched shards + candidate members "
+        "+ affected components), never O(index) or O(store)."
+    ),
+    tags=("streaming", "entity-resolution", "dedup", "clustering"),
+)
+@_sized_state
+def x_stream_entity_resolution(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from ziggurat_spark.queries.dedup import _forest_label
+    from ziggurat_spark.queries.entity_res import _registry
+
+    st = _er_stream_state(spark, sf)
+    _ER_LAST.clear()
+    _ER_LAST.update(st)
+    reg = _registry(spark, sf).select("rec_id", "ck")
+    if st["cc"]:
+        stars = spark.read.parquet(*sorted(st["cc"].values()))
+    else:
+        stars = spark.createDataFrame([], "a long, b long")
+    comp = _forest_label(
+        reg.select(F.col("rec_id").alias("id")), stars
+    )
+    # funnel counts: distinct unions over the maintained pair kinds
+    # (runs + tiered epochs) — the graded quantities
+    def _kind_df(kind: str):
+        dirs = [
+            os.path.join(st["lsh_dir"], d)
+            for d in sorted(os.listdir(st["lsh_dir"]))
+            if d.startswith(f"{kind}_")
+        ]
+        return (
+            _lsh_read_union(spark, dirs).distinct() if dirs else None
+        )
+
+    verp = _kind_df("ver")
+    cn_dirs = [
+        os.path.join(st["candn_dir"], d)
+        for d in sorted(os.listdir(st["candn_dir"]))
+    ]
+    n_cand = int(
+        spark.read.parquet(*cn_dirs)
+        .agg(F.sum("n").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    store = spark.read.parquet(*sorted(st["store"].values())).select(
+        "rec_id", "ck"
+    )
+    if verp is not None:
+        vq = (
+            verp.join(
+                store.select(
+                    F.col("rec_id").alias("a"), F.col("ck").alias("cka")
+                ),
+                "a",
+            )
+            .join(
+                store.select(
+                    F.col("rec_id").alias("b"), F.col("ck").alias("ckb")
+                ),
+                "b",
+            )
+            .agg(
+                F.count("*").alias("nv"),
+                F.sum(
+                    F.when(F.col("cka") == F.col("ckb"), 1).otherwise(0)
+                ).alias("tp"),
+            )
+            .collect()[0]
+        )
+        n_ver, n_tp = int(vq["nv"]), int(vq["tp"] or 0)
+    else:
+        n_ver = n_tp = 0
+    n_truth = int(
+        _registry(spark, sf)
+        .groupBy("ck")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.expr("(n * (n - 1)) div 2")).alias("t"))
+        .collect()[0]["t"]
+    )
+    return (
+        reg.join(comp.select(F.col("id").alias("rec_id"), "comp"), "rec_id")
+        .select(
+            "rec_id",
+            F.col("comp").alias("entity"),
+            (F.col("comp") == F.col("rec_id")).alias("is_keeper"),
+        )
+        .withColumn("cand_pairs", F.lit(n_cand).cast("long"))
+        .withColumn("ver_pairs", F.lit(n_ver).cast("long"))
+        .withColumn("tp_pairs", F.lit(n_tp).cast("long"))
+        .withColumn("truth_pairs", F.lit(n_truth).cast("long"))
+        .withColumn(
+            "precision_pct",
+            F.expr("(100 * tp_pairs) div ver_pairs"),
+        )
+        .withColumn(
+            "recall_pct",
+            F.expr("(100 * tp_pairs) div truth_pairs"),
+        )
+        .orderBy("rec_id")
+    )

@@ -44,6 +44,7 @@ STATE_FILE_BOUNDS: dict[str, int] = {
     "x_stream_dedup_historic_loop": 141,  # measured 94 (r9, sf0.1)
     "x_stream_dsir_compact": 51,  # measured 34 (r9, sf0.1)
     "x_stream_dsir_maintain": 45,  # measured 30 (r9, sf0.1)
+    "x_stream_entity_resolution": 201,  # measured 134 (r9, sf0.1)
     "x_stream_exactly_once_restart": 45,  # measured 30 (r9, sf0.1)
     "x_stream_hll_maintain": 69,  # measured 46 (r9, sf0.1)
     "x_stream_ivf_cadence": 219,  # measured 146 (r9, sf0.1)
