@@ -62,6 +62,14 @@ STATE_OPS = (
     # and exact-Jaccard verify run on the flood's survivors, and the
     # graded funnel counts must match the one-shot batch funnel
     "x_stream_corpus_pipeline_verified",
+    # round 9: online entity resolution on a HOT BLOCKING KEY — 120
+    # customers share ONE name (identical digit string, so one
+    # (segment, deletion-key) block holds a fifth of them each),
+    # balances chain within the verify tolerance, and the forest
+    # absorbs the resulting catastrophic transitive merge; the
+    # graded funnel (precision collapses by construction) must stay
+    # oracle-exact
+    "x_stream_entity_resolution",
 )
 
 
@@ -77,11 +85,50 @@ def skew_sf(spark, tmp_path_factory):
 
     base = str(tmp_path_factory.mktemp("skewsf"))
     for t in TABLES:
-        if t not in ("documents", "embeddings", "events", "lineitem"):
+        if t not in (
+            "documents",
+            "embeddings",
+            "events",
+            "lineitem",
+            "customer",
+        ):
             os.symlink(
                 os.path.join(SRC, f"{t}.parquet"),
                 os.path.join(base, f"{t}.parquet"),
             )
+
+    # customer: 120 rows share ONE name (hot entity-resolution
+    # blocking key; identical digit strings and balances chaining
+    # within the verify tolerance force a catastrophic transitive
+    # merge) + 30 ordinary distinct serials
+    segs = ("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
+    cust = []
+    for i in range(150):
+        name = (
+            "Customer#000000042"
+            if i < 120
+            else f"Customer#{i:09d}"
+        )
+        # same-segment hot rows are 5 apart in i, so balances step
+        # 55 — inside the verify tolerance: each segment's hot block
+        # chains into one merged pseudo-entity
+        cust.append((i, name, i % 25, float((i * 11) % 300), segs[i % 5]))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([c[0] for c in cust], pa.int64()),
+                "c_name": pa.array([c[1] for c in cust]),
+                "c_nationkey": pa.array(
+                    [c[2] for c in cust], pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    [c[3] for c in cust], pa.float64()
+                ),
+                "c_mktsegment": pa.array([c[4] for c in cust]),
+            }
+        ),
+        os.path.join(base, "customer.parquet"),
+    )
 
     # texts are built to PASS the quality-classifier gate (enough
     # tokens, ~20% stopwords, ~5-char mean word length) so the
