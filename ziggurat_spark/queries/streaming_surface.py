@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -787,6 +788,8 @@ def bucketed_lww_merge(
     batch_id: int,
     key: str,
     order_cols: tuple,
+    touched: list | None = None,
+    preunioned: bool = False,
 ) -> list:
     """Touched-only bucket MERGE (the no-Delta MERGE INTO): ``proj``
     must carry an integer ``kb`` key-bucket column; only the buckets
@@ -794,14 +797,34 @@ def bucketed_lww_merge(
     ``key`` (highest ``order_cols`` first), and rewritten — every
     other bucket directory carries over by reference, untouched
     bytes on disk. ``state`` maps bucket -> current directory and is
-    updated in place. Returns the touched bucket ids."""
+    updated in place. Returns the touched bucket ids.
+
+    ``touched``, when given, is the EXACT set of ``kb`` values in
+    ``proj``, already known to the caller (usually collected as part
+    of another control-plane sync): it skips this function's own
+    distinct-collect job — per-trigger action count is wall-clock in
+    a stream fold (guide §1/§2: fewer driver-orchestrated jobs).
+    Passing a wrong set would under-read old buckets (LWW breaks) or
+    register empty dirs, so callers only pass what they measured.
+
+    ``preunioned`` declares that ``proj`` already CONTAINS the full
+    merged content of every touched bucket (the caller read the old
+    buckets and folded them in itself — the pipeline's exact-hash
+    merge does, because its aggregate needs the old rows anyway):
+    the old buckets are then not re-read here, saving a second scan
+    of the same files per trigger."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key).orderBy(*order_cols)
-    touched = sorted(r["kb"] for r in proj.select("kb").distinct().collect())
+    if touched is None:
+        touched = sorted(
+            r["kb"] for r in proj.select("kb").distinct().collect()
+        )
+    else:
+        touched = sorted(touched)
     if not touched:  # empty micro-batch (e.g. restart replay): no-op
         return []
-    old = [state[b] for b in touched if b in state]
+    old = [] if preunioned else [state[b] for b in touched if b in state]
     if old:
         # bucket-pruned read: ONLY the touched buckets' rows rejoin
         # the merge; every other bucket stays on disk
@@ -3760,19 +3783,36 @@ def _lsh_fold(spark: SparkSession, statedir: str, io: list | None = None):
 
     def fold(b, bid):
         key = f"b{bid}"
-        batch_bands = _bands(b).localCheckpoint()  # 2 consumers
+        # LAZY checkpoint: the probe's (band, shard) control-plane
+        # collect scans the bands and materializes them in the same
+        # job as the MinHash UDF pass (per-trigger action count is
+        # wall-clock in a stream fold)
+        batch_bands = _bands(b).localCheckpoint(eager=False)
         # historic index = every band entry EXCEPT this batch's own
         # key (re-delivery must not self-join against itself twice);
         # epoch reads prune to the batch's (band, bucket-shard) set
         pairs = _lsh_probe_pairs(
             spark, statedir, key, batch_bands, id_col="doc_id", io=io
         )
-        pairs.distinct().coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(statedir, f"pairs_{key}")
-        )
-        batch_bands.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(statedir, f"bands_{key}")
-        )
+        # the two writes are independent (both read the persisted
+        # band blocks): overlap them on a small pool (guide §2.6) so
+        # the short bands dump back-fills the probe write's tail
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    lambda: pairs.distinct()
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(statedir, f"pairs_{key}"))
+                ),
+                pool.submit(
+                    lambda: batch_bands.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(statedir, f"bands_{key}"))
+                ),
+            ]
+            for fu in futs:
+                fu.result()
         batch_bands.unpersist()  # both consumers materialized above
 
     return fold
@@ -4385,11 +4425,16 @@ def _cc_forest_fold(
         # in GC pressure)
         spent: list = []
         if state:
+            # LAZY checkpoint: the bucket-id collect right below
+            # materializes it in the SAME job (the _star_components
+            # lesson — an eager checkpoint here is one extra
+            # driver-orchestrated job per trigger, and per-trigger
+            # job count IS wall-clock in a stream fold)
             batch_nodes = (
                 e_new.select(F.col("a").alias("n"))
                 .unionByName(e_new.select(F.col("b").alias("n")))
                 .distinct()
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             spent.append(batch_nodes)
             # (a) bucket-pruned root resolution
@@ -4417,7 +4462,9 @@ def _cc_forest_fold(
                 )
             else:
                 roots = batch_nodes.select(F.col("n").alias("r"))
-            roots = roots.localCheckpoint()
+            # lazy for the same reason: the rkbs collect (a full
+            # aggregation over every partition) materializes it
+            roots = roots.localCheckpoint(eager=False)
             spent.append(roots)
             # (b) member gathering via the root→bucket bit index
             rkbs = sorted(
@@ -4453,15 +4500,29 @@ def _cc_forest_fold(
                 e_new = e_new.unionByName(sub)
         stars = _star_components(spark, e_new)
         # reused twice below (forest merge + index update): cut once
+        # — lazily, the control-plane collect right below
+        # materializes it
         proj = (
             stars.withColumn("kb", _cc_node_kb("a"))
             .withColumn("v", F.lit(bid).cast("long"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         spent.append(proj)
-        # the star fixed point's own (lazy) checkpoint is dead once
-        # proj materialized eagerly above
         spent.append(stars)
+        # ONE control-plane sync for what used to be three jobs
+        # (proj's eager checkpoint + the forest merge's internal
+        # touched-collect + the index merge's bucket collect): the
+        # forest-touched bucket set is exactly proj's kb set, and
+        # the index-touched set is exactly the root buckets — both
+        # collected from one distinct pass over proj (≤ KB² id
+        # pairs, control-plane-sized)
+        kb_pairs = (
+            proj.select("kb", _cc_node_kb("b").alias("rkb"))
+            .distinct()
+            .collect()
+        )
+        f_touched = sorted({r["kb"] for r in kb_pairs})
+        tikbs = sorted({r["rkb"] for r in kb_pairs})
         bucketed_lww_merge(
             spark,
             statedir,
@@ -4470,24 +4531,21 @@ def _cc_forest_fold(
             bid,
             key="a",
             order_cols=(F.desc("v"),),  # newest re-label wins
+            touched=f_touched,
         )
         # index maintenance (touched-only, O(touched roots) rows):
-        # OR the batch's (root, bucket) bits into the standing rows
+        # OR the batch's (root, bucket) bits into the standing rows.
+        # Lazy checkpoint: the index merge's write job materializes
+        # it (its broadcast build side computes it first)
         newbits = (
             proj.select(F.col("b").alias("r"), "kb")
             .distinct()
             .select("r", F.expr(one_hot).alias("bits"))
             .groupBy("r")
             .agg(F.expr(word_or).alias("bits"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         spent.append(newbits)
-        tikbs = sorted(
-            r["k"]
-            for r in newbits.select(_cc_node_kb("r").alias("k"))
-            .distinct()
-            .collect()
-        )
         old_idx = [ridx[k] for k in tikbs if k in ridx]
         if old_idx:
             oldi = (
@@ -4505,6 +4563,9 @@ def _cc_forest_fold(
         iproj = newbits.withColumn("kb", _cc_node_kb("r")).withColumn(
             "v", F.lit(bid).cast("long")
         )
+        # iproj's kb set is exactly the root-bucket set already
+        # collected above (oldi rows share newbits' r set): skip the
+        # merge's internal collect
         bucketed_lww_merge(
             spark,
             ridx_dir,
@@ -4513,6 +4574,7 @@ def _cc_forest_fold(
             bid,
             key="r",
             order_cols=(F.desc("v"),),
+            touched=tikbs,
         )
         audit.append(
             {
@@ -4880,11 +4942,15 @@ def _mm_stream_state(
     def _fold(b, bid):
         _tier_compact(bid)
         key = f"b{bid}"
-        feat = _feat(b).localCheckpoint()  # bands + verify sides
-        batch_assets = feat.count()  # on materialized blocks: cheap
+        # LAZY checkpoints (per-trigger action count IS wall-clock
+        # in a stream fold): the count right below materializes feat
+        # in the same job as the Arrow decode, and the probe's
+        # (band, shard) control-plane collect materializes bands
+        feat = _feat(b).localCheckpoint(eager=False)
+        batch_assets = feat.count()  # materializes feat's blocks
         bands = feat.select(
             "asset_id", F.posexplode("bks").alias("band", "bucket")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # candidates through the ONE shared probe spelling: tiny
         # within-batch self-join + arrivals BROADCAST vs history
         # with epoch reads pruned to the batch's (band, bucket-shard)
@@ -4920,25 +4986,33 @@ def _mm_stream_state(
             if hist_feat is not None:
                 feat_all = feat_all.unionByName(hist_feat)
         else:
-            cand = cand.localCheckpoint()  # members + verify consume
+            # lazy cand + ONE fused aggregation (was three jobs:
+            # eager cand checkpoint, eager members checkpoint, then
+            # the bucket distinct-collect): a member's bucket is a
+            # pure function of its id, so the union of the two
+            # endpoint bucket sets IS the members' bucket set, and
+            # the aggregation materializes cand's blocks for the
+            # members broadcast below
+            cand = cand.localCheckpoint(eager=False)
             spent.append(cand)
+            stats = cand.agg(
+                F.collect_set(
+                    F.pmod(F.xxhash64("a"), F.lit(MM_FEAT_KB)).cast(
+                        "int"
+                    )
+                ).alias("ka"),
+                F.collect_set(
+                    F.pmod(F.xxhash64("b"), F.lit(MM_FEAT_KB)).cast(
+                        "int"
+                    )
+                ).alias("kb"),
+            ).collect()[0]
+            fkbs = set(stats["ka"]) | set(stats["kb"])
             members = (
                 cand.select(F.col("a").alias("asset_id"))
                 .unionByName(cand.select(F.col("b").alias("asset_id")))
                 .distinct()
-                .localCheckpoint()
             )
-            spent.append(members)
-            fkbs = {
-                r["k"]
-                for r in members.select(
-                    F.pmod(F.xxhash64("asset_id"), F.lit(MM_FEAT_KB))
-                    .cast("int")
-                    .alias("k")
-                )
-                .distinct()
-                .collect()
-            }
             hist_feat = _mm_read_feat_pruned(spark, statedir, key, fkbs)
             if hist_feat is not None:
                 feat_all = feat_all.unionByName(
@@ -4974,15 +5048,28 @@ def _mm_stream_state(
                 ).alias("cos2_ppm"),
             )
         )
+        # pairs first (the one job that materializes the verify
+        # chain), then the two remaining runs overlap on a small
+        # pool (guide §2.6): both read already-persisted blocks, so
+        # the independent writes back-fill each other's task tails
+        # instead of paying two full job latencies
         pairs.distinct().coalesce(1).write.mode("overwrite").parquet(
             os.path.join(statedir, f"pairs_{key}")
         )
-        bands.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(statedir, f"bands_{key}")
-        )
-        feat.select("asset_id", "bv", "n2").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(statedir, f"feat_{key}"))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    lambda df_=df_, kind=kind: df_.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(statedir, f"{kind}_{key}"))
+                )
+                for kind, df_ in (
+                    ("bands", bands),
+                    ("feat", feat.select("asset_id", "bv", "n2")),
+                )
+            ]
+            for fu in futs:
+                fu.result()
         for df in spent:
             df.unpersist()  # all consumed above; release the blocks
         live_counts.append(
@@ -5236,16 +5323,22 @@ def _ivf_cadence_state(
                 F.expr("max_by(cid, struct(cs, -cid))").alias("cell1"),
                 F.any_value("q").alias("q"),  # identical per key
             )
-            .localCheckpoint()
+            # LAZY: the live/changed control-plane collect right
+            # below is a full pass over a1 and materializes it in
+            # the same job (per-refresh action count is wall-clock)
+            .localCheckpoint(eager=False)
         )
-        # live cell set: ONE driver sync reused for the changed-cell
-        # default, the log's cell count, and the emptied-cell sweep
-        live = {
-            r["cell1"]
-            for r in a1.select("cell1").distinct().collect()
-        }
-        # EXACT changed-cell set vs the previous serving assignment
+        # live cell set (reused for the changed-cell default, the
+        # log's cell count, and the emptied-cell sweep) and the
+        # EXACT changed-cell set vs the previous serving assignment:
+        # ONE driver sync for both (tagged union — the two sets ride
+        # one distinct job instead of two full a1 scans)
+        live_tagged = a1.select(
+            F.col("cell1").alias("c"), F.lit(1).alias("t")
+        )
         if prev["a1"] is None:
+            sync = live_tagged.distinct().collect()
+            live = {r["c"] for r in sync}
             changed = sorted(live)
         else:
             j = (
@@ -5260,14 +5353,15 @@ def _ivf_cadence_state(
                     | (F.col("old") != F.col("cell1"))
                 )
             )
-            changed = sorted(
-                r["c"]
-                for r in j.select(F.col("old").alias("c"))
+            chg_tagged = (
+                j.select(F.col("old").alias("c"))
                 .unionByName(j.select(F.col("cell1").alias("c")))
                 .filter(F.col("c").isNotNull())
-                .distinct()
-                .collect()
+                .withColumn("t", F.lit(0))
             )
+            sync = live_tagged.unionByName(chg_tagged).distinct().collect()
+            live = {r["c"] for r in sync if r["t"] == 1}
+            changed = sorted({r["c"] for r in sync if r["t"] == 0})
         refresh_log.append(
             {"changed": len(changed), "cells": len(live)}
         )
@@ -6304,10 +6398,13 @@ def _pipe_stream_state(
         # accumulate across triggers x bench passes otherwise)
         spent: list = []
         # 1) GATE: spread the one-file batch across the pool first
-        # (the classifier + MinHash UDF otherwise run in one task)
+        # (the classifier + MinHash UDF otherwise run in one task).
+        # LAZY checkpoint: the tkbs collect below is a full
+        # aggregation and materializes it in the same job — per-
+        # trigger action count is wall-clock in a stream fold
         gated = _pipe_gate(
             b.repartition(spark.sparkContext.defaultParallelism)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         spent.append(gated)
         # 2) EXACT-HASH MERGE: per content hash keep (min doc_id =
         # the keeper, min fb = the batch that FIRST saw the hash).
@@ -6338,6 +6435,11 @@ def _pipe_stream_state(
                 "h", "doc_id", "hid", "fb"
             )
             merged = merged.unionByName(prev)
+        # lazy: the LWW write job below materializes it, and the
+        # merge's touched set is EXACTLY tkbs (cand's buckets, plus
+        # prev rows re-read from those same buckets — h→kb is a pure
+        # function, so no row can land outside), so the merge's
+        # internal distinct-collect job is skipped too
         merged = (
             merged.groupBy("h")
             .agg(
@@ -6348,7 +6450,7 @@ def _pipe_stream_state(
             .withColumn(
                 "kb", F.pmod(F.xxhash64("h"), F.lit(16)).cast("int")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         spent.append(merged)
         seq["n"] += 1
@@ -6360,6 +6462,8 @@ def _pipe_stream_state(
             seq["n"],
             key="h",
             order_cols=(F.desc("v"),),
+            touched=tkbs,
+            preunioned=True,
         )
         # 3) MINHASH/PROBE the fresh texts only
         fresh = merged.filter(F.col("fb") == bid).select("h", "hid")
@@ -6376,6 +6480,10 @@ def _pipe_stream_state(
             # doc store holds only these integer sketches (never the
             # text — no second corpus copy at 100 TB), and a hot doc
             # named by many candidate pairs is never re-shingled
+            # lazy (as is bands below): the probe's shard-set
+            # collect is a full aggregation over bands and
+            # materializes the whole fresh_docs → bands chain in one
+            # job — each eager checkpoint here was a separate one
             fresh_docs = fresh_docs.withColumn(
                 "mhs",
                 THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text"),
@@ -6384,7 +6492,7 @@ def _pipe_stream_state(
                 F.array_distinct(
                     THU.shingles_udf(JACCARD_SHINGLE_K)("text")
                 ),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             spent.append(fresh_docs)
         bands = fresh_docs.select(
             "hid",
@@ -6393,18 +6501,21 @@ def _pipe_stream_state(
                     MINHASH_SHINGLE_K, BANDS, ROWS_PER_BAND
                 )("text")
             ).alias("band", "bucket"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         spent.append(bands)
         key = f"b{bid}"
         # the ONE shared probe spelling (round-8 judge #2): epoch
         # reads pruned to the fresh set's (band, bucket-shard) set
         pio: list = []
+        # lazy: materialized by the first full action over it (the
+        # verify branch's member-bucket collect, or the pair count
+        # in the plain branch)
         pairs = (
             _lsh_probe_pairs(
                 spark, lsh_dir, key, bands, id_col="hid", io=pio
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         spent.append(pairs)
         bands.coalesce(1).write.mode("overwrite").parquet(
@@ -6449,7 +6560,11 @@ def _pipe_stream_state(
                     )
                     .select("hid", "mhs", "shd")
                 )
-            lookup = lookup.localCheckpoint()
+            # the lookup → estimate-gate → exact-verify chain is
+            # checkpointed LAZILY end to end: the ver write below is
+            # the one job that materializes all three (estf's later
+            # readers then hit the persisted blocks)
+            lookup = lookup.localCheckpoint(eager=False)
             spent.append(lookup)
             la = lookup.select(
                 F.col("hid").alias("a"),
@@ -6473,7 +6588,7 @@ def _pipe_stream_state(
                         f"0, (acc, v) -> acc + v) >= {_EST_GATE}"
                     )
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             spent.append(estf)
             # exact verify of survivors: distinct-shingle Jaccard
@@ -6489,17 +6604,31 @@ def _pipe_stream_state(
                     >= F.lit(JACCARD_THRESHOLD)
                 )
                 .select("a", "b")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             spent.append(ver)
-            for kind, df_ in (
-                ("cand", pairs),
-                ("est", estf.select("a", "b")),
-                ("ver", ver),
-            ):
-                df_.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(lsh_dir, f"{kind}_{key}")
-                )
+            # ver first (one job materializes lookup → estf → ver),
+            # then the remaining two runs overlap on a small pool
+            # (guide §2.6): both read already-persisted blocks, so
+            # the independent writes back-fill each other's task
+            # tails instead of paying two full job latencies
+            ver.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(lsh_dir, f"ver_{key}")
+            )
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda kind=kind, df_=df_: df_.coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(lsh_dir, f"{kind}_{key}"))
+                    )
+                    for kind, df_ in (
+                        ("cand", pairs),
+                        ("est", estf.select("a", "b")),
+                    )
+                ]
+                for f in futs:
+                    f.result()
             # 4v) forest absorbs VERIFIED pairs only
             if not ver.isEmpty():
                 cc_fold(ver, bid if bid not in probe else bid + 1000)
@@ -6847,10 +6976,25 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
         # every localCheckpoint below is consumed within this fold —
         # released at the end (the CC-fold GC lesson)
         spent: list = []
+        # LAZY checkpoint (the CC-fold lesson: per-trigger action
+        # count IS wall-clock in a stream fold): the store-bucket
+        # collect right below materializes feat in the same job,
+        # and its result doubles as the record-store merge's
+        # touched set (skipping that merge's internal collect job)
         feat = featurize_records(
             b.repartition(spark.sparkContext.defaultParallelism)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         spent.append(feat)
+        fkbs = sorted(
+            r["k"]
+            for r in feat.select(
+                F.pmod(F.xxhash64("rec_id"), F.lit(ER_STORE_KB))
+                .cast("int")
+                .alias("k")
+            )
+            .distinct()
+            .collect()
+        )
         # blocking keys as a 1-band index: bucket = the (segment,
         # deletion-key) STRING — the probe joins on bucket equality,
         # so parity with the oracle's (seg, key) join is exact, and
@@ -6866,17 +7010,21 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
                 F.concat_ws("|", "seg", "dk").alias("bucket"),
             )
             .withColumn("band", F.lit(0).cast("int"))
-            .localCheckpoint()
+            # lazy: the probe's (band, shard) control-plane collect
+            # scans kdf and materializes it
+            .localCheckpoint(eager=False)
         )
         spent.append(kdf)
         key = f"b{bid}"
         pio: list = []
+        # lazy: the fused members/count aggregation below is a full
+        # pass over pairs and materializes it
         pairs = (
             _lsh_probe_pairs(
                 spark, lsh_dir, key, kdf, id_col="rec_id", io=pio
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         spent.append(pairs)
         kdf.coalesce(1).write.mode("overwrite").parquet(
@@ -6894,16 +7042,27 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
             .unionByName(pairs.select(F.col("b").alias("rec_id")))
             .distinct()
         )
-        hkbs = sorted(
-            r["k"]
-            for r in members.select(
-                F.pmod(F.xxhash64("rec_id"), F.lit(ER_STORE_KB))
-                .cast("int")
-                .alias("k")
-            )
-            .distinct()
-            .collect()
-        )
+        # ONE aggregation job yields BOTH the candidate count (the
+        # graded per-batch count row below — was its own
+        # pairs.count() job) and the candidate members' store-bucket
+        # set (was a distinct-collect over members): a member's
+        # bucket is a pure function of its id, so the union of the
+        # two endpoint bucket sets IS the members' bucket set
+        stats = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.pmod(F.xxhash64("a"), F.lit(ER_STORE_KB)).cast(
+                    "int"
+                )
+            ).alias("ka"),
+            F.collect_set(
+                F.pmod(F.xxhash64("b"), F.lit(ER_STORE_KB)).cast(
+                    "int"
+                )
+            ).alias("kb"),
+        ).collect()[0]
+        n_pairs = stats["n"]
+        hkbs = sorted(set(stats["ka"]) | set(stats["kb"]))
         sdirs = [store_state[k] for k in hkbs if k in store_state]
         attrs = feat.select("rec_id", "seg", "bal", "dstr", "tg")
         if sdirs:
@@ -6912,7 +7071,11 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
                 .join(F.broadcast(members), "rec_id", "left_semi")
                 .select("rec_id", "seg", "bal", "dstr", "tg")
             )
-        attrs = attrs.dropDuplicates(["rec_id"]).localCheckpoint()
+        # lazy: the first verify-broadcast build (la) materializes
+        # it; lb then reads the persisted blocks
+        attrs = attrs.dropDuplicates(["rec_id"]).localCheckpoint(
+            eager=False
+        )
         spent.append(attrs)
         la = attrs.select(
             F.col("rec_id").alias("a"),
@@ -6945,7 +7108,10 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
                 >= ER_JACCARD_MIN
             )
             .select("a", "b")
-            .localCheckpoint()
+            # lazy: the ver write right below materializes it; the
+            # isEmpty probe and the forest absorb then read the
+            # persisted blocks
+            .localCheckpoint(eager=False)
         )
         spent.append(ver)
         ver.coalesce(1).write.mode("overwrite").parquet(
@@ -6960,7 +7126,7 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
         # after every streaming trigger)
         spark.range(1).select(
             F.lit(0).cast("int").alias("k"),
-            F.lit(pairs.count()).cast("long").alias("n"),
+            F.lit(n_pairs).cast("long").alias("n"),
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(candn_dir, f"part_b{bid}")
         )
@@ -6985,6 +7151,9 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
             seq["n"],
             key="rec_id",
             order_cols=(F.desc("v"),),
+            # kb is a pure function of rec_id, so feat's collected
+            # bucket set (fkbs above) IS the merge's touched set
+            touched=fkbs,
         )
         io_audit.append(
             {"bid": bid, "store_bks_read": len(sdirs), **pio[0]}
