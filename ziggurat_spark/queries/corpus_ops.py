@@ -814,7 +814,8 @@ def x_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     )
     # pair counts are vocab²-bounded (tiny vs the corpus): checkpoint
     # so the top-5 branch and the merge branch don't re-scan
-    p1 = _bpe_pair_counts(sp0).localCheckpoint()
+    # lazy: the top-5/merge consumers' first job materializes it
+    p1 = _bpe_pair_counts(sp0).localCheckpoint(eager=False)
     rnk_w = W.orderBy(F.desc("cnt"), F.asc("pair"))
     t1 = p1.withColumn("rnk", F.row_number().over(rnk_w))
     m1 = t1.filter(F.col("rnk") == 1).select(F.col("pair").alias("mp"))
@@ -1528,7 +1529,7 @@ def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         F.rtrim(
             F.regexp_replace(F.col("word"), F.lit("(.)"), F.lit("$1 "))
         ).alias("sp")
-    ).localCheckpoint()  # three consumers: count, merge-1 learn, apply
+    ).localCheckpoint(eager=False)  # 3 consumers; 1st job materializes
     rnk_w = W.orderBy(F.desc("cnt"), F.asc("pair"))
 
     def _winner(sp: DataFrame) -> DataFrame:
@@ -1542,7 +1543,8 @@ def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     sp1 = (
         sp0.join(F.broadcast(_winner(sp0)), F.lit(True), "left")
         .selectExpr(_BPE_APPLY_EXPR)
-        .localCheckpoint()
+        # lazy: the merge-2 winner broadcast build materializes it
+        .localCheckpoint(eager=False)
     )
     sp2 = sp1.join(F.broadcast(_winner(sp1)), F.lit(True), "left").selectExpr(
         _BPE_APPLY_EXPR

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ziggurat_spark.functions import texthash as TH
 from ziggurat_spark.functions import texthash_udfs as THU
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import release_checkpoint
 from ziggurat_spark.queries.similarity import _cosine
 from ziggurat_spark.tables import load_table
 
@@ -531,12 +532,14 @@ def x_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         pairs.select(F.col("a").alias("s"), F.col("b").alias("t"))
         .union(pairs.select(F.col("b").alias("s"), F.col("a").alias("t")))
-        .localCheckpoint(eager=True)
+        # lazy: round 1's changed count materializes it (per-round
+        # driver job count is the loop's wall-clock)
+        .localCheckpoint(eager=False)
     )
     comp = (
         load_table(spark, sf, "documents")
         .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(CC_MAX_ITERS):
         msgs = edges.join(comp, edges.s == comp.id).select(
@@ -546,7 +549,8 @@ def x_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
             comp.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: the changed count below materializes it
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
@@ -556,7 +560,9 @@ def x_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         )
         # release the superseded round's checkpoint — otherwise up to
         # CC_MAX_ITERS node-scale copies stay pinned in storage memory
-        comp.unpersist()
+        # (release_checkpoint, NOT DataFrame.unpersist: the latter is
+        # a CacheManager no-op on checkpointed frames)
+        release_checkpoint(comp)
         comp = new
         if changed == 0:
             break
@@ -1094,9 +1100,17 @@ def x_lsh_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
             THU.minhash_sig_udf(MINHASH_SHINGLE_K)("text").alias("mhs"),
         )
         .filter(F.col("mhs").isNotNull())
-        .localCheckpoint()  # ONE signature pass shared by all configs
+        # ONE signature pass shared by all configs — lazy: the
+        # cfg-union materialization below computes it (per-query
+        # driver job count is wall-clock at bench scale)
+        .localCheckpoint(eager=False)
     )
-    exact = _jaccard_pairs(spark, sf).select("a", "b").localCheckpoint()
+    # lazy: the count right below materializes it in the same job
+    exact = (
+        _jaccard_pairs(spark, sf)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
     n_exact = exact.count()
     # every config's candidate set in ONE materialization (cfg-tagged
     # union) and the whole frontier in TWO count jobs — per-config
@@ -1108,7 +1122,9 @@ def x_lsh_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
             "cfg_bands", F.lit(nb)
         )
         cands = c if cands is None else cands.unionAll(c)
-    cands = cands.localCheckpoint()
+    # lazy: the per-config count collect right below materializes
+    # the tagged union; the hit-join then reads persisted blocks
+    cands = cands.localCheckpoint(eager=False)
     n_cand = {
         row["cfg_bands"]: row["c"]
         for row in cands.groupBy("cfg_bands").agg(F.count("*").alias("c")).collect()
@@ -1879,10 +1895,10 @@ def _star_components(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             if e.exceptAll(prev_e).union(
                 prev_e.exceptAll(e)
             ).isEmpty():
-                prev_e.unpersist()
+                release_checkpoint(prev_e)
                 return e
         prev = cur
-        prev_e.unpersist()
+        release_checkpoint(prev_e)
     raise RuntimeError(
         f"star alternation did not reach a verified fixed point in "
         f"{CC_STAR_CAP} rounds — raising instead of returning a "

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import release_checkpoint
 from ziggurat_spark.tables import load_table
 
 #: sorted-neighborhood window (pairs per record per pass)
@@ -345,7 +346,12 @@ def er_stream_oracle_sql() -> str:
     tags=("entity-resolution", "dedup", "clustering", "funnel"),
 )
 def x_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
-    feat = _featurized(spark, sf).localCheckpoint(eager=True)
+    # LAZY checkpoints throughout: each one is materialized by the
+    # next full-pass driver sync (count / changed-count) or by its
+    # first consumer's job — the eager spelling paid one extra
+    # driver-orchestrated job per cut, and per-query job count is
+    # wall-clock at bench scale (compute is identical either way)
+    feat = _featurized(spark, sf).localCheckpoint(eager=False)
     n_rows = feat.count()
     n_parts = max(
         1,
@@ -356,7 +362,7 @@ def x_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     )
     p1 = _snm_pairs(feat, ["dig", "norm", "rec_id"], n_parts)
     p2 = _snm_pairs(feat, ["seg", "bal", "dig", "rec_id"], n_parts)
-    cand = p1.unionByName(p2).distinct().localCheckpoint(eager=True)
+    cand = p1.unionByName(p2).distinct().localCheckpoint(eager=False)
 
     fa = feat.select(
         F.col("rec_id").alias("a"),
@@ -394,7 +400,7 @@ def x_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
             >= ER_JACCARD_MIN
         )
         .select("a", "b", "cka", "ckb")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # connected components: min-label propagation, x_dedup_components
@@ -402,11 +408,11 @@ def x_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         ver.select(F.col("a").alias("s"), F.col("b").alias("t"))
         .union(ver.select(F.col("b").alias("s"), F.col("a").alias("t")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     comp = feat.select(
         F.col("rec_id").alias("id"), F.col("rec_id").alias("comp")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(ER_CC_MAX_ITERS):
         msgs = edges.join(comp, edges.s == comp.id).select(
             F.col("t").alias("id"), F.col("comp")
@@ -415,7 +421,7 @@ def x_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
             comp.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.alias("n")
@@ -423,7 +429,7 @@ def x_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("n.comp") != F.col("c.comp"))
             .count()
         )
-        comp.unpersist()
+        release_checkpoint(comp)
         comp = new
         if changed == 0:
             break

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import release_checkpoint
 from ziggurat_spark.tables import load_table
 
 #: PageRank fixed-point scale: rank 1.0 == 1_000_000.
@@ -121,7 +122,7 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         # release the superseded iteration's checkpoint (bounds
         # pinned state to 2 copies regardless of iteration count)
-        prev.unpersist()
+        release_checkpoint(prev)
     return (
         ranks.select(F.col("id").alias("user_id"), F.col("r").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), "user_id")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
+from ziggurat_spark.scratch import release_checkpoint
 from ziggurat_spark.scratch import scratch_dir
 from ziggurat_spark.tables import load_table
 
@@ -280,7 +281,8 @@ def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
 
     sym = _symmetric_edges(
         _mutual_knn_graph(spark, sf).select("a", "b")
-    ).localCheckpoint()  # reused by both rounds
+    ).localCheckpoint(eager=False)  # reused by both rounds; lazy —
+    # the final action's first pass materializes it once
     l2 = _lpa_communities(sym)
     return l2.select(
         F.col("v").alias("vec_id"), F.col("lbl").alias("community")
@@ -431,11 +433,15 @@ def x_cluster_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.queries.similarity import _mutual_knn_graph
 
     # stage 0 — the expensive stack, exactly once
-    mut = _mutual_knn_graph(spark, sf).select("a", "b").localCheckpoint()
+    mut = (
+        _mutual_knn_graph(spark, sf)
+        .select("a", "b")
+        .localCheckpoint(eager=False)  # lazy; 1st pass materializes
+    )
     # symmetric adjacency: derived from the checkpoint (cheap map),
     # checkpointed itself because FIVE subtrees below consume it
     # (2 LPA rounds, vertex count, neighbor-label join)
-    sym = _symmetric_edges(mut).localCheckpoint()
+    sym = _symmetric_edges(mut).localCheckpoint(eager=False)
     emb = load_table(spark, sf, "embeddings").select("vec_id", "label")
 
     # consumer 1: label propagation
@@ -443,7 +449,8 @@ def x_cluster_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     lab = (
         l2.join(emb, l2["v"] == emb["vec_id"])
         .select("v", F.col("lbl").alias("community"), "label")
-        .localCheckpoint()  # purity + top-community + labeled-count
+        .localCheckpoint(eager=False)  # purity + top-community +
+        # labeled-count share the one materialization
     )
 
     # consumer 2: community purity
@@ -602,15 +609,20 @@ def _lpa_converge(
     rounds' graded rows emitted from the fixed point (provably
     identical — a synchronous round is a deterministic function of
     the label table)."""
+    # LAZY checkpoints (the _star_components lesson): each round's
+    # 3-integer stats collect below is a full pass over cur and
+    # materializes it in the SAME job — an eager checkpoint here is
+    # one extra driver-orchestrated job per round, and per-round job
+    # count is the loop's wall-clock at small per-round data sizes
     prev = (
         sym.select("v")
         .distinct()
         .select("v", F.col("v").alias("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows: list[tuple[int, int, int, int]] = []
     for r in range(1, cap + 1):
-        cur = _lpa_round(sym, prev).localCheckpoint()  # cut lineage
+        cur = _lpa_round(sym, prev).localCheckpoint(eager=False)
         st = (
             cur.join(prev.select("v", F.col("lbl").alias("plbl")), "v")
             .agg(
@@ -625,6 +637,10 @@ def _lpa_converge(
             .collect()[0]  # bounded driver sync: 3 integers
         )
         rows.append((r, st["changed"], st["nc"], st["ck"]))
+        # cur is materialized by the stats collect above, so prev's
+        # blocks are dead — release them (leaked round blocks
+        # accumulate across bench passes and show up as GC pressure)
+        release_checkpoint(prev)
         prev = cur
         if st["changed"] == 0:
             # fixed point reached: every later round is provably
@@ -697,24 +713,45 @@ def _kcore_peel(
     One |E|-bounded degree agg + two anti-joins + a lineage cut per
     round; the driver sync is one boolean per round."""
     alive = sym
+    # frames freed with a ONE-ROUND delay: a round's survivor and
+    # kill sets feed the next survivor frame's plan, and a lazily
+    # checkpointed frame whose blocks vanish cannot recompute — so
+    # both are released only after the NEXT round's kill count has
+    # materialized their reader (leaked round blocks otherwise
+    # accumulate across bench passes as GC pressure)
+    doomed: list = []
     converged = False
     for _ in range(cap):
+        # LAZY checkpoints: the kill count below materializes BOTH
+        # this round's kill set and the previous round's lazily
+        # checkpointed survivor set in ONE job — the eager spelling
+        # paid three driver-orchestrated jobs per round (kill
+        # checkpoint, isEmpty probe, alive checkpoint), and
+        # per-round job count is the loop's wall-clock
         kill = (
             alive.groupBy("v")
             .agg(F.count("*").alias("c"))
             .filter(F.col("c") < k)
             .select("v")
-            .localCheckpoint()  # cut lineage; one materialization
+            .localCheckpoint(eager=False)
         )
-        if kill.isEmpty():  # exact fixed point: nothing under k
+        n_kill = kill.count()  # materializes this round's survivors
+        for df in doomed:  # their reader just materialized: free
+            release_checkpoint(df)
+        doomed = []
+        if n_kill == 0:  # exact fixed point: nothing under k
             converged = True
             break
-        alive = (
+        new_alive = (
             alive.join(kill, "v", "left_anti")
             .join(kill.select(F.col("v").alias("n")), "n", "left_anti")
             .select("v", "n")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        if alive is not sym:  # callers still read sym afterwards
+            doomed.append(alive)
+        doomed.append(kill)
+        alive = new_alive
     if not converged:
         # cap exhausted: verify the survivor set anyway — emitting a
         # non-core as "the core" would silently mis-grade downstream
@@ -765,7 +802,7 @@ def x_kcore_decompose(spark: SparkSession, sf: str) -> DataFrame:
 
     sym = _symmetric_edges(
         _mutual_knn_graph(spark, sf).select("a", "b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # round 1's kill count materializes
     alive = _kcore_peel(sym, KCORE_K, KCORE_CAP)
     deg = alive.groupBy("v").agg(
         F.count("*").cast("bigint").alias("kdeg")
@@ -859,11 +896,15 @@ def x_coreness_hindex(spark: SparkSession, sf: str) -> DataFrame:
 
     sym = _symmetric_edges(
         _mutual_knn_graph(spark, sf).select("a", "b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # round 1's sync materializes
+    # LAZY checkpoints: each round's changed-count sync is a full
+    # pass over nxt and materializes it in the SAME job — the eager
+    # spelling paid two driver-orchestrated jobs per round, and
+    # per-round job count is the loop's wall-clock
     c = (
         sym.groupBy("v")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = W.partitionBy("v").orderBy(F.desc("cn"), "n")
     converged = False
@@ -882,13 +923,17 @@ def x_coreness_hindex(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("bigint")
                 .alias("c")
             )
-            .localCheckpoint()  # cut lineage per round
+            .localCheckpoint(eager=False)  # cut lineage per round
         )
         changed = (
             nxt.join(c.withColumnRenamed("c", "pc"), "v")
             .filter(F.col("c") != F.col("pc"))
             .count()  # bounded driver sync: one integer
         )
+        # nxt is materialized by the count above, so the previous
+        # round's value table is dead — release its blocks (leaked
+        # round blocks accumulate across bench passes as GC pressure)
+        release_checkpoint(c)
         c = nxt
         if changed == 0:  # exact fixed point (deterministic round)
             converged = True

@@ -1056,7 +1056,9 @@ def _ivf_retrain_state(spark: SparkSession, workdir: str, emb: DataFrame):
     c0 = (
         qv.filter(F.col("vec_id") % CENTROID_MOD == 0)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
-        .localCheckpoint()
+        # lazy: a0's materialization builds the broadcast and
+        # computes it (per-query driver job count is wall-clock)
+        .localCheckpoint(eager=False)
     )
     a0 = (
         qv.crossJoin(F.broadcast(c0))
@@ -1068,7 +1070,8 @@ def _ivf_retrain_state(spark: SparkSession, workdir: str, emb: DataFrame):
             F.expr("max_by(cid, struct(cs, -cid))").alias("cell0"),
             F.any_value("q").alias("q"),  # identical across the fan-out
         )
-        .localCheckpoint()
+        # lazy: the cell-set collect right below materializes it
+        .localCheckpoint(eager=False)
     )
     # v0 index on disk, one directory per cell
     cells0 = sorted(r["cell0"] for r in a0.select("cell0").distinct().collect())
@@ -1111,7 +1114,8 @@ def _ivf_retrain_state(spark: SparkSession, workdir: str, emb: DataFrame):
             F.expr("max_by(cid, struct(cs, -cid))").alias("cell1"),
             F.any_value("q").alias("q"),
         )
-        .localCheckpoint()
+        # lazy: the touched-cell collect right below materializes it
+        .localCheckpoint(eager=False)
     )
     moved = a1.filter(F.col("cell0") != F.col("cell1"))
     touched = sorted(
@@ -1257,7 +1261,9 @@ def x_ivf_retrain(spark: SparkSession, sf: str) -> DataFrame:
             "qc0",
             "qc1",
         )
-        .localCheckpoint()  # 3 consumers: truth + old/new candidates
+        # 3 consumers (truth + old/new candidates) — lazy: the first
+        # consumer's job materializes it once for all three
+        .localCheckpoint(eager=False)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sc"), F.asc("nid"))
 

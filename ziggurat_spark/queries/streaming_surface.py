@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ziggurat_spark.queries.registry import register
-from ziggurat_spark.scratch import scratch_dir
+from ziggurat_spark.scratch import release_checkpoint, scratch_dir
 from ziggurat_spark.tables import _nanos_ts_columns, ensure_runtime_confs
 
 
@@ -816,13 +816,22 @@ def bucketed_lww_merge(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key).orderBy(*order_cols)
+    ck = None
     if touched is None:
+        # lazily checkpoint proj so the distinct-collect below
+        # materializes it in ONE job and the merge write reads the
+        # persisted blocks — without this, proj's upstream chain
+        # (e.g. a QC feature stack) computes TWICE per trigger
+        proj = proj.localCheckpoint(eager=False)
+        ck = proj
         touched = sorted(
             r["kb"] for r in proj.select("kb").distinct().collect()
         )
     else:
         touched = sorted(touched)
     if not touched:  # empty micro-batch (e.g. restart replay): no-op
+        if ck is not None:
+            release_checkpoint(ck)
         return []
     old = [] if preunioned else [state[b] for b in touched if b in state]
     if old:
@@ -860,6 +869,11 @@ def bucketed_lww_merge(
         full = os.path.join(workdir, d)
         if d.startswith("state_v") and full not in live_dirs:
             _sh.rmtree(full, ignore_errors=True)
+    if ck is not None:
+        # both consumers (collect + write) are done. NB:
+        # release_checkpoint, not DataFrame.unpersist — the latter
+        # is a CacheManager no-op on checkpointed frames
+        release_checkpoint(ck)
     return touched
 
 
@@ -1707,7 +1721,10 @@ def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
             surv = b.dropDuplicates(["h"]).join(
                 F.broadcast(hist), "h", "left_anti"
             )
-            surv = surv.localCheckpoint()  # one compute, two writes
+            # lazy: the first write below materializes it; the
+            # second reads the persisted blocks (one compute, two
+            # writes — minus the eager checkpoint's own job)
+            surv = surv.localCheckpoint(eager=False)
             surv.select("h").coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(hist_dir, key)
             )
@@ -1844,7 +1861,8 @@ def x_stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "w")
         .limit(STREAM_VOCAB_K)
         .select("w", F.lit(1).alias("in_vocab"))
-        .localCheckpoint()
+        # lazy: the first micro-batch's broadcast build materializes
+        .localCheckpoint(eager=False)
     )
     src_dir = scratch_dir("zs_stream_qgate_")
     docs.filter(F.col("doc_id") >= 250).select(
@@ -2110,7 +2128,8 @@ def x_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 50 == 0)
         .select(F.expr(sh_expr).alias("sh"))
         .distinct()
-        .localCheckpoint()  # frozen eval reference, loaded once
+        # lazy: the first micro-batch's use materializes it once
+        .localCheckpoint(eager=False)
     )
     src_dir = scratch_dir("zs_stream_decon_")
     docs.filter(F.col("doc_id") % 50 != 0).select(
@@ -2513,7 +2532,9 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
                 ["source", "doc_id"],
                 "left_anti",
             )
-        fresh = fresh.localCheckpoint()
+        # lazy: the delta collect right below is a full aggregation
+        # over fresh and materializes it in the same job
+        fresh = fresh.localCheckpoint(eager=False)
         # level-1 prefix: fold the fresh mass into the subtotal dict
         delta = fresh.groupBy("source", "kb").agg(
             F.sum("nt").alias("s")
@@ -3028,7 +3049,8 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vec_id").alias("cent_id"),
             F.expr(ANN_MAINT_QUANT).alias("cq"),
         )
-        .localCheckpoint()
+        # lazy: the first fold's use materializes it once
+        .localCheckpoint(eager=False)
     )
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -3813,7 +3835,7 @@ def _lsh_fold(spark: SparkSession, statedir: str, io: list | None = None):
             ]
             for fu in futs:
                 fu.result()
-        batch_bands.unpersist()  # both consumers materialized above
+        release_checkpoint(batch_bands)  # both consumers done
 
     return fold
 
@@ -4107,7 +4129,7 @@ def x_stream_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
         dd = spark.createDataFrame(
             [], "doc_id bigint, source string, text string"
         )
-    return _dsir_budget_grade(dd.localCheckpoint())
+    return _dsir_budget_grade(dd.localCheckpoint(eager=False))
 
 
 def _select_corpus_state(
@@ -4280,7 +4302,7 @@ def _lsh_cadence_state(
     if probe.get("files"):  # an all-empty stream has no replay target
         replayed = spark.read.parquet(
             *probe["files"]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # fold's first action materializes
         _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 
@@ -4585,7 +4607,7 @@ def _cc_forest_fold(
             }
         )
         for df in spent:  # all consumed above; release the blocks
-            df.unpersist()
+            release_checkpoint(df)
 
     return _fold
 
@@ -5071,7 +5093,7 @@ def _mm_stream_state(
             for fu in futs:
                 fu.result()
         for df in spent:
-            df.unpersist()  # all consumed above; release the blocks
+            release_checkpoint(df)
         live_counts.append(
             len(
                 [
@@ -5106,7 +5128,7 @@ def _mm_stream_state(
     if probe.get("files"):  # an all-empty stream has no replay target
         replayed = spark.read.parquet(
             *probe["files"]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # fold's first action materializes
         _fold(replayed, probe["bid"])
     return statedir, live_counts, folds
 
@@ -5261,7 +5283,8 @@ def _ivf_cadence_state(
             F.col("vec_id").alias("cent_id"),
             F.expr(ANN_MAINT_QUANT).alias("cq"),
         )
-        .localCheckpoint()
+        # lazy: the first fold's use materializes it once
+        .localCheckpoint(eager=False)
     )
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -5384,7 +5407,7 @@ def _ivf_cadence_state(
                 else:
                     serve.pop(c, None)  # cell emptied by the move
         if prev["a1"] is not None:
-            prev["a1"].unpersist()
+            release_checkpoint(prev["a1"])
         prev["a1"] = a1
 
     def _fold(b, bid):
@@ -5677,7 +5700,7 @@ def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
     # first batch verbatim must leave the graded registers unchanged
     replayed = spark.read.parquet(
         os.path.join(workdir, "probe_input")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # fold's first action materializes
     _fold(replayed, probe["bid"])
 
     # grade via one SQL pass sharing the oracle's expression text
@@ -5816,7 +5839,7 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
     if probe.get("files"):  # an all-empty stream has no replay target
         replayed = spark.read.parquet(
             *probe["files"]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # fold's first action materializes
         _fold(replayed, probe["bid"])
     return workdir
 
@@ -5921,7 +5944,7 @@ def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     # idempotent — the graded sample must not move
     replayed = spark.read.parquet(
         os.path.join(workdir, "probe_input")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # fold's first action materializes
     _fold(replayed, probe["bid"])
 
     final = spark.read.parquet(state["path"])
@@ -6033,7 +6056,7 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
     # byte-level no-op for the graded diff
     replayed = spark.read.parquet(
         os.path.join(workdir, "probe_input")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # fold's first action materializes
     _fold(replayed, probe["bid"] )
 
     cur = spark.read.parquet(*sorted(state.values())).select(
@@ -6157,7 +6180,7 @@ def _cms_stream_state(
     if probe.get("files"):  # an all-empty stream has no replay target
         replayed = spark.read.parquet(
             *probe["files"]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # fold's first action materializes
         _fold(replayed, probe["bid"])
     return workdir, ev
 
@@ -6678,7 +6701,7 @@ def _pipe_stream_state(
             probe["files"] = files
             probe["last"] = bid
         for df in spent:  # all consumed above; release the blocks
-            df.unpersist()
+            release_checkpoint(df)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -6697,7 +6720,7 @@ def _pipe_stream_state(
     if probe.get("files"):  # an all-empty stream has no replay target
         replayed = spark.read.parquet(
             *probe["files"]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # fold's first action materializes
         _fold(replayed, probe["last"])
     return {
         "statedir": statedir,
@@ -7164,7 +7187,7 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
             probe["files"] = files
             probe["last"] = bid
         for df in spent:
-            df.unpersist()
+            release_checkpoint(df)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -7181,7 +7204,9 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
     # connectivity is idempotent — the replay must land identical
     # state
     if probe.get("files"):
-        replayed = spark.read.parquet(*probe["files"]).localCheckpoint()
+        replayed = spark.read.parquet(
+            *probe["files"]
+        ).localCheckpoint(eager=False)  # fold's first action materializes
         _fold(replayed, probe["last"])
     return {
         "statedir": statedir,

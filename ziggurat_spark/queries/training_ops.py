@@ -658,7 +658,7 @@ def x_corpus_pipeline_v4(spark: SparkSession, sf: str) -> DataFrame:
     )
     # three consumers downstream (weights learn + join-back + budget):
     # pin the deduped survivors so the gate stack runs once
-    return _dsir_budget_grade(dd.localCheckpoint())
+    return _dsir_budget_grade(dd.localCheckpoint(eager=False))
 
 
 def _dsir_budget_grade(dd: DataFrame) -> DataFrame:
@@ -870,7 +870,8 @@ def _v5_selected(spark: SparkSession, sf: str) -> DataFrame:
     qf = (
         _qc_feature_frame(docs)
         .select("doc_id", F.col("n_tokens").alias("nt"), "score_micro")
-        .localCheckpoint()
+        # lazy: the first consumer's job materializes it once
+        .localCheckpoint(eager=False)
     )
     qc = qf.filter(F.col("score_micro") >= QC_KEEP_MICRO)
     k1 = docs.join(qc.select("doc_id"), "doc_id").select(
@@ -883,7 +884,7 @@ def _v5_selected(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "text")
-        .localCheckpoint()  # 2 consumers: weight learn + join-back
+        .localCheckpoint(eager=False)  # 2 consumers; 1st materializes
     )
     w = _dsir_weight_frame(dd).filter(
         F.col("weight_ppm") >= DSIR_NEUTRAL_PPM
@@ -918,7 +919,8 @@ def _v5_selected(spark: SparkSession, sf: str) -> DataFrame:
         cum.join(F.broadcast(bud), "source")
         .filter(F.col("c") <= F.col("budget_tokens"))
         .select("doc_id", "source", "nt", "score_micro")
-        .localCheckpoint()
+        # lazy: the first downstream job materializes it once
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1181,7 +1183,7 @@ def x_corpus_refresh_incremental(
     docs = load_table(spark, sf, "documents")
     # "last month": v1 state — simulated here, persisted in prod
     v1 = docs.filter(F.col("doc_id") % 10 != 0)
-    state1 = _qc_state(v1).localCheckpoint()
+    state1 = _qc_state(v1).localCheckpoint(eager=False)
 
     # this month's delta: changed (%5, in both) + added (%10 in v2);
     # %10==0 implies %5==0, so the delta is v2's %5==0 slice

@@ -203,7 +203,7 @@ def x_topology_grid(spark: SparkSession, sf: str) -> DataFrame:
         # materialize the ≤15-row result once: the type dimension
         # below reuses it, and WITHOUT this Spark would duplicate
         # the whole subtree — scanning events twice
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy; 1st pass materializes
     )
     types = counts.select("event_type").distinct()
     channels = spark.range(3).select(F.col("id").alias("ch"))

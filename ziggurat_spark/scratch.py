@@ -66,3 +66,26 @@ def dir_footprint(paths: list[str]) -> tuple[int, int]:
                 except OSError:
                     pass
     return total, files
+
+
+def release_checkpoint(df) -> None:
+    """Free a localCheckpointed DataFrame's persisted blocks NOW.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries (the
+    ``persist()`` path) — a checkpoint's RDD blocks are NOT cached
+    there, so the call is a silent no-op on checkpointed frames and
+    the blocks otherwise live until a periodic JVM GC lets the
+    ContextCleaner collect the unreachable RDD (default period:
+    30 min — effectively never inside a bench pass). Reaching the
+    LogicalRDD's RDD through the analyzed plan and unpersisting IT
+    releases the blocks immediately, which is what the fold-local
+    ``spent`` lists and the iterative loops' round releases intend.
+
+    Best-effort: a frame that is not a materialized checkpoint (or a
+    plan that is not a bare LogicalRDD) is left alone."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is advisory
+        pass
