@@ -653,9 +653,12 @@ def test_bloom_prefilter_broadcasts_filter(spark, specs):
 
 def test_lsh_param_sweep_signature_computed_once(spark):
     """x_lsh_param_sweep: the signature UDF runs ONCE (Arrow pass →
-    localCheckpoint); every configuration's candidate plan derives
-    its band keys JVM-side from the checkpointed array — no config
-    plan may contain a Python/Arrow eval node."""
+    localCheckpoint) and the four configurations MELT into one tagged
+    band union served by ONE bucket pass — the candidate plan derives
+    every band key JVM-side from the checkpointed array (no
+    Python/Arrow eval node), contains exactly one pandas bucket
+    verify, and no more exchanges than the single-config chain (the
+    per-config spelling paid four copies of it)."""
     from pyspark.sql import functions as F
 
     from ziggurat_spark.functions import texthash_udfs as THU
@@ -663,7 +666,9 @@ def test_lsh_param_sweep_signature_computed_once(spark):
     from ziggurat_spark.queries.dedup import (
         LSH_SWEEP_GRID,
         MINHASH_SHINGLE_K,
-        _lsh_sweep_candidates,
+        SIMHASH_BUCKET_CAP,
+        _lsh_sweep_bands,
+        _salted_bucket_hamming_pairs,
     )
     from ziggurat_spark.tables import load_table
 
@@ -676,12 +681,24 @@ def test_lsh_param_sweep_signature_computed_once(spark):
         .filter(F.col("mhs").isNotNull())
         .localCheckpoint()
     )
+    bands_all = None
     for nb, r in LSH_SWEEP_GRID:
-        plan = formatted_plan(_lsh_sweep_candidates(sig, nb, r))
-        # band keys come from the checkpointed RDD, not a re-run of
-        # the signature UDF
-        assert "Scan ExistingRDD" in plan
-        assert plan.count("ArrowEvalPython") == 0
+        part = _lsh_sweep_bands(sig, nb, r)
+        bands_all = part if bands_all is None else bands_all.unionAll(part)
+    cands = _salted_bucket_hamming_pairs(
+        bands_all, cap=SIMHASH_BUCKET_CAP, tag_col="cfg"
+    ).select(F.col("_tag").alias("cfg_bands"), "a", "b").distinct()
+    plan = formatted_plan(cands)
+    # band keys come from the checkpointed RDD, not a re-run of
+    # the signature UDF
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("ArrowEvalPython") == 0
+    # ONE pandas bucket verify serves all four configurations (the
+    # "Op (n)" spelling counts the formatted tree, not the details)
+    assert plan.count("MapInPandas (") == 1
+    # window + bucket aggregation + distinct: three exchanges for the
+    # whole sweep (the per-config spelling carried 4x that)
+    assert plan.count("Exchange (") <= 4
 
 
 def test_bpe_merges_broadcasts_winner_no_cartesian(spark, specs):

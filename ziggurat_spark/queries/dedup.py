@@ -1011,22 +1011,25 @@ def _duck_sweep_key(b: int, r: int) -> str:
     return e
 
 
-def _lsh_sweep_candidates(sig: DataFrame, nb: int, r: int) -> DataFrame:
-    """Distinct candidate pairs for one (bands, rows_per_band)
-    configuration, banded from the shared signature frame. All nb
-    band keys come out of ONE posexplode over a key array — an
-    nb-way union would multiply the scan partitions by nb and every
-    downstream shuffle with them."""
+def _lsh_sweep_bands(sig: DataFrame, nb: int, r: int) -> DataFrame:
+    """Band rows for one (bands, rows_per_band) configuration, banded
+    from the shared signature frame and MELT-tagged: all nb band keys
+    come out of ONE posexplode over a key array, the band id is
+    offset into a per-configuration disjoint range (so one shared
+    bucket pass can serve every configuration at once), and the
+    configuration id rides every row."""
     keys = F.array(*[F.expr(_sweep_key_expr(b, r)) for b in range(nb)])
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.lit(0).cast("long").alias("h"),
         F.posexplode(keys).alias("band", "byte"),
-    ).select("doc_id", "h", "band", "byte")
-    return (
-        _salted_bucket_hamming_pairs(bands, cap=SIMHASH_BUCKET_CAP)
-        .select("a", "b")
-        .distinct()
+    ).select(
+        "doc_id",
+        "h",
+        # disjoint band-id range per configuration: nb<=8 < 100
+        (F.col("band") + F.lit(100 * nb)).alias("band"),
+        "byte",
+        F.lit(nb).cast("int").alias("cfg"),
     )
 
 
@@ -1112,16 +1115,25 @@ def x_lsh_param_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
-    # every config's candidate set in ONE materialization (cfg-tagged
-    # union) and the whole frontier in TWO count jobs — per-config
-    # sequential actions would pay 4× the job latency and re-run the
-    # pair generation for the hit-join
-    cands = None
+    # every config's candidate set in ONE materialization AND one
+    # physical pass (the MELT, guide §2.3/§2.4): the four configs'
+    # band rows union into a single frame on disjoint band-id
+    # ranges, so ONE window + ONE bucket aggregation + ONE pandas
+    # verify serve all four configurations — the previous per-config
+    # spelling ran four copies of that three-exchange chain over the
+    # same signature blocks (12 exchanges -> 3). The tag carried
+    # through the bucket pass attributes each pair to its config.
+    bands_all = None
     for nb, r in LSH_SWEEP_GRID:
-        c = _lsh_sweep_candidates(sig, nb, r).withColumn(
-            "cfg_bands", F.lit(nb)
+        part = _lsh_sweep_bands(sig, nb, r)
+        bands_all = part if bands_all is None else bands_all.unionAll(part)
+    cands = (
+        _salted_bucket_hamming_pairs(
+            bands_all, cap=SIMHASH_BUCKET_CAP, tag_col="cfg"
         )
-        cands = c if cands is None else cands.unionAll(c)
+        .select(F.col("_tag").alias("cfg_bands"), "a", "b")
+        .distinct()
+    )
     # lazy: the per-config count collect right below materializes
     # the tagged union; the hit-join then reads persisted blocks
     cands = cands.localCheckpoint(eager=False)
@@ -1167,7 +1179,9 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_BUCKET_CAP = 1024
 
 
-def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
+def _salted_bucket_hamming_pairs(
+    bands: DataFrame, cap: int, tag_col: str | None = None
+) -> DataFrame:
     """In-bucket Hamming verify with a hot-bucket guard.
 
     Input: (doc_id, h, band, byte) candidate rows. Buckets of
@@ -1193,6 +1207,7 @@ def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
     from pyspark.sql import Window
 
     n_in_bucket = F.count("*").over(Window.partitionBy("band", "byte"))
+    tag_cols = [tag_col] if tag_col else []
     salted = (
         bands.withColumn(
             "g", F.ceil(n_in_bucket / F.lit(cap)).cast("int")
@@ -1205,6 +1220,7 @@ def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
             "h",
             "band",
             "byte",
+            *tag_cols,
             "s",
             F.explode(
                 F.expr(
@@ -1213,9 +1229,20 @@ def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
                 )
             ).alias("gp"),
         )
-        .select("doc_id", "h", "band", "byte", "s", "gp.gi", "gp.gj")
+        .select(
+            "doc_id", "h", "band", "byte", *tag_cols, "s",
+            "gp.gi", "gp.gj",
+        )
     )
 
+    # ``tag_col`` (when given) is CONSTANT within a (band, byte)
+    # bucket — the melt caller gives each configuration a disjoint
+    # band-id range — so carrying first() through the aggregation
+    # attributes every emitted pair to its configuration without a
+    # separate pass per configuration.
+    tag_aggs = (
+        [F.first(tag_col).alias("_tag")] if tag_col else []
+    )
     buckets = salted.groupBy("band", "byte", "gi", "gj").agg(
         F.expr(
             "transform(sort_array(collect_list(struct(doc_id, h, s))),"
@@ -1231,6 +1258,7 @@ def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
         ).alias("ss"),
         F.first("gi").alias("_gi"),
         F.first("gj").alias("_gj"),
+        *tag_aggs,
     )
 
     _POP = (
@@ -1247,10 +1275,13 @@ def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            outa, outb, outh = [], [], []
-            for ids, hs, ss, gi, gj in zip(
-                pdf["ids"], pdf["hs"], pdf["ss"], pdf["_gi"], pdf["_gj"]
+            outa, outb, outh, outt = [], [], [], []
+            tags = pdf["_tag"] if tag_col else [None] * len(pdf)
+            for ids, hs, ss, gi, gj, tag in zip(
+                pdf["ids"], pdf["hs"], pdf["ss"], pdf["_gi"],
+                pdf["_gj"], tags,
             ):
+                n0 = len(outa)
                 ids_a = np.asarray(ids, dtype=np.int64)
                 h = np.asarray(hs, dtype=np.uint64)
                 if gi == gj:
@@ -1282,9 +1313,17 @@ def _salted_bucket_hamming_pairs(bands: DataFrame, cap: int) -> DataFrame:
                     outa.extend(lo)
                     outb.extend(hi)
                     outh.extend(d[r, c])
-            yield pd.DataFrame({"a": outa, "b": outb, "hamming": outh})
+                if tag_col:
+                    outt.extend([tag] * (len(outa) - n0))
+            cols = {"a": outa, "b": outb, "hamming": outh}
+            if tag_col:
+                cols["_tag"] = outt
+            yield pd.DataFrame(cols)
 
-    return buckets.mapInPandas(gen, "a LONG, b LONG, hamming INT")
+    out_schema = "a LONG, b LONG, hamming INT"
+    if tag_col:
+        out_schema += ", _tag INT"
+    return buckets.mapInPandas(gen, out_schema)
 
 
 def _simhash_cte_duck() -> str:

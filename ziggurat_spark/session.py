@@ -57,6 +57,18 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # File listing above this many paths runs as a Spark JOB
+        # (default threshold 32). The streaming state layouts read
+        # O(100) small bucket/shard directories per trigger; on the
+        # local filesystem a driver-side listing of those is
+        # sub-millisecond while the listing job costs a full driver-
+        # orchestrated job round trip. On an object-store cluster,
+        # where a sequential listing of hundreds of prefixes IS slow,
+        # set SPARK_GRAFT_LIST_JOB_THRESHOLD back down (e.g. 32).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "512"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

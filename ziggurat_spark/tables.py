@@ -34,7 +34,13 @@ _EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGener
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
     """Engine-required session confs, set at runtime because callers
-    (the test driver included) hand us their own SparkSession."""
+    (the test driver included) hand us their own SparkSession.
+
+    Guarded to run once per session: every conf get/set is a py4j
+    round trip, and this is on the load_table path that every query
+    hits (often several times per query, three bench passes deep)."""
+    if getattr(spark, "_zs_runtime_confs_done", False):
+        return
     existing = ""
     try:
         existing = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
@@ -52,6 +58,7 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
+    spark._zs_runtime_confs_done = True
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -85,6 +92,11 @@ def _ship_package(spark: SparkSession) -> None:
                         z.write(full, rel)
     sc.addPyFile(zpath)
     sc._ziggurat_spark_shipped = True
+
+
+#: path → inferred StructType (see load_table): one footer job per
+#: path per process instead of one per read call
+_SCHEMA_BY_PATH: dict = {}
 
 
 @lru_cache(maxsize=256)
@@ -127,11 +139,25 @@ def load_table(
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     nanos_cols = _nanos_ts_columns(path)
-    if nanos_cols:
+    if nanos_cols and not getattr(spark, "_zs_nanos_conf_done", False):
         # Set on the *caller's* session too (the driver hands us its
         # own SparkSession, which won't have session.py's config).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        spark._zs_nanos_conf_done = True
+    # Schema pinned after ONE inference per path: a schema-less
+    # spark.read.parquet() runs a footer-reading Spark job on EVERY
+    # call (~0.2 s each, measured) — this is the scan path every
+    # registered query goes through, several times per query and
+    # three bench passes deep. Caching the inferred schema is what a
+    # catalog/metastore does in production (guide §6: manifest-based
+    # table formats exist exactly to avoid per-read listing and
+    # inference); the files under a testdata path never change.
+    sch = _SCHEMA_BY_PATH.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_BY_PATH[path] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     for col in nanos_cols:
         # integer `div`, NOT `/`: epoch-nanos exceed double precision
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
