@@ -4348,11 +4348,11 @@ def _select_corpus_oracle() -> str:
 def x_stream_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
     from ziggurat_spark.queries.training_ops import _dsir_budget_grade
 
-    state, _ = _select_corpus_state(spark, sf)
+    state, wdir = _select_corpus_state(spark, sf)
     if state:
-        dd = spark.read.parquet(*sorted(state.values())).select(
-            "doc_id", "source", "text"
-        )
+        dd = _pq_read(
+            spark, ("lww", wdir), sorted(state.values())
+        ).select("doc_id", "source", "text")
     else:
         # a corpus where NO document survives the QC gate leaves the
         # state empty — grade the empty corpus (the oracle's WHERE
@@ -4787,7 +4787,14 @@ def _cc_forest_fold(
         )
         f_touched = sorted({r["kb"] for r in kb_pairs})
         tikbs = sorted({r["rkb"] for r in kb_pairs})
-        bucketed_lww_merge(
+        # the forest merge and the root-index chain below both read
+        # only proj's persisted blocks and touch DISJOINT state dirs
+        # — overlap them on a 1-worker pool (guide §2.6) so the index
+        # build/merge jobs back-fill the forest merge's task tails
+        # instead of paying two serial job-chain latencies per trigger
+        fpool = ThreadPoolExecutor(max_workers=1)
+        f_fut = fpool.submit(
+            bucketed_lww_merge,
             spark,
             statedir,
             state,
@@ -4840,6 +4847,8 @@ def _cc_forest_fold(
             order_cols=(F.desc("v"),),
             touched=tikbs,
         )
+        f_fut.result()
+        fpool.shutdown()
         audit.append(
             {
                 "bid": bid,
@@ -4985,12 +4994,12 @@ def x_stream_components_maintain(
 
     from ziggurat_spark.queries.dedup import _forest_label
 
-    _, state = _cc_forest_state(spark, sf)
+    sdir, state = _cc_forest_state(spark, sf)
     docs = load_table(spark, sf, "documents").select(
         F.col("doc_id").alias("id")
     )
     if state:
-        stars = spark.read.parquet(*sorted(state.values()))
+        stars = _pq_read(spark, ("lww", sdir), sorted(state.values()))
     else:  # no near-dup pairs at all: every doc is a singleton
         stars = spark.createDataFrame([], "a long, b long")
     comp = _forest_label(docs, stars)
@@ -6311,9 +6320,9 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # fold's first action materializes
     _fold(replayed, probe["bid"] )
 
-    cur = spark.read.parquet(*sorted(state.values())).select(
-        "doc_id", "s2", "h2"
-    )
+    cur = _pq_read(
+        spark, ("lww", workdir), sorted(state.values())
+    ).select("doc_id", "s2", "h2")
     # grade through the SHARED rollup — identical spelling (and
     # oracle) as the batch x_corpus_snapshot_diff
     return _snapshot_status_rollup(docs, cur)
@@ -7109,21 +7118,33 @@ def _pipe_grade(
     ]
     if funnel:
         lsh_dir = os.path.join(st["statedir"], "lsh")
-        for kind, alias in (
-            ("cand", "n_candidates"),
-            ("est", "n_estimate_pass"),
-            ("ver", "n_verified"),
-        ):
+
+        def _kind_count(kind: str) -> int:
             dirs = [
                 os.path.join(lsh_dir, d)
                 for d in sorted(os.listdir(lsh_dir))
                 if d.startswith(f"{kind}_")
             ]
-            n = (
+            return (
                 _lsh_read_union(spark, dirs).distinct().count()
                 if dirs
                 else 0
             )
+
+        # the three funnel counts are independent single-pass
+        # aggregations over disjoint state kinds — overlap them
+        # (guide §2.6) instead of paying three serial job latencies
+        kinds_ = ("cand", "est", "ver")
+        with ThreadPoolExecutor(max_workers=3) as cpool:
+            counts = list(cpool.map(_kind_count, kinds_))
+        for (kind, alias), n in zip(
+            (
+                ("cand", "n_candidates"),
+                ("est", "n_estimate_pass"),
+                ("ver", "n_verified"),
+            ),
+            counts,
+        ):
             out = out.withColumn(alias, F.lit(n).cast("long"))
             cols.append(alias)
     return out.select(*cols).orderBy("doc_id")
@@ -7654,7 +7675,9 @@ def x_stream_entity_resolution(
         ("lww", os.path.join(st["statedir"], "store")),
         sorted(st["store"].values()),
     ).select("rec_id", "ck")
-    if verp is not None:
+    def _ver_counts():
+        if verp is None:
+            return 0, 0
         vq = (
             verp.join(
                 store.select(
@@ -7676,16 +7699,22 @@ def x_stream_entity_resolution(
             )
             .collect()[0]
         )
-        n_ver, n_tp = int(vq["nv"]), int(vq["tp"] or 0)
-    else:
-        n_ver = n_tp = 0
-    n_truth = int(
-        _registry(spark, sf)
-        .groupBy("ck")
-        .agg(F.count("*").alias("n"))
-        .agg(F.sum(F.expr("(n * (n - 1)) div 2")).alias("t"))
-        .collect()[0]["t"]
-    )
+        return int(vq["nv"]), int(vq["tp"] or 0)
+
+    def _truth_count():
+        return int(
+            _registry(spark, sf)
+            .groupBy("ck")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.expr("(n * (n - 1)) div 2")).alias("t"))
+            .collect()[0]["t"]
+        )
+
+    # two independent grade aggregations — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as gpool:
+        vf = gpool.submit(_ver_counts)
+        tf = gpool.submit(_truth_count)
+        (n_ver, n_tp), n_truth = vf.result(), tf.result()
     return (
         reg.join(comp.select(F.col("id").alias("rec_id"), "comp"), "rec_id")
         .select(
