@@ -3269,7 +3269,7 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
 
     # audit path: per-cell counts read the whole index (that IS the
     # audit); the QUERY path below must not
-    final = spark.read.parquet(*sorted(state.values()))
+    final = _pq_read(spark, ("lww", workdir), sorted(state.values()))
     cells = final.groupBy("cent_id").agg(
         F.count("*").cast("bigint").alias("a"),
         F.sum("vec_id").cast("bigint").alias("b"),
@@ -3701,9 +3701,13 @@ def _lsh_dir_key(d: str) -> tuple:
     from flat runs; the statedir component keeps ops — whose id and
     bucket column types differ — from ever sharing an entry."""
     kind = os.path.basename(d).split("_", 1)[0]
+    # any key=value subdirectory marks a hive-partitioned epoch
+    # (band=/bshard= for band indexes, fkb= for the multimodal
+    # feature history) whose files lack the partition columns —
+    # it must never share a schema entry with a flat run
     layout = (
         "part"
-        if any(e.startswith("band=") for e in os.listdir(d))
+        if any("=" in e for e in os.listdir(d))
         else "flat"
     )
     return ("lsh", os.path.dirname(d), kind, layout)
