@@ -19,7 +19,9 @@ continuous trigger; nothing else changes.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import tempfile
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -774,23 +776,63 @@ def _src_schema(spark: SparkSession, src_dir: str):
     return sch
 
 
-def _batch_source_files(b: DataFrame) -> list[str]:
-    """The micro-batch's source parquet files — a tiny control-plane
-    collect (≤ files-per-trigger paths), recorded so a close-time
-    crash-replay probe can re-read the NEWEST batch verbatim from the
-    source instead of re-writing the raw batch to a probe dir on
-    every trigger (round-7 ADVICE: the per-trigger coalesce(1) probe
-    write was a single-task O(batch) data-plane write). An EMPTY
-    micro-batch (a restart trigger with nothing pending) has no
-    source files — input_file_name() yields '' — so this returns []
-    and callers must keep their previous replay target (round-8
-    ADVICE: recording [] would make the close-time replay read
-    crash on a zero-path parquet() call)."""
-    return sorted(
-        r[0]
-        for r in b.select(F.input_file_name()).distinct().collect()
-        if r[0]
-    )
+def _src_log_files(ckpt: str, bid: int) -> list[str]:
+    """The micro-batch's source parquet files, read DRIVER-SIDE from
+    the file-stream source's own metadata log
+    (``<ckpt>/sources/0/<bid>``: one version-header line, then one
+    JSON entry per file — Spark commits it when the batch is planned,
+    so it is complete before foreachBatch runs). Replaces the former
+    per-trigger ``input_file_name().distinct().collect()`` job
+    (_batch_source_files) with ZERO Spark jobs. Recorded so a
+    close-time crash-replay probe can re-read the NEWEST batch
+    verbatim from the source instead of re-writing the raw batch to a
+    probe dir on every trigger (round-7 ADVICE: the per-trigger
+    coalesce(1) probe write was a single-task O(batch) data-plane
+    write). Returns [] when the log entry is absent or empty — an
+    empty restart trigger, or the post-close replay call after the
+    checkpoint dir is gone — and callers keep their previous replay
+    target (round-8 ADVICE: recording [] would make the close-time
+    replay read crash on a zero-path parquet() call)."""
+    p = os.path.join(ckpt, "sources", "0", str(bid))
+    if not os.path.exists(p):
+        # a compaction cycle replaces the per-batch file with
+        # <bid>.compact holding ALL entries up to bid (their own
+        # batchId rides in each entry) — filter back down to bid
+        p_c = p + ".compact"
+        if not os.path.exists(p_c):
+            return []
+        try:
+            with open(p_c) as f:
+                lines = f.read().splitlines()
+        except OSError:
+            return []
+        out = []
+        for ln in lines[1:]:
+            if not ln:
+                continue
+            try:
+                e = json.loads(ln)
+            except ValueError:
+                continue
+            if e.get("batchId") == bid and e.get("path"):
+                out.append(e["path"])
+        return sorted(out)
+    try:
+        with open(p) as f:
+            lines = f.read().splitlines()
+    except OSError:
+        return []
+    out = []
+    for ln in lines[1:]:  # line 0 is the version header ("v1")
+        if not ln:
+            continue
+        try:
+            e = json.loads(ln)
+        except ValueError:
+            continue
+        if e.get("path"):
+            out.append(e["path"])
+    return sorted(out)
 
 
 def _sum_epoch_compact(
@@ -4506,6 +4548,8 @@ def _lsh_cadence_state(
         folds,
     )
 
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
+
     def _fold(b, bid):
         _tier_compact(bid)
         fold(b, bid)
@@ -4519,16 +4563,17 @@ def _lsh_cadence_state(
             )
         )
         # record the NEWEST batch's source files on every trigger
-        # (tiny control-plane collect): it is the one legitimate
-        # crash-replay target (the engine never replays committed
-        # offsets, and compaction folds strictly-older ids only, so
-        # the newest batch is always still keyed)
-        files = _batch_source_files(b)
+        # (driver-side read of the source's own metadata log — zero
+        # jobs): it is the one legitimate crash-replay target (the
+        # engine never replays committed offsets, and compaction
+        # folds strictly-older ids only, so the newest batch is
+        # always still keyed)
+        files = _src_log_files(os.path.join(ckpt, "ck"), bid)
         if files:  # an empty restart trigger keeps the prior target
             probe["bid"] = bid
             probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -4536,6 +4581,10 @@ def _lsh_cadence_state(
             .start()
         )
         q.awaitTermination()
+    finally:
+        # gone before the replay call below, so its _src_log_files
+        # lookup yields [] and the recorded target is kept
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # crash re-delivery BEFORE grading: the newest batch arrives
     # again (re-read verbatim from its recorded source files) — the
@@ -5224,6 +5273,8 @@ def _mm_stream_state(
             )
         )
 
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
+
     def _fold(b, bid):
         _tier_compact(bid)
         key = f"b{bid}"
@@ -5366,16 +5417,17 @@ def _mm_stream_state(
                 ]
             )
         )
-        # record the NEWEST batch's source files (control-plane
-        # collect, not a per-trigger data-plane write): it is always
-        # still keyed (compaction folds strictly-older ids only), so
-        # it is the one legitimate crash-replay target
-        files = _batch_source_files(b)
+        # record the NEWEST batch's source files (driver-side read
+        # of the source's own metadata log — zero jobs, not a
+        # per-trigger data-plane write): it is always still keyed
+        # (compaction folds strictly-older ids only), so it is the
+        # one legitimate crash-replay target
+        files = _src_log_files(os.path.join(ckpt, "ck"), bid)
         if files:  # an empty restart trigger keeps the prior target
             probe["bid"] = bid
             probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -5383,6 +5435,10 @@ def _mm_stream_state(
             .start()
         )
         q.awaitTermination()
+    finally:
+        # gone before the replay call below, so its _src_log_files
+        # lookup yields [] and the recorded target is kept
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # crash re-delivery BEFORE grading: the newest batch arrives
     # again (re-read verbatim from its recorded source files) —
@@ -6074,6 +6130,7 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
     )
     workdir = scratch_dir("zs_stream_loghist_state_")
     probe: dict = {}
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         # fold committed history into ONE epoch first (sum of sums =
@@ -6083,12 +6140,13 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
         loghist_buckets(b).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(workdir, f"part_b{bid}")
         )
-        files = _batch_source_files(b)
+        # driver-side read of the source's metadata log — zero jobs
+        files = _src_log_files(os.path.join(ckpt, "ck"), bid)
         if files:  # an empty restart trigger keeps the prior target
             probe["bid"] = bid
             probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -6096,6 +6154,10 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
             .start()
         )
         q.awaitTermination()
+    finally:
+        # gone before the replay call below, so its _src_log_files
+        # lookup yields [] and the recorded target is kept
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # crash re-delivery of the NEWEST batch AFTER compaction (the
     # only batch a checkpoint-coordinated engine can replay): the
@@ -6415,6 +6477,8 @@ def _cms_stream_state(
             .agg(F.count("*").cast("bigint").alias("c"))
         )
 
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
+
     def _fold(b, bid):
         # fold committed history into ONE epoch first (sum of sums =
         # sum), then write this batch's keyed partial: state on disk
@@ -6423,12 +6487,13 @@ def _cms_stream_state(
         _partial(b).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(workdir, f"part_b{bid}")
         )
-        files = _batch_source_files(b)
+        # driver-side read of the source's metadata log — zero jobs
+        files = _src_log_files(os.path.join(ckpt, "ck"), bid)
         if files:  # an empty restart trigger keeps the prior target
             probe["bid"] = bid
             probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -6436,6 +6501,10 @@ def _cms_stream_state(
             .start()
         )
         q.awaitTermination()
+    finally:
+        # gone before the replay call below, so its _src_log_files
+        # lookup yields [] and the recorded target is kept
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # crash re-delivery of the NEWEST batch (the only one a
     # checkpoint-coordinated engine can replay — its partial is
