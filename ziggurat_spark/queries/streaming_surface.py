@@ -1942,9 +1942,16 @@ def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
                 for k in sorted(os.listdir(hist_dir))
                 if k != key
             ]
-            hist = spark.read.option("recursiveFileLookup", "true").parquet(
-                *others
-            )
+            # schema pinned per hist_dir (this read runs EVERY
+            # trigger; unpinned it pays a footer-inference job each
+            # time — guide §6)
+            hsch = _READ_SCHEMA.get(("hist", hist_dir))
+            hr = spark.read.option("recursiveFileLookup", "true")
+            if hsch is not None:
+                hr = hr.schema(hsch)
+            hist = hr.parquet(*others)
+            if hsch is None:
+                _READ_SCHEMA[("hist", hist_dir)] = hist.schema
             surv = b.dropDuplicates(["h"]).join(
                 F.broadcast(hist), "h", "left_anti"
             )
@@ -1959,11 +1966,13 @@ def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
                 os.path.join(out_dir, key)
             )
             if run == 1 and not replay_probe:
-                replay_probe["run"] = run
-                replay_probe["bid"] = bid
-                b.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(base, "probe_input")
-                )
+                # replay target from the source's metadata log —
+                # zero jobs, no O(batch) probe_input write
+                files = _src_log_files(ckpt, bid)
+                if files:
+                    replay_probe["run"] = run
+                    replay_probe["bid"] = bid
+                    replay_probe["files"] = files
 
         return fn
 
@@ -1991,10 +2000,14 @@ def x_stream_dedup_historic_loop(spark: SparkSession, sf: str) -> DataFrame:
     run_once(2)
 
     # crash-redelivery: run 1's first batch arrives AGAIN with the
-    # same key; keyed overwrite + own-key-excluded historic read must
-    # leave every graded number unchanged
-    replayed = spark.read.parquet(os.path.join(base, "probe_input"))
-    batch_fn(replay_probe["run"])(replayed, replay_probe["bid"])
+    # same key (re-read verbatim from its recorded source files);
+    # keyed overwrite + own-key-excluded historic read must leave
+    # every graded number unchanged
+    if replay_probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(
+            *replay_probe["files"]
+        )
+        batch_fn(replay_probe["run"])(replayed, replay_probe["bid"])
 
     def _distinct_h(prefix: str):
         dirs = [
@@ -2289,9 +2302,10 @@ def x_stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
         if state["path"]:
             # dropDuplicates: idempotent under micro-batch replay (a
             # re-delivered doc already in state must not occupy two
-            # of the k slots)
+            # of the k slots); schema pinned per workdir (per-trigger
+            # read — unpinned it pays an inference job each time)
             cand = cand.unionByName(
-                spark.read.parquet(state["path"])
+                _pq_read(spark, ("st", workdir), [state["path"]])
             ).dropDuplicates(["source", "doc_id"])
         merged = (
             cand.withColumn("rn", F.row_number().over(w))
@@ -2776,6 +2790,7 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
             F.sum("nt").alias("s")
         ).collect()
         if not delta:
+            release_checkpoint(fresh)
             return  # pure replay: state already at the fixed point
         subt = dict(state["subt"])
         for r in delta:
@@ -2851,6 +2866,14 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
                 ncut.isNull() | (F.struct("hk", "doc_id") < ncut)
             )
         merged = merged.withColumn("kbc", F.col("kb"))
+        # lazy: the partitioned write right below materializes merged
+        # ONCE; the subtotal refresh then aggregates the same
+        # persisted blocks instead of re-reading the just-written
+        # parquet (same job count, but no per-trigger file re-open +
+        # footer read — the written files hold exactly merged's rows
+        # by construction, so the derived subtotals are identical to
+        # a file re-read's)
+        merged = merged.localCheckpoint(eager=False)
         new_path = os.path.join(workdir, f"state_v{state['v']}")
         state["v"] += 1
         # one file per touched bucket at normal parallelism — never a
@@ -2864,18 +2887,17 @@ def _budget_fold(spark: SparkSession, workdir: str, state: dict):
                 state["buckets"][x] = d
             else:
                 state["buckets"].pop(x, None)  # bucket fully evicted
-        # exact subtotal refresh for the rewritten buckets only,
-        # re-aggregated from the just-written files (bounded read)
+        # exact subtotal refresh for the rewritten buckets only
         for k in [k for k in subt if k[1] in set(all_touched)]:
             del subt[k]
-        rewritten = _read_buckets(all_touched)
-        if rewritten is not None:
-            for r in (
-                rewritten.groupBy("source", "kb")
-                .agg(F.sum("nt").alias("s"))
-                .collect()
-            ):
-                subt[(r["source"], r["kb"])] = r["s"]
+        for r in (
+            merged.groupBy("source", "kb")
+            .agg(F.sum("nt").alias("s"))
+            .collect()
+        ):
+            subt[(r["source"], r["kb"])] = r["s"]
+        release_checkpoint(merged)
+        release_checkpoint(fresh)
         state["subt"] = subt
         state["cutsd"] = new_cuts
         if new_cuts:
@@ -2993,15 +3015,14 @@ def x_stream_budget_maintenance(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     src_dir = scratch_dir("zs_stream_budget_")
-    docs.select(
+    _bsrc = docs.select(
         "doc_id",
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
         .cast("bigint")
         .alias("nt"),
-    ).repartition(STREAM_BUDGET_SRC_FILES).write.mode("overwrite").parquet(
-        src_dir
-    )
+    ).repartition(STREAM_BUDGET_SRC_FILES)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(_bsrc, src_dir)
     schema = _src_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
@@ -3085,10 +3106,12 @@ def x_stream_budget_restart(spark: SparkSession, sf: str) -> DataFrame:
 
     def _fold_with_probe(b, bid):
         if not replay_probe:
-            replay_probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(base, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(ckpt, bid)
+            if files:
+                replay_probe["bid"] = bid
+                replay_probe["files"] = files
         fold(b, bid)
 
     ckpt = os.path.join(base, "ckpt")
@@ -3117,10 +3140,14 @@ def x_stream_budget_restart(spark: SparkSession, sf: str) -> DataFrame:
     run_once()  # run 2: resumes from the on-disk checkpoint + state
 
     # crash-redelivery: run 1's first micro-batch arrives AGAIN
-    # through the same fold; the graded numbers below are computed
-    # AFTER this and must be unchanged (watermark + dropDuplicates)
-    replayed = spark.read.parquet(os.path.join(base, "probe_input"))
-    fold(replayed, replay_probe["bid"])
+    # through the same fold (re-read verbatim from its recorded
+    # source files); the graded numbers below are computed AFTER
+    # this and must be unchanged (watermark + dropDuplicates)
+    if replay_probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(
+            *replay_probe["files"]
+        )
+        fold(replayed, replay_probe["bid"])
     return _budget_grade(spark, docs, state)
 
 
@@ -3274,9 +3301,12 @@ def x_stream_ann_maintain(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     src_dir = scratch_dir("zs_stream_ann_")
-    emb.select("vec_id", "embedding").repartition(
-        ANN_MAINT_SRC_FILES
-    ).write.mode("overwrite").parquet(src_dir)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(
+        emb.select("vec_id", "embedding").repartition(
+            ANN_MAINT_SRC_FILES
+        ),
+        src_dir,
+    )
     # the trained codebook, fixed before the stream starts (and
     # pinned: a per-batch-derived codebook would drift the cells)
     cent = (
@@ -3526,6 +3556,7 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
     )
     statedir = scratch_dir("zs_stream_dsir_state_")
     probe: dict = {}
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         # keyed overwrite: THIS batch's partial, replay-idempotent
@@ -3533,12 +3564,14 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
             os.path.join(statedir, f"part_b{bid}")
         )
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(statedir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -3546,13 +3579,17 @@ def x_stream_dsir_maintain(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # crash re-delivery BEFORE grading: the first batch arrives again
-    # and must rewrite its own partial, not add a new one
-    replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
-    _dsir_partial(replayed).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(statedir, f"part_b{probe['bid']}")
-    )
+    # (re-read verbatim from its recorded source files) and must
+    # rewrite its own partial, not add a new one
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(*probe["files"])
+        _dsir_partial(replayed).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(statedir, f"part_b{probe['bid']}"))
 
     parts = [
         os.path.join(statedir, d)
@@ -4160,16 +4197,19 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
     statedir = scratch_dir("zs_stream_lsh_state_")
     probe: dict = {}
     fold = _lsh_fold(spark, statedir)
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         fold(b, bid)
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(statedir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -4177,12 +4217,16 @@ def x_stream_lsh_maintain(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    # crash re-delivery BEFORE grading: the first batch arrives again;
-    # keyed overwrites + own-key-excluded history keep the graded
-    # union unchanged
-    replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
-    _fold(replayed, probe["bid"])
+    # crash re-delivery BEFORE grading: the first batch arrives again
+    # (re-read verbatim from its recorded source files); keyed
+    # overwrites + own-key-excluded history keep the graded union
+    # unchanged
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(*probe["files"])
+        _fold(replayed, probe["bid"])
 
     pair_dirs = [
         os.path.join(statedir, d)
@@ -4442,6 +4486,7 @@ def _select_corpus_state(
     workdir = scratch_dir("zs_stream_sel_state_")
     state: dict = {}
     probe: dict = {}
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         qc = (
@@ -4468,12 +4513,14 @@ def _select_corpus_state(
             order_cols=(F.asc("doc_id"),),  # smallest id wins = batch dedup
         )
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(workdir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -4481,11 +4528,15 @@ def _select_corpus_state(
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    # crash re-delivery BEFORE grading: the merge is a keyed
-    # min-winner fold, so the replayed batch changes nothing
-    replayed = spark.read.parquet(os.path.join(workdir, "probe_input"))
-    _fold(replayed, probe["bid"] + 1000)
+    # crash re-delivery BEFORE grading: the first batch arrives again
+    # (re-read verbatim from its recorded source files); the merge is
+    # a keyed min-winner fold, so the replayed batch changes nothing
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(*probe["files"])
+        _fold(replayed, probe["bid"] + 1000)
     return state, workdir
 
 
@@ -4937,9 +4988,9 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
     try:
         pairs = _jaccard_pairs(spark, sf).select("a", "b")
         src_dir = scratch_dir("zs_stream_cc_")
-        pairs.repartition(STREAM_CC_SRC_FILES).write.mode(
-            "overwrite"
-        ).parquet(src_dir)
+        _READ_SCHEMA[("src", src_dir)] = _write_src(
+            pairs.repartition(STREAM_CC_SRC_FILES), src_dir
+        )
     finally:
         spark.conf.set(sp_key, mb_parts)
     schema = _src_schema(spark, src_dir)
@@ -4964,16 +5015,19 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
     # rewrites only buckets holding re-labeled nodes) — at 100 TB
     # per-trigger I/O is O(touched + batch), never O(forest)
     inner = _cc_forest_fold(spark, statedir, state, ridx, audit)
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         inner(b, bid)
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(statedir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -4981,14 +5035,18 @@ def _cc_forest_state(spark: SparkSession, sf: str) -> tuple[str, dict]:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    # crash re-delivery BEFORE grading: min-parent connectivity is
-    # associative, commutative AND idempotent (re-unioning absorbed
-    # pairs cannot move any component minimum), so the replayed
-    # batch re-converges to the identical forest (the LWW merge
-    # overwrites re-labeled nodes with identical targets)
-    replayed = spark.read.parquet(os.path.join(statedir, "probe_input"))
-    _fold(replayed, probe["bid"] + 1000)
+    # crash re-delivery BEFORE grading (the first batch re-read
+    # verbatim from its recorded source files): min-parent
+    # connectivity is associative, commutative AND idempotent
+    # (re-unioning absorbed pairs cannot move any component minimum),
+    # so the replayed batch re-converges to the identical forest (the
+    # LWW merge overwrites re-labeled nodes with identical targets)
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(*probe["files"])
+        _fold(replayed, probe["bid"] + 1000)
     return statedir, state
 
 
@@ -5593,9 +5651,12 @@ def _ivf_cadence_state(
 
     emb = load_table(spark, sf, "embeddings")
     src_dir = scratch_dir("zs_stream_ivfcad_")
-    emb.select("vec_id", "embedding").repartition(
-        ANN_MAINT_SRC_FILES
-    ).write.mode("overwrite").parquet(src_dir)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(
+        emb.select("vec_id", "embedding").repartition(
+            ANN_MAINT_SRC_FILES
+        ),
+        src_dir,
+    )
     cent = (
         emb.filter(F.col("vec_id") % 97 == 0)
         .select(
@@ -5626,9 +5687,11 @@ def _ivf_cadence_state(
         # dot for corpus volume, the interpreted spelling only for
         # per-trigger batches (where worker round-trips dominate)
         qdot = qdot_int_udf()
-        a0 = spark.read.parquet(*sorted(a0_state.values())).select(
-            "vec_id", "q", F.col("cent_id").alias("cell0")
-        )
+        # schema pinned per workdir: a refresh runs per cadence tick
+        # and an unpinned read pays a footer-inference job each time
+        a0 = _pq_read(
+            spark, ("ann_a0", workdir), sorted(a0_state.values())
+        ).select("vec_id", "q", F.col("cent_id").alias("cell0"))
         # Lloyd step: truncating integer mean per (cell, pos) —
         # cells × d longs to the driver (the x_kmeans_exact sync)
         upd = (
@@ -5729,6 +5792,8 @@ def _ivf_cadence_state(
             release_checkpoint(prev["a1"])
         prev["a1"] = a1
 
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
+
     def _fold(b, bid):
         _ann_upsert_batch(spark, workdir, a0_state, b, bid, cent)
         prev["since"] += 1
@@ -5736,12 +5801,14 @@ def _ivf_cadence_state(
             _refresh()
             prev["since"] = 0
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(workdir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -5749,17 +5816,21 @@ def _ivf_cadence_state(
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # closing refresh: the serving state now covers the FULL corpus
     # — i.e. exactly the batch x_ivf_retrain state
     _refresh()
-    # crash re-delivery + idempotence proof: replay batch 0 (keyed
-    # upsert — a0 unchanged), refresh again — ZERO cells may change
-    replayed = spark.read.parquet(os.path.join(workdir, "probe_input"))
-    _ann_upsert_batch(
-        spark, workdir, a0_state, replayed, probe["bid"] + 1000, cent
-    )
-    _refresh()
+    # crash re-delivery + idempotence proof: replay batch 0 (re-read
+    # verbatim from its recorded source files; keyed upsert — a0
+    # unchanged), refresh again — ZERO cells may change
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(*probe["files"])
+        _ann_upsert_batch(
+            spark, workdir, a0_state, replayed, probe["bid"] + 1000, cent
+        )
+        _refresh()
     return serve, refresh_log
 
 
@@ -5963,10 +6034,11 @@ def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
 
     events = load_table(spark, sf, "events")
     src_dir = scratch_dir("zs_stream_hll_")
-    events.filter(F.col("user_id").isNotNull()).select(
-        "event_type", "user_id"
-    ).repartition(STREAM_HLL_SRC_FILES).write.mode("overwrite").parquet(
-        src_dir
+    _READ_SCHEMA[("src", src_dir)] = _write_src(
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .repartition(STREAM_HLL_SRC_FILES),
+        src_dir,
     )
     schema = _src_schema(spark, src_dir)
     stream = (
@@ -5978,6 +6050,7 @@ def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
     state = {"path": None, "v": 0}
     reg_e, rho_e = _hll_exprs("div")
     probe: dict = {}
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         regs = (
@@ -6003,12 +6076,14 @@ def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
         regs.coalesce(1).write.mode("overwrite").parquet(new_path)
         state["path"], state["v"] = new_path, state["v"] + 1
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(workdir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -6016,13 +6091,17 @@ def x_stream_hll_maintain(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    # crash re-delivery: max-merge is idempotent, so re-folding the
-    # first batch verbatim must leave the graded registers unchanged
-    replayed = spark.read.parquet(
-        os.path.join(workdir, "probe_input")
-    ).localCheckpoint(eager=False)  # fold's first action materializes
-    _fold(replayed, probe["bid"])
+    # crash re-delivery (the first batch re-read verbatim from its
+    # recorded source files): max-merge is idempotent, so re-folding
+    # it must leave the graded registers unchanged
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(
+            *probe["files"]
+        ).localCheckpoint(eager=False)  # fold's action materializes
+        _fold(replayed, probe["bid"])
 
     # grade via one SQL pass sharing the oracle's expression text
     _pq_read(
@@ -6119,9 +6198,12 @@ def _loghist_stream_state(spark: SparkSession, sf: str) -> str:
 
     li = load_table(spark, sf, "lineitem")
     src_dir = scratch_dir("zs_stream_loghist_")
-    li.select("l_extendedprice").repartition(
-        STREAM_LOGHIST_SRC_FILES
-    ).write.mode("overwrite").parquet(src_dir)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(
+        li.select("l_extendedprice").repartition(
+            STREAM_LOGHIST_SRC_FILES
+        ),
+        src_dir,
+    )
     schema = _src_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
@@ -6208,7 +6290,7 @@ def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     src_dir = scratch_dir("zs_stream_wbk_")
-    docs.select(
+    _wsrc = docs.select(
         "source",
         "doc_id",
         F.expr(_WBK_HV).alias("hv"),
@@ -6220,9 +6302,8 @@ def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("w"),
     ).select(
         "source", "doc_id", F.expr("hv div w").alias("pri")
-    ).repartition(STREAM_WBK_SRC_FILES).write.mode("overwrite").parquet(
-        src_dir
-    )
+    ).repartition(STREAM_WBK_SRC_FILES)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(_wsrc, src_dir)
     schema = _src_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
@@ -6233,6 +6314,7 @@ def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     state = {"path": None, "v": 0}
     w_ = W.partitionBy("source").orderBy("pri", "doc_id")
     probe: dict = {}
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
 
     def _fold(b, bid):
         cand = (
@@ -6253,12 +6335,14 @@ def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         merged.coalesce(1).write.mode("overwrite").parquet(new_path)
         state["path"], state["v"] = new_path, state["v"] + 1
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(workdir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -6266,13 +6350,17 @@ def x_stream_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    # crash re-delivery: dropDuplicates + re-truncate make the merge
-    # idempotent — the graded sample must not move
-    replayed = spark.read.parquet(
-        os.path.join(workdir, "probe_input")
-    ).localCheckpoint(eager=False)  # fold's first action materializes
-    _fold(replayed, probe["bid"])
+    # crash re-delivery (the first batch re-read verbatim from its
+    # recorded source files): dropDuplicates + re-truncate make the
+    # merge idempotent — the graded sample must not move
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(
+            *probe["files"]
+        ).localCheckpoint(eager=False)  # fold's action materializes
+        _fold(replayed, probe["bid"])
 
     final = _pq_read(spark, ("st", workdir), [state["path"]])
     return (
@@ -6330,9 +6418,9 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
     # v2 dump: the SAME deterministic hash frame the batch diff uses
     v2 = _snapshot_v2_hashes(docs)
     src_dir = scratch_dir("zs_stream_snap_")
-    v2.repartition(STREAM_SNAP_SRC_FILES).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(
+        v2.repartition(STREAM_SNAP_SRC_FILES), src_dir
+    )
     schema = _src_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
@@ -6343,6 +6431,7 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
     n_buckets = 16
     state: dict = {}
     probe: dict = {}
+    ckpt = tempfile.mkdtemp(prefix="zs_ck_")
     #: monotonic merge counter: a RE-DELIVERED batch id must still
     #: get a fresh state version — reusing the original delivery's
     #: version would make the merge overwrite the very directory its
@@ -6365,12 +6454,14 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
             order_cols=(F.desc("ob"), F.desc("doc_id")),
         )
         if not probe:
-            probe["bid"] = bid
-            b.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(workdir, "probe_input")
-            )
+            # replay target from the source's metadata log — zero
+            # jobs, no O(batch) probe_input write
+            files = _src_log_files(os.path.join(ckpt, "ck"), bid)
+            if files:
+                probe["bid"] = bid
+                probe["files"] = files
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    try:
         q = (
             stream.writeStream.foreachBatch(_fold)
             .option("checkpointLocation", os.path.join(ckpt, "ck"))
@@ -6378,13 +6469,17 @@ def x_stream_snapshot_apply(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    # crash re-delivery: the LWW upsert of identical rows is a
+    # crash re-delivery (the first batch re-read verbatim from its
+    # recorded source files): the LWW upsert of identical rows is a
     # byte-level no-op for the graded diff
-    replayed = spark.read.parquet(
-        os.path.join(workdir, "probe_input")
-    ).localCheckpoint(eager=False)  # fold's first action materializes
-    _fold(replayed, probe["bid"] )
+    if probe.get("files"):
+        replayed = spark.read.schema(schema).parquet(
+            *probe["files"]
+        ).localCheckpoint(eager=False)  # fold's action materializes
+        _fold(replayed, probe["bid"])
 
     cur = _pq_read(
         spark, ("lww", workdir), sorted(state.values())
@@ -6458,9 +6553,9 @@ def _cms_stream_state(
         .select("user_id")
     )
     src_dir = scratch_dir("zs_stream_cms_")
-    ev.repartition(STREAM_CMS_SRC_FILES).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
+    _READ_SCHEMA[("src", src_dir)] = _write_src(
+        ev.repartition(STREAM_CMS_SRC_FILES), src_dir
+    )
     schema = _src_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
