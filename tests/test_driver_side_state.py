@@ -119,3 +119,53 @@ def test_pq_read_caches_schema_once(spark, tmp_path):
     after = len(tracker.getJobIdsForGroup() or [])
     assert after == before
     assert df2.schema == df1.schema
+
+
+def test_src_log_files_later_compact_and_warning(tmp_path):
+    """Round-9 ADVICE #1: a per-batch entry folded into a LATER
+    compact file (not <bid>.compact) is still found, and a log dir
+    that exists but covers nothing fires the one-time layout warning
+    instead of silently skipping every replay."""
+    import json
+    import warnings
+
+    import ziggurat_spark.queries.streaming_surface as SS
+
+    ck = tmp_path / "ck"
+    logdir = ck / "sources" / "0"
+    os.makedirs(logdir)
+
+    def _write(name: str, entries: list) -> None:
+        with open(logdir / name, "w") as f:
+            f.write("v1\n")
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+
+    # batch 7's own file was compacted away into 9.compact
+    _write(
+        "9.compact",
+        [
+            {"path": "file:/a.parquet", "batchId": 7},
+            {"path": "file:/b.parquet", "batchId": 7},
+            {"path": "file:/c.parquet", "batchId": 9},
+        ],
+    )
+    assert SS._src_log_files(str(ck), 7) == [
+        "file:/a.parquet",
+        "file:/b.parquet",
+    ]
+    # the exact per-batch file still wins when present
+    _write("3", [{"path": "file:/d.parquet"}])
+    assert SS._src_log_files(str(ck), 3) == ["file:/d.parquet"]
+    # a missing checkpoint (post-close replay) stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert SS._src_log_files(str(tmp_path / "gone"), 1) == []
+    # an existing log dir with no covering entry warns ONCE
+    SS._SRC_LOG_WARNED.clear()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert SS._src_log_files(str(ck), 42) == []
+        assert SS._src_log_files(str(ck), 43) == []
+    assert len(rec) == 1
+    assert "no entry covering batch 42" in str(rec[0].message)

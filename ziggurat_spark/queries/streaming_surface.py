@@ -24,6 +24,7 @@ import os
 import shutil
 import tempfile
 import uuid
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -721,6 +722,12 @@ _LWW_KEY_DUCK = "printf('%020d#%012d', epoch_us(ts), event_id)"
 #: unique per run, so entries can never collide across runs or ops;
 #: LWW state schemas are captured at WRITE time (no inference job at
 #: all), everything else pays inference exactly once per run.
+#: Growth note (round-9 ADVICE #3): entries are never evicted, so a
+#: long-lived session accrues one tiny StructType per query run per
+#: scratch dir (~KB each; a full 3-pass bench leaves ~2k entries).
+#: Deliberate: eviction hooks on scratch-dir removal would thread
+#: lifecycle through every fold for memory that is noise next to one
+#: cached parquet footer.
 _READ_SCHEMA: dict = {}
 
 
@@ -792,47 +799,81 @@ def _src_log_files(ckpt: str, bid: int) -> list[str]:
     empty restart trigger, or the post-close replay call after the
     checkpoint dir is gone — and callers keep their previous replay
     target (round-8 ADVICE: recording [] would make the close-time
-    replay read crash on a zero-path parquet() call)."""
-    p = os.path.join(ckpt, "sources", "0", str(bid))
-    if not os.path.exists(p):
-        # a compaction cycle replaces the per-batch file with
-        # <bid>.compact holding ALL entries up to bid (their own
-        # batchId rides in each entry) — filter back down to bid
-        p_c = p + ".compact"
-        if not os.path.exists(p_c):
-            return []
+    replay read crash on a zero-path parquet() call).
+
+    Depends on Spark's internal file-source metadata-log layout
+    (verified on 4.1.2). Two robustness guards (round-9 ADVICE #1):
+    when the per-batch file is missing, ANY ``<n>.compact`` with
+    n >= bid is consulted (a compaction cycle folds older per-batch
+    files into the newest compact file, not necessarily
+    ``<bid>.compact``); and when the source log directory EXISTS but
+    no entry covers ``bid`` — the engine commits the entry before
+    foreachBatch runs, so this can only mean the log layout changed —
+    a once-per-process warning fires instead of the idempotence
+    replay silently never running again."""
+    logdir = os.path.join(ckpt, "sources", "0")
+    p = os.path.join(logdir, str(bid))
+
+    def _entries(path: str) -> list | None:
         try:
-            with open(p_c) as f:
+            with open(path) as f:
                 lines = f.read().splitlines()
         except OSError:
-            return []
+            return None
         out = []
-        for ln in lines[1:]:
+        for ln in lines[1:]:  # line 0 is the version header ("v1")
             if not ln:
                 continue
             try:
                 e = json.loads(ln)
             except ValueError:
                 continue
-            if e.get("batchId") == bid and e.get("path"):
-                out.append(e["path"])
-        return sorted(out)
+            if e.get("path"):
+                out.append(e)
+        return out
+
+    if os.path.exists(p):
+        ents = _entries(p)
+        return sorted(e["path"] for e in ents) if ents else []
+    # a compaction cycle replaces per-batch files with the newest
+    # <n>.compact (n >= bid) holding ALL entries up to n, each
+    # carrying its own batchId — filter back down to bid
     try:
-        with open(p) as f:
-            lines = f.read().splitlines()
+        compacts = sorted(
+            int(f[: -len(".compact")])
+            for f in os.listdir(logdir)
+            if f.endswith(".compact")
+            and f[: -len(".compact")].isdigit()
+            and int(f[: -len(".compact")]) >= bid
+        )
     except OSError:
-        return []
-    out = []
-    for ln in lines[1:]:  # line 0 is the version header ("v1")
-        if not ln:
+        return []  # no source log at all: post-close replay call
+    for n in compacts:
+        ents = _entries(os.path.join(logdir, f"{n}.compact"))
+        if ents is None:
             continue
-        try:
-            e = json.loads(ln)
-        except ValueError:
-            continue
-        if e.get("path"):
-            out.append(e["path"])
-    return sorted(out)
+        got = sorted(
+            e["path"] for e in ents if e.get("batchId") == bid
+        )
+        if got:
+            return got
+    # the log dir exists but nothing covers bid: the engine writes
+    # the entry before foreachBatch runs, so the layout must have
+    # changed — warn once instead of silently skipping every replay
+    if not _SRC_LOG_WARNED:
+        _SRC_LOG_WARNED.append(True)
+        warnings.warn(
+            f"stream source metadata log {logdir} has no entry "
+            f"covering batch {bid}: crash-replay idempotence probes "
+            "will be skipped (Spark file-source log layout change?)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return []
+
+
+#: one-shot latch for the _src_log_files layout warning
+_SRC_LOG_WARNED: list = []
 
 
 def _sum_epoch_compact(
@@ -6888,8 +6929,9 @@ def _pipe_stream_state(
         # ONE control-plane pass over the gated batch yields BOTH
         # the exact-state touched buckets (kb is a pure function of
         # h, so gated's kb set == cand's kb set) AND the batch's
-        # source files (the close-time replay target — previously
-        # its own _batch_source_files job per trigger). On the
+        # source files (the close-time replay target — riding this
+        # collect instead of a per-trigger job or a driver-side
+        # _src_log_files read, which this fold predates). On the
         # close-time replay (a checkpointed read) _src is '' and the
         # prior replay target is kept; a batch whose rows ALL fail
         # the quality gate likewise keeps the prior target (it
@@ -7513,8 +7555,9 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
         spent.append(feat)
         # ONE control-plane pass yields BOTH the store-bucket set
         # (the record-store merge's touched set) AND the batch's
-        # source files (the close-time replay target — previously
-        # its own _batch_source_files job per trigger). _src is
+        # source files (the close-time replay target — riding this
+        # collect instead of a per-trigger job or a driver-side
+        # _src_log_files read, which this fold predates). _src is
         # projected BEFORE the repartition, so it is evaluated in
         # the scan stage where input_file_name() is defined; on the
         # close-time replay (a checkpointed read) it yields '' and
