@@ -2,7 +2,8 @@
 
 Usage: python examples/capture_plans.py <suffix> <query> [<query> ...]
 
-Writes plans/r09/<query>_<suffix>.txt for each named query. The plan
+Writes plans/$SPARK_GRAFT_PLAN_ROUND (default r10)/<query>_<suffix>.txt
+for each named query. The plan
 is taken from the DataFrame the query builder returns; streaming ops
 therefore capture their grade-tail plan (their trigger work happens
 inside foreachBatch and is audited by the in-op io/fold records
@@ -28,7 +29,9 @@ def main() -> None:
 
     spark = get_session(app_name="capture_plans")
     specs = all_queries()
-    outdir = os.path.join(REPO, "plans", "r09")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r10")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = specs[name].spark(spark, sf_dir)

@@ -3904,6 +3904,7 @@ def _lsh_probe_pairs(
     batch_bands: DataFrame,
     id_col: str = "doc_id",
     io: list | None = None,
+    wanted: set | None = None,
 ) -> DataFrame:
     """Candidate pairs for one arrival micro-batch — ONE spelling
     shared by x_stream_lsh_maintain/_cadence/_compact,
@@ -3918,18 +3919,23 @@ def _lsh_probe_pairs(
     and per-trigger probe I/O is O(batch-touched shards), never
     O(index). Flat per-batch runs (≤ K live at any time, O(batch)
     rows each) read whole. The shard set itself is a control-plane
-    collect of ≤ bands × LSH_BUCKET_SHARDS small ints. ``io``, when
-    given, gets one appended record {hist_dirs, shards_opened,
-    shards_skipped, bytes_opened} — the read-bound audit the pins
-    assert on."""
-    wanted = {
-        (r["band"], r["bs"])
-        for r in batch_bands.select(
-            "band", _bucket_shard("bucket").alias("bs")
-        )
-        .distinct()
-        .collect()
-    }
+    collect of ≤ bands × LSH_BUCKET_SHARDS small ints — or the
+    caller passes ``wanted`` (the exact distinct (band, bucket-shard)
+    set of ``batch_bands``) when it already collected it as part of
+    another control-plane sync, skipping this function's own job
+    (per-trigger action count is wall-clock in a stream fold).
+    ``io``, when given, gets one appended record {hist_dirs,
+    shards_opened, shards_skipped, bytes_opened} — the read-bound
+    audit the pins assert on."""
+    if wanted is None:
+        wanted = {
+            (r["band"], r["bs"])
+            for r in batch_bands.select(
+                "band", _bucket_shard("bucket").alias("bs")
+            )
+            .distinct()
+            .collect()
+        }
     hist_dirs = [
         os.path.join(statedir, d)
         for d in sorted(os.listdir(statedir))
@@ -5378,14 +5384,26 @@ def _mm_stream_state(
         _tier_compact(bid)
         key = f"b{bid}"
         # LAZY checkpoints (per-trigger action count IS wall-clock
-        # in a stream fold): the count right below materializes feat
-        # in the same job as the Arrow decode, and the probe's
-        # (band, shard) control-plane collect materializes bands
+        # in a stream fold): ONE fused control-plane aggregation
+        # below materializes feat AND bands in the same job as the
+        # Arrow decode, yielding both the batch asset count (was its
+        # own feat.count() job) and the probe's (band, bucket-shard)
+        # set (was the probe's own collect) — every decoded asset
+        # emits exactly MM_BANDS band rows, so count(distinct
+        # asset_id) over bands == feat row count, and feat rows are
+        # one per asset by construction
         feat = _feat(b).localCheckpoint(eager=False)
-        batch_assets = feat.count()  # materializes feat's blocks
         bands = feat.select(
             "asset_id", F.posexplode("bks").alias("band", "bucket")
         ).localCheckpoint(eager=False)
+        sync = bands.agg(
+            F.countDistinct("asset_id").alias("n"),
+            F.collect_set(
+                F.struct("band", _bucket_shard("bucket").alias("bs"))
+            ).alias("ws"),
+        ).collect()[0]
+        batch_assets = int(sync["n"])
+        wanted = {(r["band"], r["bs"]) for r in sync["ws"]}
         # candidates through the ONE shared probe spelling: tiny
         # within-batch self-join + arrivals BROADCAST vs history
         # with epoch reads pruned to the batch's (band, bucket-shard)
@@ -5395,7 +5413,12 @@ def _mm_stream_state(
         # batch op's salted group-pair join
         cand = (
             _lsh_probe_pairs(
-                spark, statedir, key, bands, id_col="asset_id"
+                spark,
+                statedir,
+                key,
+                bands,
+                id_col="asset_id",
+                wanted=wanted,
             )
             .distinct()
             .repartition(spark.sparkContext.defaultParallelism)
@@ -5443,11 +5466,12 @@ def _mm_stream_state(
                 ).alias("kb"),
             ).collect()[0]
             fkbs = set(stats["ka"]) | set(stats["kb"])
-            members = (
-                cand.select(F.col("a").alias("asset_id"))
-                .unionByName(cand.select(F.col("b").alias("asset_id")))
-                .distinct()
-            )
+            # no distinct: members only feeds a broadcast left-semi
+            # build, which dedups by key anyway (round-10 — the
+            # distinct was a full exchange of the pair endpoints)
+            members = cand.select(
+                F.col("a").alias("asset_id")
+            ).unionByName(cand.select(F.col("b").alias("asset_id")))
             hist_feat = _mm_read_feat_pruned(spark, statedir, key, fkbs)
             if hist_feat is not None:
                 feat_all = feat_all.unionByName(
@@ -7065,10 +7089,12 @@ def _pipe_stream_state(
             # members), never a corpus re-read; batch members are at
             # hand. This is the production drop rule: documents fall
             # on VERIFIED pairs, not raw LSH candidates.
-            members = (
-                pairs.select(F.col("a").alias("hid"))
-                .unionByName(pairs.select(F.col("b").alias("hid")))
-                .distinct()
+            # no distinct: members feeds the anti-join (whose hkbs
+            # collect dedups anyway) and a broadcast left-semi build
+            # (dedups by key) — the distinct was a full exchange of
+            # the pair endpoints inside this action (round-10)
+            members = pairs.select(F.col("a").alias("hid")).unionByName(
+                pairs.select(F.col("b").alias("hid"))
             )
             hist_members = members.join(
                 fresh_docs.select("hid"), "hid", "left_anti"
@@ -7553,69 +7579,87 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
             .repartition(spark.sparkContext.defaultParallelism)
         ).localCheckpoint(eager=False)
         spent.append(feat)
-        # ONE control-plane pass yields BOTH the store-bucket set
-        # (the record-store merge's touched set) AND the batch's
-        # source files (the close-time replay target — riding this
-        # collect instead of a per-trigger job or a driver-side
-        # _src_log_files read, which this fold predates). _src is
-        # projected BEFORE the repartition, so it is evaluated in
-        # the scan stage where input_file_name() is defined; on the
-        # close-time replay (a checkpointed read) it yields '' and
-        # the prior replay target is kept, exactly as before.
-        kf = (
-            feat.select(
-                F.pmod(F.xxhash64("rec_id"), F.lit(ER_STORE_KB))
-                .cast("int")
-                .alias("k"),
-                F.col("_src").alias("f"),
-            )
-            .distinct()
-            .collect()
-        )
-        fkbs = sorted({r["k"] for r in kf})
-        files = sorted({r["f"] for r in kf if r["f"]})
         # blocking keys as a 1-band index: bucket = the (segment,
         # deletion-key) STRING — the probe joins on bucket equality,
         # so parity with the oracle's (seg, key) join is exact, and
-        # segment equality never materializes a cross-segment pair
+        # segment equality never materializes a cross-segment pair.
+        # _src rides along (projected away before the run write) so
+        # the fused sync below can read it; it was projected BEFORE
+        # the repartition, so it is evaluated in the scan stage where
+        # input_file_name() is defined; on the close-time replay (a
+        # checkpointed read) it yields '' and the prior replay target
+        # is kept, exactly as before.
         kdf = (
             feat.select(
                 "rec_id",
                 "seg",
+                "_src",
                 F.explode(F.expr(ER_DELKEYS_SQL)).alias("dk"),
             )
             .select(
                 "rec_id",
+                "_src",
                 F.concat_ws("|", "seg", "dk").alias("bucket"),
             )
             .withColumn("band", F.lit(0).cast("int"))
-            # lazy: the probe's (band, shard) control-plane collect
-            # scans kdf and materializes it
+            # lazy: the fused control-plane sync right below scans
+            # kdf and materializes it (and feat, its ancestor)
             .localCheckpoint(eager=False)
         )
         spent.append(kdf)
+        # ONE control-plane aggregation (round-10: was TWO full
+        # passes — a (store-bucket, file) distinct-collect over feat
+        # plus the probe's own (band, shard) collect over kdf) yields
+        # the store-bucket touched set, the batch's source files (the
+        # close-time replay target), AND the probe's (band,
+        # bucket-shard) set. Lossless fusion: every record emits >= 1
+        # deletion key (ER_DELKEYS_SQL always contains dstr itself),
+        # so kdf's rec_id/_src sets equal feat's, and the (k, f)
+        # association was never used — only the two sets.
+        sync = kdf.agg(
+            F.collect_set(
+                F.pmod(F.xxhash64("rec_id"), F.lit(ER_STORE_KB)).cast(
+                    "int"
+                )
+            ).alias("ks"),
+            F.collect_set("_src").alias("fs"),
+            F.collect_set(
+                F.struct("band", _bucket_shard("bucket").alias("bs"))
+            ).alias("ws"),
+        ).collect()[0]
+        fkbs = sorted(sync["ks"])
+        files = sorted(f for f in sync["fs"] if f)
+        wanted = {(r["band"], r["bs"]) for r in sync["ws"]}
         key = f"b{bid}"
         pio: list = []
         # lazy: the fused members/count aggregation below is a full
         # pass over pairs and materializes it
         pairs = (
             _lsh_probe_pairs(
-                spark, lsh_dir, key, kdf, id_col="rec_id", io=pio
+                spark,
+                lsh_dir,
+                key,
+                kdf,
+                id_col="rec_id",
+                io=pio,
+                wanted=wanted,
             )
             .distinct()
             .localCheckpoint(eager=False)
         )
         spent.append(pairs)
         # the kdf run write only reads kdf's already-persisted blocks
-        # (the probe's shard collect materialized them) and nothing
-        # in this trigger reads it back — submit it on a small pool
-        # so the verify/absorb chain's jobs back-fill it instead of
-        # paying its full job latency serially (guide §2.6); joined
-        # before the fold returns
+        # (the fused sync materialized them) and nothing in this
+        # trigger reads it back — submit it on a small pool so the
+        # verify/absorb chain's jobs back-fill it instead of paying
+        # its full job latency serially (guide §2.6); joined before
+        # the fold returns. _src is projected away: the band-run
+        # layout on disk is unchanged.
         pool = ThreadPoolExecutor(max_workers=2)
         futs = [
             pool.submit(
-                lambda: kdf.coalesce(1)
+                lambda: kdf.select("rec_id", "bucket", "band")
+                .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(lsh_dir, f"bands_{key}"))
             )
@@ -7627,10 +7671,12 @@ def _er_stream_state(spark: SparkSession, sf: str) -> dict:
         # anti-join job per trigger); dropDuplicates keeps the
         # attribute table exact under replay, when the re-delivered
         # batch's own rows are already in the store.
-        members = (
-            pairs.select(F.col("a").alias("rec_id"))
-            .unionByName(pairs.select(F.col("b").alias("rec_id")))
-            .distinct()
+        # no distinct: members only ever feeds a broadcast left-semi
+        # build, which dedups by key anyway — the distinct was a full
+        # exchange of the pair endpoints inside the verify action at
+        # any scale (round-10)
+        members = pairs.select(F.col("a").alias("rec_id")).unionByName(
+            pairs.select(F.col("b").alias("rec_id"))
         )
         # ONE aggregation job yields BOTH the candidate count (the
         # graded per-batch count row below — was its own
