@@ -4074,6 +4074,7 @@ def make_tier_compactor(
         seq[0] += 1
         suffix = f"L{level + 1}_{seq[0]:06d}"
         doomed: list[str] = []
+        per_kind: list[tuple] = []
         for kind in kinds:
             runs = [
                 d.replace(f"{disc}_", f"{kind}_", 1) for d in disc_runs
@@ -4094,13 +4095,32 @@ def make_tier_compactor(
                 f"'{disc}' wrote (every writer must write every "
                 f"batch, even empty ones)"
             )
+            per_kind.append((kind, runs))
+            doomed += runs
+        # the per-kind fold writes read committed input dirs and land
+        # in DISJOINT new epoch dirs — overlap them on a small pool
+        # (guide §2.6: the verified pipeline folds 4 kinds per event;
+        # serially that is 4 full job latencies, overlapped the later
+        # writes back-fill the first's task tail). Inputs are deleted
+        # only after EVERY kind's write materialized.
+        def _one(kind: str, runs: list[str]) -> None:
             writers[kind](
                 _lsh_read_union(
                     spark, [os.path.join(statedir, d) for d in runs]
                 ),
                 os.path.join(statedir, f"{kind}_{suffix}"),
             )
-            doomed += runs
+
+        if len(per_kind) > 1:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_one, kind, runs)
+                    for kind, runs in per_kind
+                ]
+                for fu in futs:
+                    fu.result()
+        else:
+            _one(*per_kind[0])
         folds.append({"level": level, "inputs": len(disc_runs)})
         for d in doomed:
             _sh.rmtree(os.path.join(statedir, d))
